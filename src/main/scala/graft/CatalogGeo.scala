@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geo.{GeoFunctions, Geometry, Olc}
+
+/** Geo operators from SURVEY §2 G/E1/D2 over the testdata tables.
+  *
+  * The testdata has no coordinates, so each entity gets deterministic
+  * synthesized ones from its integer key (identical integer arithmetic on the
+  * Spark and DuckDB sides → bit-identical doubles). Trig results may differ
+  * by ulps between JVMs and libm, so every emitted distance is rounded and
+  * thresholds are chosen away from any pair's boundary.
+  */
+object CatalogGeo {
+
+  /** lat in [-85, 85), lon in [-180, 180), on a 0.01° grid. */
+  private def synthLat(key: Column): Column = (key * 7919L % 17000L) / 100.0 - 85.0
+  private def synthLon(key: Column): Column = (key * 104729L % 36000L) / 100.0 - 180.0
+
+  private val synthLatSql = "((%s * 7919) %% 17000) / 100.0 - 85.0"
+  private val synthLonSql = "((%s * 104729) %% 36000) / 100.0 - 180.0"
+
+  /** Haversine in SQL, mirroring GeoFunctions.haversineM's operation order. */
+  private def havSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"""12745600.0 * asin(sqrt(
+       |  pow(sin(radians(($lat2) - ($lat1)) / 2), 2) +
+       |  pow(sin(radians(($lon2) - ($lon1)) / 2), 2)
+       |    * cos(radians($lat1)) * cos(radians($lat2))))""".stripMargin
+
+  /** 6-char OLC encode in SQL (pair sections, in-range inputs), mirroring
+    * GeoFunctions.olcEncode digit arithmetic. Expects columns latv = 90+lat,
+    * lonv = 180+lon. */
+  private val olc6Sql =
+    """concat(
+      |  substr('23456789CFGHJMPQRVWX', CAST(least(floor(latv / 20.0), 19) AS INT) + 1, 1),
+      |  substr('23456789CFGHJMPQRVWX', CAST(least(floor(lonv / 20.0), 19) AS INT) + 1, 1),
+      |  substr('23456789CFGHJMPQRVWX', CAST(least(floor(latv - floor(latv / 20.0) * 20.0), 19) AS INT) + 1, 1),
+      |  substr('23456789CFGHJMPQRVWX', CAST(least(floor(lonv - floor(lonv / 20.0) * 20.0), 19) AS INT) + 1, 1),
+      |  substr('23456789CFGHJMPQRVWX', CAST(least(floor((latv - floor(latv / 20.0) * 20.0 - floor(latv - floor(latv / 20.0) * 20.0)) / 0.05), 19) AS INT) + 1, 1),
+      |  substr('23456789CFGHJMPQRVWX', CAST(least(floor((lonv - floor(lonv / 20.0) * 20.0 - floor(lonv - floor(lonv / 20.0) * 20.0)) / 0.05), 19) AS INT) + 1, 1))""".stripMargin
+
+  private def customerGeo(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      col("c_nationkey"),
+      synthLat(col("c_custkey")).as("lat"),
+      synthLon(col("c_custkey")).as("lon"))
+
+  /** G1 haversine distance to a fixed point (OsmMapUtils.java:99-110). */
+  private def g1(s: SparkSession, d: String): DataFrame =
+    customerGeo(s, d)
+      .where(col("c_custkey") <= 200)
+      .select(col("c_custkey"),
+        round(GeoFunctions.haversineM(col("lat"), col("lon"), lit(48.15), lit(17.12)), 1)
+          .as("dist_m"))
+      .orderBy("c_custkey")
+
+  /** G2/C5/F8 OLC tile-id encode — the engine's partition key
+    * (OsmLocationTool.java:26-33). */
+  private def g2(s: SparkSession, d: String): DataFrame =
+    customerGeo(s, d)
+      .select(col("c_custkey"),
+        GeoFunctions.olcEncode(col("lat"), col("lon"), 6).as("tileid"))
+      .orderBy("c_custkey")
+
+  /** E1 tile-prefix rollup: 4-char OLC summary counts
+    * (OprSummaryPlaceDataProvider.java:26-59), with decoded cell centers. */
+  private def e1(s: SparkSession, d: String): DataFrame =
+    customerGeo(s, d)
+      .select(substring(GeoFunctions.olcEncode(col("lat"), col("lon"), 6), 1, 4).as("tile4"))
+      .groupBy("tile4")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("center_lat", round(GeoFunctions.olcCenterLat(col("tile4")), 6))
+      .withColumn("center_lon", round(GeoFunctions.olcCenterLon(col("tile4")), 6))
+      .orderBy("tile4")
+
+  /** D2/D4 tile-bucketed distance self-join: event-point pairs within 100 km
+    * (OprHistoryChangesProvider.java:185-209; MergePlaceBot.java:169-182).
+    * Spark side buckets by 2-char OLC cell + neighbor expansion (never a
+    * cross join); the oracle brute-forces the same predicate. 100 km stays
+    * under the smallest neighbor-cell span (20° lon at |lat|=85 ≈ 194 km),
+    * so single-ring expansion is exhaustive. */
+  private def d2(s: SparkSession, d: String): DataFrame = {
+    val neighborsUdf = udf((code: String) => Olc.neighbors(code) :+ code)
+    val g = Tables.events(s, d).select(
+        col("event_id").as("k"),
+        synthLat(col("event_id")).as("lat"),
+        synthLon(col("event_id")).as("lon"))
+      .withColumn("cell", GeoFunctions.olcEncode(col("lat"), col("lon"), 2))
+    val probe = g.select(col("k").as("a_key"), col("lat").as("a_lat"),
+        col("lon").as("a_lon"), explode(neighborsUdf(col("cell"))).as("cell"))
+    val build = g.select(col("k").as("b_key"), col("lat").as("b_lat"),
+        col("lon").as("b_lon"), col("cell"))
+    probe.join(build, "cell")
+      .where(col("a_key") < col("b_key"))
+      .withColumn("dist_m",
+        GeoFunctions.haversineM(col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon")))
+      .where(col("dist_m") < 100000.0)
+      .select(col("a_key"), col("b_key"), round(col("dist_m"), 1).as("dist_m"))
+      .orderBy("a_key", "b_key")
+  }
+
+  /** G3 mercator tile numbers (OsmMapUtils.java:41-59). */
+  private def g3(s: SparkSession, d: String): DataFrame =
+    customerGeo(s, d)
+      .select(col("c_custkey"),
+        GeoFunctions.tileX(lit(10.0), col("lon")).cast("long").as("tile_x"),
+        GeoFunctions.tileY(lit(10.0), GeoFunctions.checkLat(col("lat"))).cast("long").as("tile_y"))
+      .orderBy("c_custkey")
+
+  /** G9/G10 bbox containment + lat/lon normalization (QuadRect.java:23-69;
+    * OsmMapUtils.java:62-93) over deliberately out-of-range inputs. */
+  private def g9(s: SparkSession, d: String): DataFrame = {
+    val rawLon = (col("c_custkey") * 13L % 720L).cast("double") - 360.0
+    val rawLat = (col("c_custkey") * 17L % 200L).cast("double") - 100.0
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        GeoFunctions.checkLon(rawLon).as("lon"),
+        GeoFunctions.checkLat(rawLat).as("lat"))
+      .withColumn("in_bbox",
+        GeoFunctions.bboxContains(lit(-40.0), lit(-90.0), lit(40.0), lit(90.0),
+          col("lat"), col("lon")))
+      .orderBy("c_custkey")
+  }
+
+  /** G4/G5 point-in-polygon + Douglas-Peucker — row-local geometry UDFs
+    * (OsmMapUtils.java:496-524,317-427). Not SQL-expressible → rows-only
+    * check; exactness covered by GeometrySpec. */
+  private def g4(s: SparkSession, d: String): DataFrame = {
+    val poly = Seq(
+      Geometry.Pt(-30, -60), Geometry.Pt(30, -60), Geometry.Pt(45, 0),
+      Geometry.Pt(30, 60), Geometry.Pt(-30, 60))
+    val inPoly = udf((lat: Double, lon: Double) => Geometry.pointInPolygon(lat, lon, poly))
+    customerGeo(s, d)
+      .where(inPoly(col("lat"), col("lon")))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("inside_cnt"))
+      .orderBy("c_nationkey")
+  }
+
+  /** G5/G7/G8 polyline simplification, area, winding over per-user event
+    * trails (OsmMapUtils.java:317-427,531-587,429-493). Rows-only. */
+  private def g5(s: SparkSession, d: String): DataFrame = {
+    val simplifyCnt = udf((lats: Seq[Double], lons: Seq[Double]) => {
+      val pts = lats.zip(lons).map { case (a, b) => Geometry.Pt(a, b) }
+      Geometry.simplify(pts, 0.5).size
+    })
+    val areaUdf = udf((lats: Seq[Double], lons: Seq[Double]) => {
+      val pts = lats.zip(lons).map { case (a, b) => Geometry.Pt(a, b) }
+      math.round(Geometry.areaM2(pts) / 1e6) // km^2
+    })
+    val cwUdf = udf((lats: Seq[Double], lons: Seq[Double]) => {
+      val pts = lats.zip(lons).map { case (a, b) => Geometry.Pt(a, b) }
+      Geometry.isClockwise(pts)
+    })
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        synthLat(col("event_id")).as("lat"), synthLon(col("event_id")).as("lon"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("event_id"), col("lat"), col("lon")))).as("trail"))
+      .select(col("user_id"),
+        col("trail.lat").as("lats"), col("trail.lon").as("lons"))
+      .select(col("user_id"),
+        simplifyCnt(col("lats"), col("lons")).as("simplified_points"),
+        areaUdf(col("lats"), col("lons")).as("area_km2"),
+        cwUdf(col("lats"), col("lons")).as("clockwise"))
+      .orderBy("user_id")
+  }
+
+  private val custLatSql = synthLatSql.format("c_custkey")
+  private val custLonSql = synthLonSql.format("c_custkey")
+
+  val entries: Seq[Q] = Seq(
+    Q("g1_haversine", g1,
+      Some(s"""SELECT c_custkey,
+              |  round(${havSql(custLatSql, custLonSql, "48.15", "17.12")}, 1) AS dist_m
+              |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin)),
+    Q("g2_olc_encode", g2,
+      Some(s"""WITH v AS (
+              |  SELECT c_custkey,
+              |         90.0 + ($custLatSql) AS latv,
+              |         180.0 + ((((($custLonSql) + 180.0) % 360.0) + 360.0) % 360.0 - 180.0) AS lonv
+              |  FROM customer)
+              |SELECT c_custkey, $olc6Sql AS tileid FROM v ORDER BY c_custkey""".stripMargin)),
+    Q("e1_tile_rollup", e1,
+      Some(s"""WITH v AS (
+              |  SELECT 90.0 + ($custLatSql) AS latv,
+              |         180.0 + ((((($custLonSql) + 180.0) % 360.0) + 360.0) % 360.0 - 180.0) AS lonv
+              |  FROM customer),
+              |t AS (
+              |  SELECT concat(
+              |    substr('23456789CFGHJMPQRVWX', CAST(least(floor(latv / 20.0), 19) AS INT) + 1, 1),
+              |    substr('23456789CFGHJMPQRVWX', CAST(least(floor(lonv / 20.0), 19) AS INT) + 1, 1),
+              |    substr('23456789CFGHJMPQRVWX', CAST(least(floor(latv - floor(latv / 20.0) * 20.0), 19) AS INT) + 1, 1),
+              |    substr('23456789CFGHJMPQRVWX', CAST(least(floor(lonv - floor(lonv / 20.0) * 20.0), 19) AS INT) + 1, 1)) AS tile4
+              |  FROM v)
+              |SELECT tile4, count(*) AS cnt,
+              |  round(-90.0 + (strpos('23456789CFGHJMPQRVWX', substr(tile4, 1, 1)) - 1) * 20.0
+              |        + (strpos('23456789CFGHJMPQRVWX', substr(tile4, 3, 1)) - 1) * 1.0 + 0.5, 6) AS center_lat,
+              |  round(-180.0 + (strpos('23456789CFGHJMPQRVWX', substr(tile4, 2, 1)) - 1) * 20.0
+              |        + (strpos('23456789CFGHJMPQRVWX', substr(tile4, 4, 1)) - 1) * 1.0 + 0.5, 6) AS center_lon
+              |FROM t GROUP BY tile4 ORDER BY tile4""".stripMargin)),
+    Q("d2_distance_join", d2,
+      Some(s"""WITH g AS (
+              |  SELECT event_id AS k, (${synthLatSql.format("event_id")}) AS lat,
+              |         (${synthLonSql.format("event_id")}) AS lon
+              |  FROM events)
+              |SELECT a.k AS a_key, b.k AS b_key,
+              |       round(${havSql("a.lat", "a.lon", "b.lat", "b.lon")}, 1) AS dist_m
+              |FROM g a JOIN g b ON a.k < b.k
+              |WHERE ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} < 100000.0
+              |ORDER BY a_key, b_key""".stripMargin)),
+    Q("g3_mercator_tiles", g3,
+      Some(s"""SELECT c_custkey,
+              |  CAST(floor((($custLonSql) + 180.0) / 360.0 * pow(2.0, 10.0)) AS BIGINT) AS tile_x,
+              |  CAST(floor((1.0 - ln(tan(radians(least(greatest($custLatSql, -85.0511), 85.0511)))
+              |    + 1.0 / cos(radians(least(greatest($custLatSql, -85.0511), 85.0511)))) / pi())
+              |    / 2.0 * pow(2.0, 10.0)) AS BIGINT) AS tile_y
+              |FROM customer ORDER BY c_custkey""".stripMargin)),
+    Q("g9_bbox_normalize", g9,
+      Some("""SELECT c_custkey,
+             |  ((((CAST(c_custkey * 13 % 720 AS DOUBLE) - 360.0) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) AS lon,
+             |  least(greatest(CAST(c_custkey * 17 % 200 AS DOUBLE) - 100.0, -85.0511), 85.0511) AS lat,
+             |  (least(greatest(CAST(c_custkey * 17 % 200 AS DOUBLE) - 100.0, -85.0511), 85.0511) >= -40.0
+             |   AND least(greatest(CAST(c_custkey * 17 % 200 AS DOUBLE) - 100.0, -85.0511), 85.0511) <= 40.0
+             |   AND ((((CAST(c_custkey * 13 % 720 AS DOUBLE) - 360.0) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) >= -90.0
+             |   AND ((((CAST(c_custkey * 13 % 720 AS DOUBLE) - 360.0) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) <= 90.0)
+             |  AS in_bbox
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+    Q("g4_point_in_polygon", g4, None),
+    Q("g5_geometry_trail", g5, None),
+  )
+}

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** String / similarity functions from SURVEY §2 F + the D5 tiered name
+  * match, exercised over part names and documents. */
+object CatalogText {
+
+  /** F6 `opr:simple_name` (OprExprEvaluatorExt.java:70-78). */
+  private def f6(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        lower(regexp_replace(col("p_name"), "[ -]", "")).as("simple_name"))
+      .orderBy("p_partkey")
+
+  /** F2 word tokenize with edge-punctuation trim (MergeUtil.java:243-252). */
+  private def f2(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        filter(
+          transform(split(lower(col("p_name")), " "),
+            w => regexp_replace(w, "^\\p{Punct}+|\\p{Punct}+$", "")),
+          w => w =!= "").as("words"))
+      .select(col("p_partkey"),
+        size(col("words")).as("n_words"),
+        array_join(array_sort(col("words")), " ").as("word_bag"))
+      .orderBy("p_partkey")
+
+  /** F1 word-bag equality join — `checkNames` third clause as a scalable
+    * equi-join on the normalized bag (MergeUtil.java:166-195). */
+  private def f1(s: SparkSession, d: String): DataFrame = {
+    val bags = Tables.part(s, d).select(
+      col("p_partkey"),
+      array_join(array_sort(filter(split(lower(col("p_name")), " "), w => w =!= "")), " ")
+        .as("word_bag"))
+    bags.as("a").join(bags.as("b"),
+        col("a.word_bag") === col("b.word_bag") &&
+        col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"),
+        col("a.word_bag").as("word_bag"))
+      .orderBy("a_key", "b_key")
+  }
+
+  /** F3 adaptive-Levenshtein similarity join, bucketed by brand to bound the
+    * candidate set (MergeUtil.java:254-284). */
+  private def f3(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("lev", levenshtein(col("a.p_name"), col("b.p_name")))
+      .where(col("lev") <= 12)
+      .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"), col("lev"))
+      .orderBy("a_key", "b_key")
+  }
+
+  /** F7 `str:first_non_empty` with ';' truncation (OprExprEvaluatorExt.java:40-58). */
+  private def f7(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        coalesce(
+          nullif(substring_index(col("source"), ";", 1), lit("")),
+          nullif(substring_index(col("lang"), ";", 1), lit("")),
+          lit(null)).as("first_non_empty"))
+      .orderBy("doc_id")
+
+  /** F9 capitalize-first + underscore prettify (BaseOprPlaceDataProvider.java:174-175). */
+  private def f9(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        concat(upper(substring(replace(col("p_type"), lit("_"), lit(" ")), 1, 1)),
+               substring(replace(col("p_type"), lit("_"), lit(" ")), 2, 1000000))
+          .as("pretty_type"))
+      .orderBy("p_partkey")
+
+  /** F11 date arithmetic family (BaseOprPlaceDataProvider.java:72,125-134;
+    * MergePlaceBot.java:115-122,267-288). */
+  private def f11(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("day"))
+      .select(col("o_orderkey"), col("day"),
+        date_add(col("day"), 1).as("next_day"),
+        add_months(col("day"), -1).as("month_ago"),
+        datediff(lit("1996-01-01").cast("date"), col("day")).as("days_to_96"),
+        (datediff(lit("1996-01-01").cast("date"), col("day")) >= 10).as("grace_passed"))
+      .where(col("o_orderkey") <= 2000)
+      .orderBy("o_orderkey")
+
+  /** D5 tiered similarity match (MergePlaceBot.java:359-392; MergeUtil.java:35-82)
+    * over synthesized tag maps. Collator semantics are UDF-side → rows-only;
+    * exactness is covered by TextFunctionsSpec against reference fixtures. */
+  private def d5(s: SparkSession, d: String): DataFrame = {
+    val tierUdf = udf((aName: String, aWiki: String, bName: String, bWiki: String) =>
+      TextFunctions.matchTier(
+        Map("name" -> aName, "wikidata" -> aWiki).filter(_._2 != null),
+        Map("name" -> bName, "wikidata" -> bWiki).filter(_._2 != null))
+        .map(_.toString).orNull)
+    val p = Tables.part(s, d).select(
+      col("p_partkey"), col("p_brand"), col("p_name"),
+      when(col("p_partkey") % 7 === 0, concat(lit("Q"), col("p_partkey") % 100)).as("wiki"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") && col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("tier", tierUdf(col("a.p_name"), col("a.wiki"), col("b.p_name"), col("b.wiki")))
+      .where(col("tier").isNotNull)
+      .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"), col("tier"))
+      .orderBy("a_key", "b_key")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("f6_simple_name", f6,
+      Some("""SELECT p_partkey, lower(regexp_replace(p_name, '[ -]', '', 'g')) AS simple_name
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+    Q("f2_tokenize", f2,
+      Some("""WITH w AS (
+             |  SELECT p_partkey,
+             |         list_filter(list_transform(string_split(lower(p_name), ' '),
+             |           w -> regexp_replace(w, '^[[:punct:]]+|[[:punct:]]+$', '', 'g')),
+             |           w -> w <> '') AS words
+             |  FROM part)
+             |SELECT p_partkey, CAST(len(words) AS INT) AS n_words,
+             |       array_to_string(list_sort(words), ' ') AS word_bag
+             |FROM w ORDER BY p_partkey""".stripMargin)),
+    Q("f1_word_bag_join", f1,
+      Some("""WITH bags AS (
+             |  SELECT p_partkey,
+             |         array_to_string(list_sort(list_filter(string_split(lower(p_name), ' '),
+             |           w -> w <> '')), ' ') AS word_bag
+             |  FROM part)
+             |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, a.word_bag AS word_bag
+             |FROM bags a JOIN bags b
+             |  ON a.word_bag = b.word_bag AND a.p_partkey < b.p_partkey
+             |ORDER BY a_key, b_key""".stripMargin)),
+    Q("f3_levenshtein_join", f3,
+      Some("""SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 12
+             |ORDER BY a_key, b_key""".stripMargin)),
+    Q("f7_first_non_empty", f7,
+      Some("""SELECT doc_id,
+             |       coalesce(nullif(split_part(source, ';', 1), ''),
+             |                nullif(split_part(lang, ';', 1), '')) AS first_non_empty
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("f9_prettify", f9,
+      Some("""SELECT p_partkey,
+             |       concat(upper(substr(replace(p_type, '_', ' '), 1, 1)),
+             |              substr(replace(p_type, '_', ' '), 2)) AS pretty_type
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+    Q("f11_date_math", f11,
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+             |       CAST(o_orderdate AS DATE) + 1 AS next_day,
+             |       CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH AS DATE) AS month_ago,
+             |       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS INT) AS days_to_96,
+             |       datediff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') >= 10 AS grace_passed
+             |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin)),
+    Q("d5_tiered_match", d5, None),
+  )
+}

@@ -1,0 +1,78 @@
+package graft.geo
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geo primitives used across the engine.
+  *
+  * Scalar math (haversine, bbox, normalization, mercator tiles) is expressed
+  * as `Column` compositions of built-in functions so it stays inside
+  * whole-stage codegen; array-local geometry (centroid, point-in-polygon,
+  * Douglas-Peucker, area) lives in [[Geometry]] as pure Scala registered as
+  * UDFs over `array<struct<lat,lon>>` — those operate on one row's geometry,
+  * so a UDF costs nothing in shuffle terms.
+  */
+object GeoFunctions {
+
+  /** Earth radius used by the reference's simplified haversine, km
+    * (reference: OsmMapUtils.java:99-110 — R = 6372.8). */
+  val EarthRadiusKm = 6372.8
+
+  /** Great-circle distance in meters, identical formula to the reference
+    * (OsmMapUtils.java:99-110), composed from codegen'd builtins. */
+  def haversineM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      pow(sin(dLon / 2), 2) * cos(radians(lat1)) * cos(radians(lat2))
+    lit(2 * EarthRadiusKm * 1000.0) * asin(sqrt(a))
+  }
+
+  /** 6-char (default) OLC tile id — the engine's partition key
+    * (reference: OsmLocationTool.java:26-33). */
+  def olcEncode(lat: Column, lon: Column, codeLength: Int = 6): Column = {
+    // Pure floor arithmetic — kept as builtins so the same expression is
+    // writable in ANSI SQL for the oracle.
+    var latVal = lit(90.0) + when(lat > 90.0, 90.0).when(lat < -90.0, -90.0).otherwise(lat)
+    var lonVal = lit(180.0) + (((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0)
+    var res = 20.0
+    val chars = (0 until codeLength / 2).flatMap { _ =>
+      val latD = least(floor(latVal / res), lit(19.0)).cast("int")
+      val lonD = least(floor(lonVal / res), lit(19.0)).cast("int")
+      val latC = lit(Olc.Alphabet).substr(latD + 1, lit(1))
+      val lonC = lit(Olc.Alphabet).substr(lonD + 1, lit(1))
+      latVal = latVal - latD.cast("double") * res
+      lonVal = lonVal - lonD.cast("double") * res
+      res /= 20.0
+      Seq(latC, lonC)
+    }
+    concat(chars: _*)
+  }
+
+  /** Cell-center latitude/longitude of a pair-section OLC code (UDF — string
+    * decode is row-local). */
+  val olcCenterLat = udf((code: String) => Olc.decodeCenter(code)._1)
+  val olcCenterLon = udf((code: String) => Olc.decodeCenter(code)._2)
+
+  /** Mercator tile number (reference: OsmMapUtils.java:41-59). */
+  def tileX(zoom: Column, lon: Column): Column =
+    floor((lon + 180.0) / 360.0 * pow(lit(2.0), zoom))
+
+  def tileY(zoom: Column, lat: Column): Column = {
+    val latRad = radians(lat)
+    floor((lit(1.0) - log(tan(latRad) + lit(1.0) / cos(latRad)) / math.Pi) / 2.0 * pow(lit(2.0), zoom))
+  }
+
+  /** Longitude wrap to (-180, 180] and web-mercator latitude clamp
+    * (reference: OsmMapUtils.java:62-93). */
+  def checkLon(lon: Column): Column =
+    ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+
+  def checkLat(lat: Column): Column =
+    least(greatest(lat, lit(-85.0511)), lit(85.0511))
+
+  /** bbox containment (reference: QuadRect.java:23-69). */
+  def bboxContains(minLat: Column, minLon: Column, maxLat: Column, maxLon: Column,
+                   lat: Column, lon: Column): Column =
+    lat >= minLat && lat <= maxLat && lon >= minLon && lon <= maxLon
+}
