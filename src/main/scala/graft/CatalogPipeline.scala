@@ -1,7 +1,241 @@
 package graft
 
-/** Training-data pipeline operators (dedup / similarity / multimodal / text
-  * analysis) — populated as the pipeline modules land. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (dedup / similarity search / multimodal
+  * / text analysis) over the `documents` and `embeddings` tables.
+  *
+  * The synthetic corpus has no natural duplicates at small SF, so the dedup
+  * queries run over `documents` unioned with a deterministic perturbed copy
+  * (ids offset by 1,000,000): exact dedup gets identical copies, near-dup
+  * gets copies with the last 3 words dropped. Both engines construct the
+  * same corpus, so results stay oracle-checkable.
+  */
 object CatalogPipeline {
-  val entries: Seq[Q] = Seq()
+
+  private val IdOffset = 1000000L
+
+  /** documents ∪ identical copy (exact-dup corpus). */
+  private def exactCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+    docs.unionByName(docs.select((col("doc_id") + IdOffset).as("doc_id"),
+      col("text"), col("lang")))
+  }
+
+  /** documents ∪ copy with last 3 words dropped (near-dup corpus). */
+  private def nearCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+    val w = filter(split(col("text"), " "), x => x =!= "")
+    docs.unionByName(docs.select((col("doc_id") + IdOffset).as("doc_id"),
+      array_join(slice(w, lit(1), greatest(size(w) - 3, lit(1))), " ").as("text"),
+      col("lang")))
+  }
+
+  private val exactCorpusSql =
+    """SELECT doc_id, text, lang FROM documents
+      |UNION ALL SELECT doc_id + 1000000, text, lang FROM documents""".stripMargin
+
+  private val nearCorpusSql =
+    """SELECT doc_id, text, lang FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000,
+      |       array_to_string(w[1:greatest(len(w)-3, 1)], ' ') AS text, lang
+      |FROM (SELECT doc_id, lang,
+      |        list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |      FROM documents)""".stripMargin
+
+  // ---- dedup ---------------------------------------------------------------
+
+  private def p1(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDuplicates(exactCorpus(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private def p2(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(nearCorpus(s, d), "doc_id", "text",
+        bucketCol = "lang", n = 2, minSim = 0.8)
+      .orderBy("a_id", "b_id")
+
+  private def p3(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(nearCorpus(s, d), "doc_id", "text",
+        n = 2, numHashes = 64, bandRows = 4, minSim = 0.8)
+      .orderBy("a_id", "b_id")
+
+  private def p4(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(nearCorpus(s, d), "doc_id", "text", maxDist = 3)
+      .orderBy("a_id", "b_id")
+
+  // ---- similarity search ---------------------------------------------------
+
+  private def p5(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", 10)
+      .orderBy("query_id", "rank")
+  }
+
+  private def p6(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.lshTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, numPlanes = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-dup over corpus ∪ perturbed copy (vec' = vec with one
+    * component nudged) — random embeddings have no natural near-dups. */
+  private def p7(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val perturbed = e.select((col("vec_id") + IdOffset).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    Similarity.cosineNearDupPairs(e.unionByName(perturbed), "vec_id", "embedding",
+        minSim = 0.99, numPlanes = 8)
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---- text analysis -------------------------------------------------------
+
+  private def p8(s: SparkSession, d: String): DataFrame = {
+    val profiles = TextAnalysis.stopwordProfiles
+    Tables.documents(s, d).select(col("doc_id"),
+        round(TextAnalysis.profileRatio(col("text"), profiles("en")), 6).as("en_ratio"),
+        round(TextAnalysis.profileRatio(col("text"), profiles("de")), 6).as("de_ratio"),
+        round(TextAnalysis.profileRatio(col("text"), profiles("fr")), 6).as("fr_ratio"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  private def p9(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+      .orderBy("doc_id")
+
+  private def p10(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityFeatures(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private def p11(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.bagFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ---- multimodal ----------------------------------------------------------
+
+  private def p12(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
+      .withColumn("frame_mean", round(col("frame_mean"), 6))
+      .orderBy("doc_id")
+
+  val entries: Seq[Q] = Seq(
+    Q("p1_exact_dedup", p1,
+      Some(s"""WITH corpus AS ($exactCorpusSql),
+              |h AS (SELECT doc_id, md5(text) AS text_hash FROM corpus)
+              |SELECT doc_id, text_hash,
+              |       count(*) OVER (PARTITION BY text_hash) AS group_size,
+              |       min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id
+              |FROM h
+              |QUALIFY count(*) OVER (PARTITION BY text_hash) > 1
+              |ORDER BY doc_id""".stripMargin)),
+    Q("p2_ngram_jaccard", p2,
+      Some(s"""WITH corpus AS ($nearCorpusSql),
+              |g AS (SELECT doc_id, lang,
+              |        list_distinct(list_transform(range(len(w) - 1),
+              |          i -> w[i+1] || ' ' || w[i+2])) AS grams
+              |      FROM (SELECT doc_id, lang,
+              |              list_filter(string_split(text, ' '), x -> x <> '') AS w
+              |            FROM corpus))
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+              |             (len(a.grams) + len(b.grams)
+              |              - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+              |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+              |            (len(a.grams) + len(b.grams)
+              |             - len(list_intersect(a.grams, b.grams))), 6) >= 0.8
+              |ORDER BY a_id, b_id""".stripMargin)),
+    Q("p3_minhash_lsh", p3, None),
+    Q("p4_simhash", p4, None),
+    Q("p5_cosine_topk", p5,
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |           FROM embeddings WHERE vec_id < 5),
+             |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             |        round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS sim
+             |      FROM embeddings e CROSS JOIN q
+             |      WHERE e.vec_id <> q.query_id)
+             |SELECT query_id, neighbor_id, sim, rank FROM (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+    Q("p6_ann_lsh", p6, None),
+    Q("p7_embed_neardup", p7, None),
+    Q("p8_lang_id", p8,
+      Some("""WITH w AS (SELECT doc_id,
+             |             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |           FROM documents),
+             |r AS (SELECT doc_id,
+             |        round(CASE WHEN len(ws) > 0 THEN
+             |          len(list_filter(ws, x -> x IN ('the','a','of','to','and','in','is')))::DOUBLE / len(ws)
+             |          ELSE 0 END, 6) AS en_ratio,
+             |        round(CASE WHEN len(ws) > 0 THEN
+             |          len(list_filter(ws, x -> x IN ('der','die','das','und','ist')))::DOUBLE / len(ws)
+             |          ELSE 0 END, 6) AS de_ratio,
+             |        round(CASE WHEN len(ws) > 0 THEN
+             |          len(list_filter(ws, x -> x IN ('le','la','les','et','est')))::DOUBLE / len(ws)
+             |          ELSE 0 END, 6) AS fr_ratio
+             |      FROM w)
+             |SELECT doc_id, en_ratio, de_ratio, fr_ratio,
+             |       CASE WHEN greatest(en_ratio, de_ratio, fr_ratio) >= 0.02 THEN
+             |         CASE WHEN fr_ratio >= greatest(en_ratio, de_ratio) THEN 'fr'
+             |              WHEN en_ratio >= de_ratio THEN 'en' ELSE 'de' END
+             |       ELSE 'und' END AS predicted_lang
+             |FROM r ORDER BY doc_id""".stripMargin)),
+    Q("p9_token_count", p9,
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS bpeish_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("p10_quality_score", p10,
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+             |    length(text) AS n_chars,
+             |    len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the','a','of','to','and','in','is'))) AS stop_hits,
+             |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS punct_hits
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, n_words, n_chars,
+             |    CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1))::DOUBLE / n_words ELSE 0 END AS awl,
+             |    CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0 END AS sr,
+             |    CASE WHEN n_chars > 0 THEN punct_hits::DOUBLE / n_chars ELSE 0 END AS pr
+             |  FROM f)
+             |SELECT doc_id, CAST(n_words AS INT) AS n_words, CAST(n_chars AS INT) AS n_chars,
+             |  round(awl, 6) AS avg_word_len, round(sr, 6) AS stopword_ratio,
+             |  round(pr, 6) AS punct_ratio,
+             |  round(greatest(0.0, least(1.0,
+             |    least(n_words / 100.0, 1.0) * 0.4 + least(sr * 5.0, 1.0) * 0.3 +
+             |    least(awl / 8.0, 1.0) * 0.3 - pr)), 6) AS quality_score
+             |FROM r ORDER BY doc_id""".stripMargin)),
+    Q("p11_fingerprint", p11,
+      Some("""SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(
+             |    list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("p12_multimodal", p12,
+      Some("""WITH b AS (
+             |  SELECT doc_id, 'text/plain' AS media_type, length(text) AS byte_len,
+             |    list_sum(list_transform(range(length(text)),
+             |      i -> ascii(substr(text, i + 1, 1)))) AS checksum,
+             |    ascii(substr(text, 1, 1)) AS head_byte,
+             |    list_transform(range(0, length(text), 32),
+             |      i -> ascii(substr(text, i + 1, 1))) AS frames
+             |  FROM documents)
+             |SELECT doc_id, media_type, CAST(byte_len AS BIGINT) AS byte_len,
+             |  CAST(checksum AS BIGINT) AS checksum, CAST(head_byte AS INT) AS head_byte,
+             |  round(list_sum(frames)::DOUBLE / len(frames), 6) AS frame_mean,
+             |  CAST(len(frames) AS INT) AS n_frames
+             |FROM b ORDER BY doc_id""".stripMargin)),
+  )
 }

@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document deduplication operators for large-scale corpus curation:
+  * exact (hash groupBy), n-gram Jaccard verify, MinHash+LSH candidate
+  * generation, and SimHash. Generalizes the reference's fuzzy-merge idea
+  * (MergeUtil.java name-bag matching) from place names to whole documents.
+  *
+  * Scale notes (100 TB):
+  *   - exact dedup shuffles only (id, 16-byte hash), never the text;
+  *   - MinHash signatures are computed in one pass per document (no
+  *     shuffle of shingles); only (id, band-key) pairs shuffle, and
+  *     candidate verification joins back by id;
+  *   - Jaccard verification is bounded to LSH/bucket candidates — the
+  *     all-pairs form here is for oracle checking at test scale and takes
+  *     an explicit bucket column to keep the join co-partitioned.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. Emits one row per member of
+    * every group with >1 member: (doc_id, text_hash, canonical_id,
+    * group_size). Only the 16-byte md5 and the id ever shuffle. */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("text_hash")
+    df.select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_hash"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .where(col("group_size") > 1)
+  }
+
+  /** Distinct word n-grams of a text column as an array column. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val words = filter(split(text, " "), w => w =!= "")
+    if (n == 1) array_distinct(words)
+    else
+      // guard: sequence(0, negative) counts DOWN in Spark, not empty
+      when(size(words) < n, array().cast("array<string>")).otherwise(
+        array_distinct(
+          transform(sequence(lit(0), size(words) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))))
+  }
+
+  /** Jaccard similarity of two (already distinct) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** All-pairs n-gram Jaccard within a blocking bucket (co-partitioned
+    * self-join on the bucket column; for production scale, feed LSH
+    * candidates instead of a full bucket). Emits pairs with sim >= minSim. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        bucketCol: String, n: Int, minSim: Double): DataFrame = {
+    val g = df.select(col(idCol).as("id"), col(bucketCol).as("bucket"),
+      wordNgrams(col(textCol), n).as("grams"))
+    g.as("a").join(g.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        round(jaccard(col("a.grams"), col("b.grams")), 6).as("jaccard"))
+      .where(col("jaccard") >= minSim)
+  }
+
+  /** 64-bit FNV-1a — a stable, dependency-free hash for shingles/words.
+    * (Deterministic across JVMs; NOT for adversarial inputs.) */
+  def stableHash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** MinHash signature of a shingle set: sig(i) = min over shingles of
+    * (a_i * h + b_i) with 64-bit wrap — one pass per document. */
+  def minhashSignature(shingles: Seq[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val hs = shingles.map(stableHash64)
+    var i = 0
+    while (i < numHashes) {
+      // odd multipliers from splitmix64-style mixing of the hash index
+      val a = 0x9e3779b97f4a7c15L * (2 * i + 1)
+      val b = 0xbf58476d1ce4e5b9L * (i + 1)
+      var m = Long.MaxValue
+      hs.foreach { h => val v = a * h + b; if (v < m) m = v }
+      sig(i) = m
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band keys for a signature: one stable key per band of `rows`
+    * consecutive signature slots. Docs sharing any band key are candidates. */
+  def bandKeys(sig: Seq[Long], rows: Int): Seq[Long] =
+    sig.grouped(rows).zipWithIndex.map { case (band, idx) =>
+      var h = 0xcbf29ce484222325L ^ idx
+      band.foreach { v => h ^= v; h *= 0x100000001b3L }
+      h
+    }.toSeq
+
+  /** MinHash+LSH near-duplicate pairs, verified with exact n-gram Jaccard.
+    * numHashes must be divisible by bandRows. Pipeline:
+    * shingle → signature (map-only) → band explode → bucket join on band
+    * key → distinct candidate pairs → Jaccard verify against re-joined
+    * shingle sets. Only (id, band_key) and (id, grams-of-candidates)
+    * shuffle. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, numHashes: Int, bandRows: Int,
+                      minSim: Double): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must divide into bands")
+    val sigUdf = udf((grams: Seq[String]) =>
+      bandKeys(minhashSignature(grams, numHashes).toSeq, bandRows))
+    val g = df.select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams"))
+    val banded = g.select(col("id"), explode(sigUdf(col("grams"))).as("band_key"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    candidates
+      .join(g.select(col("id").as("a_id"), col("grams").as("a_grams")), "a_id")
+      .join(g.select(col("id").as("b_id"), col("grams").as("b_grams")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(jaccard(col("a_grams"), col("b_grams")), 6).as("jaccard"))
+      .where(col("jaccard") >= minSim)
+  }
+
+  /** 64-bit SimHash over word multiset: sign-sum of each hash bit. */
+  def simhash64(words: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    words.foreach { w =>
+      val h = stableHash64(w)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked by
+    * 16-bit signature chunks (a pair within distance d <= 3 shares at least
+    * one of 4 chunks exactly — pigeonhole), so no all-pairs comparison. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-chunk blocking guarantees recall only for dist<=3")
+    val shUdf = udf((text: String) =>
+      simhash64(text.split(" ").filter(_.nonEmpty).toSeq))
+    val g = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
+    val chunked = g.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), shiftrightunsigned(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+        .as("chunk"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sh").as("a_sh"), col("b.sh").as("b_sh"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .where(col("hamming") <= maxDist)
+      .select("a_id", "b_id", "hamming")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: language ID (stopword
+  * n-gram heuristic), quality scoring, token counting (whitespace + a
+  * BPE-ish regex), and document fingerprinting. All are map-only column
+  * expressions (whole-stage-codegen friendly, no UDFs on the hot path),
+  * so they cost one scan at any scale.
+  */
+object TextAnalysis {
+
+  /** Toy stopword profiles per language — the n-gram-heuristic shape of a
+    * real language-ID model with a deterministic, test-scale profile. */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  def words(text: Column): Column = filter(split(text, " "), w => w =!= "")
+
+  /** Fraction of words found in `profile`. */
+  def profileRatio(text: Column, profile: Seq[String]): Column = {
+    val ws = words(text)
+    val hits = size(filter(ws, w => profile.map(s => w === s).reduce(_ || _)))
+    when(size(ws) > 0, hits.cast("double") / size(ws)).otherwise(lit(0.0))
+  }
+
+  /** Predicted language: best-scoring profile if its ratio clears
+    * `minRatio`, else "und" (undetermined). Deterministic tie-break by
+    * profile name order. */
+  def langId(text: Column, minRatio: Double = 0.02): Column = {
+    val scored = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      struct(round(profileRatio(text, prof), 6).as("ratio"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("ratio") >= minRatio, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or any single
+    * other non-space char each count as one token. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Quality features + a composite score in [0,1]: rewards mid-length
+    * docs, long-ish words, stopword presence; penalizes symbol soup. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val nWords = size(ws).cast("double")
+    val nChars = length(t).cast("double")
+    val avgWordLen = when(nWords > 0, (nChars - (nWords - 1)) / nWords).otherwise(0.0)
+    val stopRatio = profileRatio(t, stopwordProfiles("en"))
+    val punctRatio = when(nChars > 0,
+      size(regexp_extract_all(t, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double") / nChars)
+      .otherwise(0.0)
+    val lengthScore = least(nWords / 100.0, lit(1.0))
+    val score = greatest(lit(0.0), least(lit(1.0),
+      lengthScore * 0.4 + least(stopRatio * 5.0, lit(1.0)) * 0.3 +
+        least(avgWordLen / 8.0, lit(1.0)) * 0.3 - punctRatio))
+    df.select(col(idCol).as("doc_id"),
+      size(ws).as("n_words"),
+      length(t).as("n_chars"),
+      round(avgWordLen, 6).as("avg_word_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(score, 6).as("quality_score"))
+  }
+
+  /** Content-defined fingerprint: md5 of the sorted distinct word set —
+    * order-insensitive, whitespace-normalized. */
+  def bagFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(words(text))), " "))
+
+  /** Winnowing fingerprint: minimum rolling polynomial hash over character
+    * k-grams (k=16). Robust to word order only at gram granularity; pure
+    * Scala for use in a UDF. */
+  def winnow64(text: String, k: Int = 16): Long = {
+    if (text == null || text.length < k) return 0L
+    val B = 0x100000001b3L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    var min = h
+    i = k
+    while (i < text.length) {
+      h = (h - text.charAt(i - k) * pow) * B + text.charAt(i)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
