@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.geo.GeoFunctions
+
+/** Remaining SURVEY §2 surface: sinks, the SQL/UDF registration surface,
+  * nested-map aggregation, batching, and distance sort. */
+object CatalogExtra {
+
+  /** A13 GeoJSON feature serialization — the sink projection, built as a
+    * deterministic string (identical concat on both engines; Spark's
+    * to_json key order would differ from DuckDB's). */
+  private def a13(s: SparkSession, d: String): DataFrame = {
+    val lat = round(Synth.lat(col("c_custkey")), 2)
+    val lon = round(Synth.lon(col("c_custkey")), 2)
+    Tables.customer(s, d).select(col("c_custkey"),
+        concat(lit("""{"type":"Feature","geometry":{"type":"Point","coordinates":["""),
+          lon, lit(","), lat,
+          lit("""]},"properties":{"opr_id":""""),
+          GeoFunctions.olcEncode(Synth.lat(col("c_custkey")), Synth.lon(col("c_custkey")), 6),
+          lit(",s"), col("c_custkey"), lit(""""}}""")).as("feature_json"))
+      .orderBy("c_custkey")
+  }
+
+  /** K: the UDF/extension surface — register engine functions with
+    * spark.udf and run the query through spark.sql over a temp view (the
+    * reference's ANTLR expression DSL → Spark SQL is the DSL). */
+  private def k1(s: SparkSession, d: String): DataFrame = {
+    s.udf.register("graft_simple_name",
+      (name: String) => graft.text.TextFunctions.simpleName(name))
+    s.udf.register("graft_first_non_empty",
+      (xs: Seq[String]) => graft.text.TextFunctions.firstNonEmpty(xs))
+    Tables.part(s, d).createOrReplaceTempView("part_v")
+    s.sql("""
+      SELECT p_partkey,
+             graft_simple_name(p_name) AS simple_name,
+             graft_first_non_empty(array(p_type, p_name)) AS first_ne
+      FROM part_v ORDER BY p_partkey""")
+  }
+
+  /** E2 images-count aggregation: nested map<category, array> sizes summed
+    * with higher-order `aggregate` (BaseOprPlaceDataProvider.java:227-239). */
+  private def e2(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val images = o.groupBy(col("o_custkey").as("key"))
+      .agg(map(
+        lit("review"), collect_list(when(col("o_orderstatus") === "F", col("o_orderkey"))),
+        lit("photos"), collect_list(when(col("o_orderstatus") =!= "F", col("o_orderkey"))))
+        .as("images"))
+    images.select(col("key"),
+        aggregate(map_values(col("images")), lit(0), (acc, x) => acc + size(x))
+          .as("total_images"),
+        size(element_at(col("images"), "review")).as("review_cnt"))
+      .orderBy("key")
+  }
+
+  /** H2/A14 operation batching: 250 places per op, 16 ops per block —
+    * assignment is a pure row_number computation, batch sizes verified. */
+  private def h2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("op_id", expr("rn div 250"))
+      .withColumn("block_id", expr("rn div (250 * 16)"))
+      .groupBy("block_id", "op_id")
+      .agg(count(lit(1)).as("batch_size"),
+        min("o_orderkey").as("first_key"), max("o_orderkey").as("last_key"))
+      .orderBy("block_id", "op_id")
+  }
+
+  /** G13 distance sort: nearest 20 customers to a reference point with a
+    * deterministic tie-break (OsmMapUtils.java:292-299). */
+  private def g13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"),
+        round(GeoFunctions.haversineM(Synth.lat(col("c_custkey")), Synth.lon(col("c_custkey")),
+          lit(48.15), lit(17.12)), 1).as("dist_m"))
+      .orderBy(col("dist_m"), col("c_custkey"))
+      .limit(20)
+
+  val entries: Seq[Q] = Seq(
+    Q("a13_geojson_sink", a13,
+      Some(s"""WITH v AS (SELECT c_custkey, ${Synth.latvLonvSql("c_custkey")},
+              |  round(${Synth.latSql.format("c_custkey")}, 2) AS rlat,
+              |  round(${Synth.lonSql.format("c_custkey")}, 2) AS rlon
+              |  FROM customer)
+              |SELECT c_custkey,
+              |  '{"type":"Feature","geometry":{"type":"Point","coordinates":['
+              |  || rlon || ',' || rlat || ']},"properties":{"opr_id":"'
+              |  || (${Synth.olcSql(6)}) || ',s' || c_custkey || '"}}' AS feature_json
+              |FROM v ORDER BY c_custkey""".stripMargin)),
+    Q("k1_sql_surface", k1,
+      Some("""SELECT p_partkey,
+             |  lower(regexp_replace(p_name, '[ -]', '', 'g')) AS simple_name,
+             |  coalesce(nullif(split_part(p_type, ';', 1), ''),
+             |           nullif(split_part(p_name, ';', 1), '')) AS first_ne
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+    Q("e2_images_count", e2,
+      Some("""SELECT o_custkey AS key,
+             |  CAST(count(*) AS INT) AS total_images,
+             |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS INT) AS review_cnt
+             |FROM orders GROUP BY o_custkey ORDER BY key""".stripMargin)),
+    Q("h2_op_batching", h2,
+      Some("""WITH t AS (
+             |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+             |  FROM orders)
+             |SELECT rn // 4000 AS block_id, rn // 250 AS op_id,
+             |  count(*) AS batch_size, min(o_orderkey) AS first_key,
+             |  max(o_orderkey) AS last_key
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("g13_distance_sort", g13,
+      Some(s"""SELECT c_custkey,
+              |  round(${Synth.havSql(Synth.latSql.format("c_custkey"),
+                Synth.lonSql.format("c_custkey"), "48.15", "17.12")}, 1) AS dist_m
+              |FROM customer ORDER BY dist_m, c_custkey LIMIT 20""".stripMargin)),
+  )
+}

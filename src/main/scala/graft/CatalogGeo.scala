@@ -93,7 +93,9 @@ object CatalogGeo {
     val build = g.select(col("k").as("b_key"), col("lat").as("b_lat"),
         col("lon").as("b_lon"), col("cell"))
     probe.join(build, "cell")
-      .where(col("a_key") < col("b_key"))
+      // cheap Δlat reject (100 km ⇒ Δlat < 0.9°) before the trig
+      .where(col("a_key") < col("b_key") &&
+        abs(col("a_lat") - col("b_lat")) < 0.9)
       .withColumn("dist_m",
         GeoFunctions.haversineM(col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon")))
       .where(col("dist_m") < 100000.0)

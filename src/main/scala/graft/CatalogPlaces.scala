@@ -169,15 +169,24 @@ object CatalogPlaces {
       Synth.lat(col("event_id")).as("lat"),
       Synth.lon(col("event_id")).as("lon"))
       .withColumn("cell", GeoFunctions.olcEncode(col("lat"), col("lon"), 2))
+    // density-adaptive radius (100 km at 10k points, shrinking with √n):
+    // keeps the proximity graph sparse with small components — the
+    // reference's regime (150 m clusters of a handful of places). A fixed
+    // radius percolates at higher SF into one giant high-diameter
+    // component and Pregel degenerates.
+    val n = Tables.events(s, d).count()
+    val radiusM = 100000.0 * math.sqrt(10000.0 / n)
     val neighborsUdf = udf((code: String) => graft.geo.Olc.neighbors(code) :+ code)
     val probe = pts.select(col("k").as("a"), col("lat").as("a_lat"),
       col("lon").as("a_lon"), explode(neighborsUdf(col("cell"))).as("cell"))
     val halfEdges = probe.join(
         pts.select(col("k").as("b"), col("lat").as("b_lat"),
           col("lon").as("b_lon"), col("cell")), "cell")
+      // cheap Δlat reject (R meters ⇒ Δlat < R/111km °) before the trig
       .where(col("a") < col("b") &&
+        abs(col("a_lat") - col("b_lat")) < lit(radiusM / 111000.0 * 1.01) &&
         GeoFunctions.haversineM(col("a_lat"), col("a_lon"),
-          col("b_lat"), col("b_lon")) < 100000.0)
+          col("b_lat"), col("b_lon")) < radiusM)
       .select("a", "b")
     val edgeRdd = halfEdges.rdd.map(r => (r.getLong(0), r.getLong(1)))
     val cc = org.apache.spark.graphx.Graph.fromEdgeTuples(edgeRdd, 1)
@@ -251,9 +260,11 @@ object CatalogPlaces {
     Q("pl3_history_cluster", pl3,
       Some(s"""WITH g AS (SELECT event_id AS k, (${Synth.latSql.format("event_id")}) AS lat,
               |                  (${Synth.lonSql.format("event_id")}) AS lon FROM events),
+              |rad AS (SELECT 100000.0 * sqrt(10000.0 / count(*)) AS radius FROM events),
               |edges AS (
               |  SELECT a.k AS a, b.k AS b FROM g a JOIN g b ON a.k <> b.k
-              |  WHERE ${Synth.havSql("a.lat", "a.lon", "b.lat", "b.lon")} < 100000.0),
+              |  WHERE ${Synth.havSql("a.lat", "a.lon", "b.lat", "b.lon")}
+              |        < (SELECT radius FROM rad)),
               |reach AS (
               |  WITH RECURSIVE r(a, b) AS (
               |    SELECT k, k FROM g

@@ -89,20 +89,42 @@ object CatalogText {
       .orderBy("o_orderkey")
 
   /** D5 tiered similarity match (MergePlaceBot.java:359-392; MergeUtil.java:35-82)
-    * over synthesized tag maps. Collator semantics are UDF-side → rows-only;
-    * exactness is covered by TextFunctionsSpec against reference fixtures. */
+    * over synthesized tag maps, with the standard block-then-verify shape:
+    * brand blocking → cheap codegen'd prefilter (banded builtin levenshtein
+    * on simplified names, or wikidata equality) → exact tier UDF only on
+    * survivors. The UDF carries the reference's collator/sub-collection
+    * semantics; the prefilter bounds how many pairs ever reach it.
+    * Collator semantics are UDF-side → rows-only; exactness is covered by
+    * the merge fixture specs. */
   private def d5(s: SparkSession, d: String): DataFrame = {
-    val tierUdf = udf((aName: String, aWiki: String, bName: String, bWiki: String) =>
-      TextFunctions.matchTier(
-        Map("name" -> aName, "wikidata" -> aWiki).filter(_._2 != null),
-        Map("name" -> bName, "wikidata" -> bWiki).filter(_._2 != null))
-        .map(_.toString).orNull)
+    // With tag maps of shape {name, wikidata}, matchTier reduces exactly to
+    // NAME_MATCH else OTHER_TAGS_MATCH (OTHER_NAME re-checks the same name;
+    // EMPTY never fires on non-empty part names). Normalized forms are
+    // computed once per row in codegen; the UDF only runs the fuzzy
+    // word-bag comparison on prefilter survivors.
+    val tierUdf = udf((aLow: String, aNo: String, aSorted: Seq[String], aWiki: String,
+                       bLow: String, bNo: String, bSorted: Seq[String], bWiki: String) =>
+      if (TextFunctions.checkNamesPre(aLow, aNo, aSorted, bLow, bNo, bSorted)) "NameMatch"
+      else if (TextFunctions.nonEmptyEquals(aWiki, bWiki)) "OtherTagsMatch"
+      else null)
+    val words = filter(
+      transform(split(lower(col("p_name")), " "),
+        w => regexp_replace(w, "^\\p{Punct}+|\\p{Punct}+$", "")),
+      w => w =!= "")
     val p = Tables.part(s, d).select(
-      col("p_partkey"), col("p_brand"), col("p_name"),
+      col("p_partkey"), col("p_brand"),
+      lower(col("p_name")).as("low"),
+      regexp_replace(lower(col("p_name")), "\\s+", "").as("nospace"),
+      array_sort(words).as("sorted_words"),
+      lower(regexp_replace(col("p_name"), "[ -]", "")).as("simple"),
       when(col("p_partkey") % 7 === 0, concat(lit("Q"), col("p_partkey") % 100)).as("wiki"))
     p.as("a").join(p.as("b"),
         col("a.p_brand") === col("b.p_brand") && col("a.p_partkey") < col("b.p_partkey"))
-      .withColumn("tier", tierUdf(col("a.p_name"), col("a.wiki"), col("b.p_name"), col("b.wiki")))
+      .where(levenshtein(col("a.simple"), col("b.simple"), 8) >= 0 ||
+        (col("a.wiki").isNotNull && col("a.wiki") === col("b.wiki")))
+      .withColumn("tier", tierUdf(
+        col("a.low"), col("a.nospace"), col("a.sorted_words"), col("a.wiki"),
+        col("b.low"), col("b.nospace"), col("b.sorted_words"), col("b.wiki")))
       .where(col("tier").isNotNull)
       .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"), col("tier"))
       .orderBy("a_key", "b_key")

@@ -22,7 +22,7 @@ final case class Q(
 object QueryCatalog {
   def all: Seq[Q] =
     CatalogCore.entries ++ CatalogGeo.entries ++ CatalogText.entries ++
-      CatalogPlaces.entries ++ CatalogPipeline.entries
+      CatalogPlaces.entries ++ CatalogPipeline.entries ++ CatalogExtra.entries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -28,6 +28,17 @@ object GeoFunctions {
     lit(2 * EarthRadiusKm * 1000.0) * asin(sqrt(a))
   }
 
+  /** Scalar form of [[haversineM]] for row-local kernels (same formula and
+    * constant — OsmMapUtils.java:99-110). */
+  def haversineMScalar(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.pow(math.sin(dLon / 2), 2) *
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2))
+    2 * EarthRadiusKm * 1000.0 * math.asin(math.sqrt(a))
+  }
+
   /** 6-char (default) OLC tile id — the engine's partition key
     * (reference: OsmLocationTool.java:26-33). */
   def olcEncode(lat: Column, lon: Column, codeLength: Int = 6): Column = {

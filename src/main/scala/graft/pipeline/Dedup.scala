@@ -49,18 +49,38 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** All-pairs n-gram Jaccard within a blocking bucket (co-partitioned
-    * self-join on the bucket column; for production scale, feed LSH
-    * candidates instead of a full bucket). Emits pairs with sim >= minSim. */
+  /** All-pairs n-gram Jaccard within a blocking bucket, additionally
+    * blocked by gram-count bands: J(A,B) >= s implies |A|/|B| <= 1/s, so
+    * pairs can only match within nearby log-scale size bands — an EXACT
+    * filter (no false negatives), which turns the quadratic bucket join
+    * into small (bucket × band) cells. Emits pairs with sim >= minSim. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         bucketCol: String, n: Int, minSim: Double): DataFrame = {
+    val base = 1.0 / minSim // band growth factor; ratio bound for a match
     val g = df.select(col(idCol).as("id"), col(bucketCol).as("bucket"),
-      wordNgrams(col(textCol), n).as("grams"))
-    g.as("a").join(g.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        round(jaccard(col("a.grams"), col("b.grams")), 6).as("jaccard"))
+        wordNgrams(col(textCol), n).as("grams"))
+      .withColumn("sz", size(col("grams")))
+      .where(col("sz") > 0)
+      .withColumn("band", floor(log(col("sz").cast("double")) / math.log(base)).cast("int"))
+    // probe explodes to bands [b, b+2] (+2 covers float rounding at band
+    // edges); build stays at its own band; a<b orders the pair once
+    val probe = g.select(col("id").as("a_id"), col("grams").as("a_grams"),
+      col("sz").as("a_sz"), col("bucket"),
+      explode(array(col("band"), col("band") + 1, col("band") + 2)).as("band"))
+    val build = g.select(col("id").as("b_id"), col("grams").as("b_grams"),
+      col("sz").as("b_sz"), col("bucket"), col("band"))
+    // the probe covers bands upward only, so a pair is found in exactly one
+    // direction (smaller band probes up to the larger); normalize the pair
+    // ordering with least/greatest rather than requiring a_id < b_id
+    probe.join(build, Seq("bucket", "band"))
+      .where(col("a_id") =!= col("b_id") &&
+        greatest(col("a_sz"), col("b_sz")).cast("double") <=
+          least(col("a_sz"), col("b_sz")) * lit(base + 1e-6))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        round(jaccard(col("a_grams"), col("b_grams")), 6).as("jaccard"))
       .where(col("jaccard") >= minSim)
+      .distinct()
   }
 
   /** 64-bit FNV-1a — a stable, dependency-free hash for shingles/words.

@@ -53,8 +53,19 @@ object TextFunctions {
     c
   }
 
-  def collatorEquals(a: String, b: String): Boolean =
-    a != null && b != null && collator.get().compare(a, b) == 0
+  private def isAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) >= 128) return false; i += 1 }
+    true
+  }
+
+  def collatorEquals(a: String, b: String): Boolean = {
+    if (a == null || b == null) return false
+    // ASCII fast path: PRIMARY-strength collation on ASCII degenerates to
+    // case-insensitive equality; the Collator is ~100x slower
+    if (isAscii(a) && isAscii(b)) a.equalsIgnoreCase(b)
+    else collator.get().compare(a, b) == 0
+  }
 
   def isEmpty(s: String): Boolean = s == null || s.isEmpty
 
@@ -79,6 +90,35 @@ object TextFunctions {
     prev(n)
   }
 
+  /** levenshtein(a,b) <= k, with the cheap length-difference reject and
+    * early exit once a full DP row exceeds k — the hot path of the merge
+    * pipeline (every candidate word pair goes through this). */
+  def levenshteinWithin(a: String, b: String, k: Int): Boolean = {
+    val m = a.length; val n = b.length
+    if (math.abs(m - n) > k) return false
+    if (m == 0) return n <= k
+    if (n == 0) return m <= k
+    var prev = Array.tabulate(n + 1)(identity)
+    var curr = new Array[Int](n + 1)
+    var i = 1
+    while (i <= m) {
+      curr(0) = i
+      var rowMin = i
+      var j = 1
+      while (j <= n) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        val v = math.min(math.min(curr(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        curr(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > k) return false
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(n) <= k
+  }
+
   /** Edit-distance budget keyed on the SHORTER word's length
     * (MergeUtil.getMaxLevenshteinDistance). */
   def maxLevenshtein(a: String, b: String): Int = {
@@ -98,7 +138,7 @@ object TextFunctions {
     if (subList.isEmpty) return false
     var matched = 0
     for (wm <- mainList; ws <- subList) {
-      if (collatorEquals(wm, ws) || levenshtein(wm, ws) <= maxLevenshtein(wm, ws)) {
+      if (collatorEquals(wm, ws) || levenshteinWithin(wm, ws, maxLevenshtein(wm, ws))) {
         matched += 1
         if (matched == subList.size) return true
       }
@@ -119,6 +159,17 @@ object TextFunctions {
     val ow = tokenize(ol).sorted
     val nw = tokenize(nl).sorted
     ow == nw || isSubCollection(nw, ow) || isSubCollection(ow, nw)
+  }
+
+  /** checkNames over pre-normalized inputs (lowercased name, whitespace-
+    * stripped form, sorted token list computed once per ROW instead of per
+    * pair) — the semantics of [[checkNames]] exactly, for hot joins where
+    * per-pair tokenization dominates. */
+  def checkNamesPre(aLow: String, aNospace: String, aSorted: Seq[String],
+                    bLow: String, bNospace: String, bSorted: Seq[String]): Boolean = {
+    if (isEmpty(aLow) || isEmpty(bLow)) return false
+    collatorEquals(aLow, bLow) || aNospace == bNospace || aSorted == bSorted ||
+      isSubCollection(bSorted, aSorted) || isSubCollection(aSorted, bSorted)
   }
 
   /** Values of tags whose key starts with "name" or equals "old_name"

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class EventStreamsSpec extends AnyFunSuite {
+
+  private def withSpark[T](f: SparkSession => T): T = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("streams-spec")
+      .getOrCreate()
+    try f(spark) finally spark.stop()
+  }
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("windowed counts aggregate by event type under a watermark") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[EventStreams.Event]
+      mem.addData(
+        EventStreams.Event(1, ts(0), 1, "click", 1.0),
+        EventStreams.Event(2, ts(5), 1, "click", 2.0),
+        EventStreams.Event(3, ts(10), 2, "view", 3.0))
+      val q = EventStreams.windowedCounts(mem.toDS(), "1 hour", "10 minutes")
+        .writeStream.format("memory").queryName("wc")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("wc").collect()
+          .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+        assert(rows.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
+      } finally q.stop()
+    }
+  }
+
+  test("dedup within watermark drops replayed event ids") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[EventStreams.Event]
+      mem.addData(
+        EventStreams.Event(1, ts(0), 1, "click", 1.0),
+        EventStreams.Event(1, ts(0), 1, "click", 1.0), // replay
+        EventStreams.Event(2, ts(1), 1, "view", 2.0))
+      val q = EventStreams.dedupWithinWatermark(mem.toDS(), "10 minutes")
+        .writeStream.format("memory").queryName("dd")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("dd").count() == 2)
+      } finally q.stop()
+    }
+  }
+
+  test("sessionization closes a session after the gap and emits its aggregate") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[EventStreams.Event]
+      // session 1: minutes 0 and 10; then a 50-min gap; session 2 at minute 60
+      mem.addData(
+        EventStreams.Event(1, ts(0), 7, "click", 1.0),
+        EventStreams.Event(2, ts(10), 7, "click", 2.0))
+      val q = EventStreams.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L, "5 minutes")
+        .writeStream.format("memory").queryName("sess")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        mem.addData(EventStreams.Event(3, ts(60), 7, "view", 5.0))
+        q.processAllAvailable()
+        // the 60-min event starts a new session in-function, closing session 1
+        val closed = spark.table("sess").as[EventStreams.SessionUpdate].collect()
+        assert(closed.exists(s => s.user_id == 7 && s.n_events == 2 && s.total_value == 3.0))
+      } finally q.stop()
+    }
+  }
+}
