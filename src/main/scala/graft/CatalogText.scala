@@ -99,32 +99,28 @@ object CatalogText {
   private def d5(s: SparkSession, d: String): DataFrame = {
     // With tag maps of shape {name, wikidata}, matchTier reduces exactly to
     // NAME_MATCH else OTHER_TAGS_MATCH (OTHER_NAME re-checks the same name;
-    // EMPTY never fires on non-empty part names). Normalized forms are
-    // computed once per row in codegen; the UDF only runs the fuzzy
-    // word-bag comparison on prefilter survivors.
-    val tierUdf = udf((aLow: String, aNo: String, aSorted: Seq[String], aWiki: String,
-                       bLow: String, bNo: String, bSorted: Seq[String], bWiki: String) =>
-      if (TextFunctions.checkNamesPre(aLow, aNo, aSorted, bLow, bNo, bSorted)) "NameMatch"
-      else if (TextFunctions.nonEmptyEquals(aWiki, bWiki)) "OtherTagsMatch"
-      else null)
-    val words = filter(
-      transform(split(lower(col("p_name")), " "),
-        w => regexp_replace(w, "^\\p{Punct}+|\\p{Punct}+$", "")),
-      w => w =!= "")
+    // EMPTY never fires on non-empty part names). The name vocabulary is
+    // tiny relative to the table (dozens of distinct names for 20k parts),
+    // so the fuzzy name-pair decision is evaluated once per distinct pair
+    // on the driver and broadcast — the big brand-blocked join then runs
+    // entirely in codegen (broadcast hash join + equality), no UDF.
+    val distinctNames = Tables.part(s, d).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val matching = for {
+      a <- distinctNames; b <- distinctNames
+      if TextFunctions.checkNames(a, b)
+    } yield (a, b)
+    import s.implicits._
+    val nm = broadcast(matching.toSeq.toDF("nm_a", "nm_b"))
     val p = Tables.part(s, d).select(
-      col("p_partkey"), col("p_brand"),
-      lower(col("p_name")).as("low"),
-      regexp_replace(lower(col("p_name")), "\\s+", "").as("nospace"),
-      array_sort(words).as("sorted_words"),
-      lower(regexp_replace(col("p_name"), "[ -]", "")).as("simple"),
+      col("p_partkey"), col("p_brand"), col("p_name"),
       when(col("p_partkey") % 7 === 0, concat(lit("Q"), col("p_partkey") % 100)).as("wiki"))
     p.as("a").join(p.as("b"),
         col("a.p_brand") === col("b.p_brand") && col("a.p_partkey") < col("b.p_partkey"))
-      .where(levenshtein(col("a.simple"), col("b.simple"), 8) >= 0 ||
-        (col("a.wiki").isNotNull && col("a.wiki") === col("b.wiki")))
-      .withColumn("tier", tierUdf(
-        col("a.low"), col("a.nospace"), col("a.sorted_words"), col("a.wiki"),
-        col("b.low"), col("b.nospace"), col("b.sorted_words"), col("b.wiki")))
+      .join(nm, col("a.p_name") === col("nm_a") && col("b.p_name") === col("nm_b"), "left")
+      .withColumn("tier",
+        when(col("nm_a").isNotNull, "NameMatch")
+          .when(col("a.wiki").isNotNull && col("a.wiki") === col("b.wiki"), "OtherTagsMatch"))
       .where(col("tier").isNotNull)
       .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"), col("tier"))
       .orderBy("a_key", "b_key")

@@ -31,9 +31,12 @@ object Dedup {
       .where(col("group_size") > 1)
   }
 
-  /** Distinct word n-grams of a text column as an array column. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val words = filter(split(text, " "), w => w =!= "")
+  /** Distinct n-grams over an ALREADY-MATERIALIZED words array attribute.
+    * The words argument must be a plain column reference, not an expression:
+    * interpreted higher-order lambdas re-evaluate their subexpressions per
+    * element, so an inlined `split(text)` here executes O(words) times per
+    * row (measured: 10x the whole join's cost). */
+  def ngramsOfWords(words: Column, n: Int): Column =
     if (n == 1) array_distinct(words)
     else
       // guard: sequence(0, negative) counts DOWN in Spark, not empty
@@ -41,7 +44,12 @@ object Dedup {
         array_distinct(
           transform(sequence(lit(0), size(words) - n),
             i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))))
-  }
+
+  /** Distinct word n-grams of a text column as an array column. Only safe
+    * for one-shot/narrow use — hot paths should materialize the words array
+    * first (see ngramsOfWords). */
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsOfWords(filter(split(text, " "), w => w =!= ""), n)
 
   /** Jaccard similarity of two (already distinct) arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -57,13 +65,36 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         bucketCol: String, n: Int, minSim: Double): DataFrame = {
     val base = 1.0 / minSim // band growth factor; ratio bound for a match
-    val g = df.select(col(idCol).as("id"), col(bucketCol).as("bucket"),
-        wordNgrams(col(textCol), n).as("grams"))
+    // sorted grams → the pair similarity is a codegen'd merge walk
+    // (graft.functions.SortedIntersectSize) — no per-pair Scala conversion
+    graft.functions.SortedIntersectSize.register(df.sparkSession)
+    // the repartition is an optimizer barrier: it keeps `words` (and any
+    // caller-side text expression) materialized as attributes, so the
+    // n-gram lambda reads an array instead of re-running split() per gram
+    val wordsDf = df.select(col(idCol).as("id"), col(bucketCol).as("bucket"),
+        filter(split(col(textCol), " "), w => w =!= "").as("words"))
+      .repartition(col("id"))
+    val raw = wordsDf.select(col("id"), col("bucket"),
+      ngramsOfWords(col("words"), n).as("sgrams"))
+    // dictionary-encode grams to ints: the pair join then carries compact
+    // int arrays instead of repeated strings (the join's materialization
+    // cost dominates set-similarity joins), and the merge walk compares
+    // primitives. The dictionary is itself a distributed distinct + window.
+    val dict = raw.select(explode(col("sgrams")).as("gram")).distinct()
+      .withColumn("gram_id",
+        row_number().over(Window.orderBy("gram")).cast("int"))
+    // cache: g feeds both join sides — without it the n-gram shingling of
+    // the whole corpus is recomputed per consumer
+    val g = raw.select(col("id"), col("bucket"), explode(col("sgrams")).as("gram"))
+      .join(broadcast(dict), "gram")
+      .groupBy("id", "bucket")
+      .agg(array_sort(collect_list("gram_id")).as("grams"))
       .withColumn("sz", size(col("grams")))
       .where(col("sz") > 0)
       .withColumn("band", floor(log(col("sz").cast("double")) / math.log(base)).cast("int"))
+      .cache()
     // probe explodes to bands [b, b+2] (+2 covers float rounding at band
-    // edges); build stays at its own band; a<b orders the pair once
+    // edges); build stays at its own band
     val probe = g.select(col("id").as("a_id"), col("grams").as("a_grams"),
       col("sz").as("a_sz"), col("bucket"),
       explode(array(col("band"), col("band") + 1, col("band") + 2)).as("band"))
@@ -76,9 +107,12 @@ object Dedup {
       .where(col("a_id") =!= col("b_id") &&
         greatest(col("a_sz"), col("b_sz")).cast("double") <=
           least(col("a_sz"), col("b_sz")) * lit(base + 1e-6))
+      .withColumn("inter",
+        expr("sorted_intersect_size(a_grams, b_grams)").cast("double"))
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"),
-        round(jaccard(col("a_grams"), col("b_grams")), 6).as("jaccard"))
+        round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 6)
+          .as("jaccard"))
       .where(col("jaccard") >= minSim)
       .distinct()
   }
@@ -135,7 +169,12 @@ object Dedup {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
     val sigUdf = udf((grams: Seq[String]) =>
       bandKeys(minhashSignature(grams, numHashes).toSeq, bandRows))
-    val g = df.select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams"))
+    // barrier + cache: g feeds signature generation and both verify joins
+    val g = df.select(col(idCol).as("id"),
+        filter(split(col(textCol), " "), w => w =!= "").as("words"))
+      .repartition(col("id"))
+      .select(col("id"), ngramsOfWords(col("words"), n).as("grams"))
+      .cache()
     val banded = g.select(col("id"), explode(sigUdf(col("grams"))).as("band_key"))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))

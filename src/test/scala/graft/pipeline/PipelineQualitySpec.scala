@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Quality contracts for the probabilistic pipeline operators, checked
+  * against their exact counterparts on the sf0.001 corpus. */
+class PipelineQualitySpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withSpark[T](f: SparkSession => T): T = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("pipeline-quality")
+      .getOrCreate()
+    try f(spark) finally spark.stop()
+  }
+
+  test("minhash LSH recalls nearly all exact-Jaccard near-dup pairs") {
+    withSpark { spark =>
+      val docs = graft.Tables.documents(spark, sf).select("doc_id", "text", "lang")
+      val w = filter(split(col("text"), " "), x => x =!= "")
+      val corpus = docs.unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(w, lit(1), greatest(size(w) - 3, lit(1))), " ").as("text"),
+        col("lang")))
+      // exact pairs, unbucketed (single global bucket = ground truth)
+      val exact = Dedup.ngramJaccardPairs(corpus.withColumn("one", lit(1)),
+          "doc_id", "text", "one", 2, 0.8)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 2, 64, 4, 0.8)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty)
+      // LSH output is verified with exact Jaccard → no false positives
+      assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact).take(5)}")
+      val recall = lsh.size.toDouble / exact.size
+      info(s"exact=${exact.size} lsh=${lsh.size} recall=$recall")
+      // 16 bands × 4 rows at J>=0.8: theoretical recall >99.9%
+      assert(recall >= 0.95, s"recall $recall below contract")
+    }
+  }
+
+  test("LSH ANN top-k agrees with brute force on rank-1 for most queries") {
+    withSpark { spark =>
+      val e = graft.Tables.embeddings(spark, sf)
+      val q = e.where(col("vec_id") < 20)
+      val exact1 = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 1)
+        .select("query_id", "neighbor_id", "sim").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", 1, 8)
+        .select("query_id", "neighbor_id", "sim").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // structural: LSH never reports a better-than-exact similarity
+      lsh.foreach { case (qid, (_, sim)) =>
+        assert(sim <= exact1(qid)._2 + 1e-9,
+          s"query $qid: lsh sim $sim beats exact ${exact1(qid)._2}")
+      }
+      info(s"rank-1 agreement: ${lsh.count { case (k, v) => exact1.get(k).contains(v) }}/${lsh.size}")
+    }
+  }
+
+  test("simhash pairs are within the declared Hamming bound and symmetric-free") {
+    withSpark { spark =>
+      val docs = graft.Tables.documents(spark, sf).select("doc_id", "text", "lang")
+      val pairs = Dedup.simhashPairs(docs.unionByName(
+          docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"))),
+          "doc_id", "text", 3)
+        .collect()
+      assert(pairs.nonEmpty)
+      pairs.foreach { r =>
+        assert(r.getAs[Int]("hamming") <= 3)
+        assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      }
+      // identical texts hash identically: every (doc, copy) pair at distance 0
+      val zero = pairs.count(_.getAs[Int]("hamming") == 0)
+      assert(zero >= 500, s"expected all 500 identical-copy pairs at distance 0, got $zero")
+    }
+  }
+}
