@@ -76,29 +76,15 @@ object CatalogGeo {
       .orderBy("tile4")
 
   /** D2/D4 tile-bucketed distance self-join: event-point pairs within 100 km
-    * (OprHistoryChangesProvider.java:185-209; MergePlaceBot.java:169-182).
-    * Spark side buckets by 2-char OLC cell + neighbor expansion (never a
-    * cross join); the oracle brute-forces the same predicate. 100 km stays
-    * under the smallest neighbor-cell span (20° lon at |lat|=85 ≈ 194 km),
-    * so single-ring expansion is exhaustive. */
+    * (OprHistoryChangesProvider.java:185-209; MergePlaceBot.java:169-182)
+    * via the engine's GeoJoins operator (OLC cell × latitude band
+    * bucketing); the oracle brute-forces the same predicate. */
   private def d2(s: SparkSession, d: String): DataFrame = {
-    val neighborsUdf = udf((code: String) => Olc.neighbors(code) :+ code)
     val g = Tables.events(s, d).select(
-        col("event_id").as("k"),
-        synthLat(col("event_id")).as("lat"),
-        synthLon(col("event_id")).as("lon"))
-      .withColumn("cell", GeoFunctions.olcEncode(col("lat"), col("lon"), 2))
-    val probe = g.select(col("k").as("a_key"), col("lat").as("a_lat"),
-        col("lon").as("a_lon"), explode(neighborsUdf(col("cell"))).as("cell"))
-    val build = g.select(col("k").as("b_key"), col("lat").as("b_lat"),
-        col("lon").as("b_lon"), col("cell"))
-    probe.join(build, "cell")
-      // cheap Δlat reject (100 km ⇒ Δlat < 0.9°) before the trig
-      .where(col("a_key") < col("b_key") &&
-        abs(col("a_lat") - col("b_lat")) < 0.9)
-      .withColumn("dist_m",
-        GeoFunctions.haversineM(col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon")))
-      .where(col("dist_m") < 100000.0)
+      col("event_id").as("k"),
+      synthLat(col("event_id")).as("lat"),
+      synthLon(col("event_id")).as("lon"))
+    graft.geo.GeoJoins.pairsWithin(g, "k", "lat", "lon", 100000.0)
       .select(col("a_key"), col("b_key"), round(col("dist_m"), 1).as("dist_m"))
       .orderBy("a_key", "b_key")
   }

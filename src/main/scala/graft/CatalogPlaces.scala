@@ -168,7 +168,6 @@ object CatalogPlaces {
       col("event_id").as("k"),
       Synth.lat(col("event_id")).as("lat"),
       Synth.lon(col("event_id")).as("lon"))
-      .withColumn("cell", GeoFunctions.olcEncode(col("lat"), col("lon"), 2))
     // density-adaptive radius (100 km at 10k points, shrinking with √n):
     // keeps the proximity graph sparse with small components — the
     // reference's regime (150 m clusters of a handful of places). A fixed
@@ -176,18 +175,8 @@ object CatalogPlaces {
     // component and Pregel degenerates.
     val n = Tables.events(s, d).count()
     val radiusM = 100000.0 * math.sqrt(10000.0 / n)
-    val neighborsUdf = udf((code: String) => graft.geo.Olc.neighbors(code) :+ code)
-    val probe = pts.select(col("k").as("a"), col("lat").as("a_lat"),
-      col("lon").as("a_lon"), explode(neighborsUdf(col("cell"))).as("cell"))
-    val halfEdges = probe.join(
-        pts.select(col("k").as("b"), col("lat").as("b_lat"),
-          col("lon").as("b_lon"), col("cell")), "cell")
-      // cheap Δlat reject (R meters ⇒ Δlat < R/111km °) before the trig
-      .where(col("a") < col("b") &&
-        abs(col("a_lat") - col("b_lat")) < lit(radiusM / 111000.0 * 1.01) &&
-        GeoFunctions.haversineM(col("a_lat"), col("a_lon"),
-          col("b_lat"), col("b_lon")) < radiusM)
-      .select("a", "b")
+    val halfEdges = graft.geo.GeoJoins.pairsWithin(pts, "k", "lat", "lon", radiusM)
+      .select(col("a_key").as("a"), col("b_key").as("b"))
     val edgeRdd = halfEdges.rdd.map(r => (r.getLong(0), r.getLong(1)))
     val cc = org.apache.spark.graphx.Graph.fromEdgeTuples(edgeRdd, 1)
       .connectedComponents().vertices // (vertexId, min id in component)

@@ -44,14 +44,16 @@ object CatalogText {
   }
 
   /** F3 adaptive-Levenshtein similarity join, bucketed by brand to bound the
-    * candidate set (MergeUtil.java:254-284). */
+    * candidate set (MergeUtil.java:254-284); threshold 4 = the reference's
+    * max word-edit budget, and keeps the output selective. */
   private def f3(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
     p.as("a").join(p.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
         col("a.p_partkey") < col("b.p_partkey"))
-      .withColumn("lev", levenshtein(col("a.p_name"), col("b.p_name")))
-      .where(col("lev") <= 12)
+      // 3-arg levenshtein early-exits past the threshold (returns -1)
+      .withColumn("lev", levenshtein(col("a.p_name"), col("b.p_name"), 4))
+      .where(col("lev") >= 0)
       .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"), col("lev"))
       .orderBy("a_key", "b_key")
   }
@@ -155,7 +157,7 @@ object CatalogText {
              |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
              |FROM part a JOIN part b
              |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-             |WHERE levenshtein(a.p_name, b.p_name) <= 12
+             |WHERE levenshtein(a.p_name, b.p_name) <= 4
              |ORDER BY a_key, b_key""".stripMargin)),
     Q("f7_first_non_empty", f7,
       Some("""SELECT doc_id,
