@@ -24,11 +24,11 @@ object CatalogCore {
   private def a6(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).select("l_suppkey").distinct().orderBy("l_suppkey")
 
-  /** A7 key-pruned scan — tile-index analog (BaseOprPlaceDataProvider.java:202-208). */
+  /** A7 key-pruned scan — tile-index analog (BaseOprPlaceDataProvider.java:202-208).
+    * Uses the raw-column range helper so the predicate reaches the parquet
+    * reader (a filter above the nanos→timestamp projection does not). */
   private def a7(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .where(col("ts") >= lit("2024-01-03").cast("timestamp") &&
-             col("ts") < lit("2024-01-04").cast("timestamp"))
+    Tables.eventsBetween(s, d, "2024-01-03", "2024-01-04")
       .select("event_id", "user_id", "event_type")
       .orderBy("event_id")
 

@@ -35,6 +35,31 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = loadEvents(s, d)
+
+  /** Range scan over events with the time predicate applied to the RAW
+    * nanos column so it pushes down to the parquet scan — a filter on the
+    * converted timestamp sits above a projection and never reaches the
+    * reader. Bounds are ISO dates/instants, inclusive-exclusive. */
+  def eventsBetween(s: SparkSession, d: String, fromIso: String, toIso: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    def nanos(iso: String): Long =
+      java.time.LocalDate.parse(iso).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.getEpochSecond * 1000000000L
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.where(org.apache.spark.sql.functions.col("ts") >= nanos(fromIso) &&
+            org.apache.spark.sql.functions.col("ts") < nanos(toIso))
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        raw.where(org.apache.spark.sql.functions.col("ts") >=
+            org.apache.spark.sql.functions.lit(fromIso).cast("timestamp") &&
+          org.apache.spark.sql.functions.col("ts") <
+            org.apache.spark.sql.functions.lit(toIso).cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
