@@ -24,9 +24,13 @@ object CatalogPipeline {
       col("text"), col("lang")))
   }
 
-  /** documents ∪ copy with last 3 words dropped (near-dup corpus). */
+  /** documents ∪ copy with last 3 words dropped (near-dup corpus). The
+    * repartition spreads the interpreted perturbation expressions across
+    * cores — documents.parquet is a single small file, so without it every
+    * per-row array op runs in one or two scan tasks. */
   private def nearCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+      .repartition(s.sparkContext.defaultParallelism)
     val w = filter(split(col("text"), " "), x => x =!= "")
     docs.unionByName(docs.select((col("doc_id") + IdOffset).as("doc_id"),
       array_join(slice(w, lit(1), greatest(size(w) - 3, lit(1))), " ").as("text"),

@@ -174,7 +174,8 @@ object CatalogPlaces {
     // radius percolates at higher SF into one giant high-diameter
     // component and Pregel degenerates.
     val n = Tables.events(s, d).count()
-    val radiusM = 100000.0 * math.sqrt(10000.0 / n)
+    val radiusM = math.min(100000.0 * math.sqrt(10000.0 / n),
+      graft.geo.GeoJoins.MaxRadiusM)
     val halfEdges = graft.geo.GeoJoins.pairsWithin(pts, "k", "lat", "lon", radiusM)
       .select(col("a_key").as("a"), col("b_key").as("b"))
     val edgeRdd = halfEdges.rdd.map(r => (r.getLong(0), r.getLong(1)))
@@ -249,7 +250,8 @@ object CatalogPlaces {
     Q("pl3_history_cluster", pl3,
       Some(s"""WITH g AS (SELECT event_id AS k, (${Synth.latSql.format("event_id")}) AS lat,
               |                  (${Synth.lonSql.format("event_id")}) AS lon FROM events),
-              |rad AS (SELECT 100000.0 * sqrt(10000.0 / count(*)) AS radius FROM events),
+              |rad AS (SELECT least(100000.0 * sqrt(10000.0 / count(*)), 190000.0) AS radius
+              |        FROM events),
               |edges AS (
               |  SELECT a.k AS a, b.k AS b FROM g a JOIN g b ON a.k <> b.k
               |  WHERE ${Synth.havSql("a.lat", "a.lon", "b.lat", "b.lon")}

@@ -17,6 +17,18 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("--stages")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+          if (ms > 500)
+            System.err.println(f"[stage ${si.stageId}%4d] ${ms / 1000.0}%7.1fs " +
+              f"tasks=${si.numTasks}%3d ${si.name.takeWhile(_ != '\n').take(90)}")
+        }
+      })
+    }
     val t0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("--explain")) df.explain("formatted")

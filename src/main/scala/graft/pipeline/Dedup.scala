@@ -68,27 +68,24 @@ object Dedup {
     // sorted grams → the pair similarity is a codegen'd merge walk
     // (graft.functions.SortedIntersectSize) — no per-pair Scala conversion
     graft.functions.SortedIntersectSize.register(df.sparkSession)
-    // the repartition is an optimizer barrier: it keeps `words` (and any
-    // caller-side text expression) materialized as attributes, so the
-    // n-gram lambda reads an array instead of re-running split() per gram
-    val wordsDf = df.select(col(idCol).as("id"), col(bucketCol).as("bucket"),
+    // Two explicit exchanges, both load-bearing:
+    //  1. spread raw rows BEFORE the per-row tokenize/corpus expressions —
+    //     otherwise they run at the scan's parallelism (often 1-2 tasks for
+    //     small parquet inputs) while every other core idles;
+    //  2. a barrier between the words projection and the n-gram lambda —
+    //     without it CollapseProject inlines `words` into every element_at
+    //     and split() re-executes per gram.
+    // Explicit partition counts keep AQE from coalescing these byte-wise
+    // tiny but CPU-heavy shuffles to one partition.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // cache: g feeds both join sides — without it the shingling of the
+    // whole corpus is recomputed per consumer
+    val g = df.repartition(par)
+      .select(col(idCol).as("id"), col(bucketCol).as("bucket"),
         filter(split(col(textCol), " "), w => w =!= "").as("words"))
-      .repartition(col("id"))
-    val raw = wordsDf.select(col("id"), col("bucket"),
-      ngramsOfWords(col("words"), n).as("sgrams"))
-    // dictionary-encode grams to ints: the pair join then carries compact
-    // int arrays instead of repeated strings (the join's materialization
-    // cost dominates set-similarity joins), and the merge walk compares
-    // primitives. The dictionary is itself a distributed distinct + window.
-    val dict = raw.select(explode(col("sgrams")).as("gram")).distinct()
-      .withColumn("gram_id",
-        row_number().over(Window.orderBy("gram")).cast("int"))
-    // cache: g feeds both join sides — without it the n-gram shingling of
-    // the whole corpus is recomputed per consumer
-    val g = raw.select(col("id"), col("bucket"), explode(col("sgrams")).as("gram"))
-      .join(broadcast(dict), "gram")
-      .groupBy("id", "bucket")
-      .agg(array_sort(collect_list("gram_id")).as("grams"))
+      .repartition(par, col("id"))
+      .select(col("id"), col("bucket"),
+        array_sort(ngramsOfWords(col("words"), n)).as("grams"))
       .withColumn("sz", size(col("grams")))
       .where(col("sz") > 0)
       .withColumn("band", floor(log(col("sz").cast("double")) / math.log(base)).cast("int"))
@@ -169,10 +166,13 @@ object Dedup {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
     val sigUdf = udf((grams: Seq[String]) =>
       bandKeys(minhashSignature(grams, numHashes).toSeq, bandRows))
-    // barrier + cache: g feeds signature generation and both verify joins
-    val g = df.select(col(idCol).as("id"),
+    // barrier + cache: g feeds signature generation and both verify joins;
+    // see ngramJaccardPairs for why both exchanges are load-bearing
+    val par2 = df.sparkSession.sparkContext.defaultParallelism
+    val g = df.repartition(par2)
+      .select(col(idCol).as("id"),
         filter(split(col(textCol), " "), w => w =!= "").as("words"))
-      .repartition(col("id"))
+      .repartition(par2, col("id"))
       .select(col("id"), ngramsOfWords(col("words"), n).as("grams"))
       .cache()
     val banded = g.select(col("id"), explode(sigUdf(col("grams"))).as("band_key"))
