@@ -21,6 +21,8 @@ object CatalogPlaces {
     * main-source selection (B2) has to skip it. */
   private def placesTable(s: SparkSession, d: String): DataFrame = {
     val k = col("c_custkey")
+    // spread the per-row OLC encodes across cores (single-file scan = 1 task)
+    val cust = Tables.customer(s, d).repartition(s.sparkContext.defaultParallelism)
     val lat = Synth.lat(k)
     val lon = Synth.lon(k)
     val base = k % 50
@@ -39,7 +41,7 @@ object CatalogPlaces {
       (lat + 0.001).as("lat"), lon.as("lon"),
       lit("amenity").as("osm_tag"), lower(col("c_mktsegment")).as("osm_value"),
       lit(null).cast("string").as("deleted"))
-    val orig = Tables.customer(s, d).select(
+    val orig = cust.select(
       k.as("key"),
       GeoFunctions.olcEncode(lat, lon, 6).as("tile6"),
       GeoFunctions.olcEncode(lat, lon, 2).as("tile2"),
@@ -53,7 +55,7 @@ object CatalogPlaces {
       .when(k % 4 === 1, nameOf((variant + 1) % 3))
       .when(k % 4 === 2, concat(lit("Gone "), k))
       .otherwise(lit(null).cast("string"))
-    val twin = Tables.customer(s, d).where(k % 3 =!= 0).select(
+    val twin = cust.where(k % 3 =!= 0).select(
       (k + 100000L).as("key"),
       GeoFunctions.olcEncode(lat, lon, 6).as("tile6"),
       GeoFunctions.olcEncode(lat, lon, 2).as("tile2"),
@@ -178,7 +180,9 @@ object CatalogPlaces {
       graft.geo.GeoJoins.MaxRadiusM)
     val halfEdges = graft.geo.GeoJoins.pairsWithin(pts, "k", "lat", "lon", radiusM)
       .select(col("a_key").as("a"), col("b_key").as("b"))
-    val edgeRdd = halfEdges.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // few edges (sparse by construction) — pack them into few partitions so
+    // each Pregel round schedules 8 tasks, not 32 near-empty ones
+    val edgeRdd = halfEdges.rdd.map(r => (r.getLong(0), r.getLong(1))).coalesce(8)
     val cc = org.apache.spark.graphx.Graph.fromEdgeTuples(edgeRdd, 1)
       .connectedComponents().vertices // (vertexId, min id in component)
     val labels = s.createDataFrame(cc).toDF("node", "cluster")
@@ -194,8 +198,11 @@ object CatalogPlaces {
     * nameless tier only applies to single-candidate groups and only when
     * the group has a single closed place. */
   private def pl4(s: SparkSession, d: String): DataFrame = {
+    // cache: four consumers (closed, active, 2x group stats) would each
+    // re-run the OLC tile encodes and struct assembly otherwise
     val p = placesTable(s, d)
       .withColumn("simple_name", lower(regexp_replace(col("name"), "[ -]", "")))
+      .cache()
     val closed = p.where(col("closed")).select(
       col("key").as("c_key"), col("tile2"), col("name").as("c_name"),
       col("simple_name").as("c_simple"), col("wikidata").as("c_wiki"))

@@ -31,10 +31,12 @@ object CatalogText {
   /** F1 word-bag equality join — `checkNames` third clause as a scalable
     * equi-join on the normalized bag (MergeUtil.java:166-195). */
   private def f1(s: SparkSession, d: String): DataFrame = {
-    val bags = Tables.part(s, d).select(
-      col("p_partkey"),
-      array_join(array_sort(filter(split(lower(col("p_name")), " "), w => w =!= "")), " ")
-        .as("word_bag"))
+    val bags = Tables.part(s, d).select("p_partkey", "p_name")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("p_partkey"),
+        array_join(array_sort(filter(split(lower(col("p_name")), " "), w => w =!= "")), " ")
+          .as("word_bag"))
     bags.as("a").join(bags.as("b"),
         col("a.word_bag") === col("b.word_bag") &&
         col("a.p_partkey") < col("b.p_partkey"))
@@ -48,7 +50,11 @@ object CatalogText {
     * max word-edit budget, and keeps the output selective. */
   private def f3(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
-    p.as("a").join(p.as("b"),
+    // spread the probe side: the build side broadcasts, so without this the
+    // whole brand-blocked pair enumeration + levenshtein runs inside the
+    // single-file scan task (measured 13s serial at sf0.1)
+    p.repartition(s.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(p).as("b"),
         col("a.p_brand") === col("b.p_brand") &&
         col("a.p_partkey") < col("b.p_partkey"))
       // 3-arg levenshtein early-exits past the threshold (returns -1)
@@ -117,7 +123,8 @@ object CatalogText {
     val p = Tables.part(s, d).select(
       col("p_partkey"), col("p_brand"), col("p_name"),
       when(col("p_partkey") % 7 === 0, concat(lit("Q"), col("p_partkey") % 100)).as("wiki"))
-    p.as("a").join(p.as("b"),
+    p.repartition(s.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(p).as("b"),
         col("a.p_brand") === col("b.p_brand") && col("a.p_partkey") < col("b.p_partkey"))
       .join(nm, col("a.p_name") === col("nm_a") && col("b.p_name") === col("nm_b"), "left")
       .withColumn("tier",

@@ -29,17 +29,24 @@ object GeoJoins {
                   lonCol: String, radiusM: Double): DataFrame = {
     require(radiusM <= MaxRadiusM, s"radius $radiusM exceeds single-ring bound $MaxRadiusM")
     val bandDeg = radiusM / 111000.0 // >= true Δlat bound R/111221 — safe
+    // repartition BEFORE the per-row cell encode so it runs at full
+    // parallelism (a single-file parquet scan is 1-2 tasks), and cache so
+    // the probe and build legs don't each recompute the encode
+    val par = points.sparkSession.sparkContext.defaultParallelism
     val pts = points.select(col(keyCol).as("k"), col(latCol).as("lat"),
         col(lonCol).as("lon"))
+      .repartition(par)
       .withColumn("cell", GeoFunctions.olcEncode(col("lat"), col("lon"), 2))
       .withColumn("band", floor(col("lat") / bandDeg).cast("int"))
-    val neighborsUdf = udf((code: String) => Olc.neighbors(code) :+ code)
+      .cache()
+    // array_distinct (per-row, free) instead of a row distinct() — the only
+    // duplicates Olc.neighbors produces are repeated codes at the poles
+    val neighborsUdf = udf((code: String) => (Olc.neighbors(code) :+ code).distinct)
     val probe = pts.select(col("k").as("a_key"), col("lat").as("a_lat"),
         col("lon").as("a_lon"),
         explode(neighborsUdf(col("cell"))).as("cell"), col("band"))
       .select(col("a_key"), col("a_lat"), col("a_lon"), col("cell"),
         explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-      .distinct() // Olc.neighbors can repeat codes at the poles
     val build = pts.select(col("k").as("b_key"), col("lat").as("b_lat"),
       col("lon").as("b_lon"), col("cell"), col("band"))
     probe.join(build, Seq("cell", "band"))

@@ -16,16 +16,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double
-    * (deterministic left-to-right fold, matching a scalar loop). */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(ad, lit(0.0), (acc, x) => acc + x * x)
-    val nb = aggregate(bd, lit(0.0), (acc, x) => acc + x * x)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Cosine similarity of two float-array columns, computed in double with
+    * a deterministic left-to-right fold. Native codegen expression
+    * (graft.functions.CosineSim) — callers must have it registered; every
+    * entry point in this object registers it on its input's session. */
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** Exact top-k by cosine: for each row of `queries`, the k nearest rows
     * of `corpus` (excluding the query row itself when ids collide).
@@ -33,6 +28,7 @@ object Similarity {
     * results are reproducible across engines and partitionings. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .crossJoin(q)
@@ -73,6 +69,7 @@ object Similarity {
     * Hamming distance 1, to cut the miss rate at plane boundaries). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, numPlanes: Int): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
     val sigUdf = udf((v: Seq[Float]) => rhSignature(v, numPlanes))
     val probeUdf = udf((sig: Int) => sig +: (0 until numPlanes).map(j => sig ^ (1 << j)))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
@@ -95,6 +92,7 @@ object Similarity {
     * scale. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          minSim: Double, numPlanes: Int): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
     val sigUdf = udf((v: Seq[Float]) => rhSignature(v, numPlanes))
     val expandUdf = udf((sig: Int) => sig +: (0 until numPlanes).map(j => sig ^ (1 << j)))
     val g = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
