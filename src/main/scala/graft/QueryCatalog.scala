@@ -22,7 +22,8 @@ final case class Q(
 object QueryCatalog {
   def all: Seq[Q] =
     CatalogCore.entries ++ CatalogGeo.entries ++ CatalogText.entries ++
-      CatalogPlaces.entries ++ CatalogPipeline.entries ++ CatalogExtra.entries
+      CatalogPlaces.entries ++ CatalogPipeline.entries ++ CatalogExtra.entries ++
+      CatalogOps.entries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
