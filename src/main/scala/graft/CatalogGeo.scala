@@ -216,7 +216,24 @@ object CatalogGeo {
              |   AND ((((CAST(c_custkey * 13 % 720 AS DOUBLE) - 360.0) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) <= 90.0)
              |  AS in_bbox
              |FROM customer ORDER BY c_custkey""".stripMargin)),
-    Q("g4_point_in_polygon", g4, None),
+    Q("g4_point_in_polygon", g4,
+      // ray casting replicated edge-by-edge in SQL: +,-,*,/ and comparisons
+      // are IEEE-exact in both engines, so crossing parity matches the UDF
+      // bit-for-bit (only libm trig can diverge, and there is none here)
+      Some(s"""WITH pts AS (SELECT c_custkey, c_nationkey,
+              |        ($custLatSql) AS lat, ($custLonSql) AS lon FROM customer),
+              |poly(i, plat, plon) AS (SELECT * FROM (VALUES
+              |  (0, -30.0, -60.0), (1, 30.0, -60.0), (2, 45.0, 0.0),
+              |  (3, 30.0, 60.0), (4, -30.0, 60.0)) v),
+              |edges AS (SELECT a.plat AS ilat, a.plon AS ilon, b.plat AS jlat, b.plon AS jlon
+              |          FROM poly a JOIN poly b ON b.i = (a.i + 4) % 5),
+              |x AS (SELECT p.c_custkey, p.c_nationkey,
+              |        count(*) FILTER ((e.ilat > p.lat) <> (e.jlat > p.lat)
+              |          AND p.lon < e.ilon + (p.lat - e.ilat) / (e.jlat - e.ilat) * (e.jlon - e.ilon))
+              |          AS crossings
+              |      FROM pts p CROSS JOIN edges e GROUP BY 1, 2)
+              |SELECT c_nationkey, count(*) AS inside_cnt FROM x WHERE crossings % 2 = 1
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("g5_geometry_trail", g5, None),
   )
 }

@@ -183,6 +183,37 @@ object CatalogText {
              |       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS INT) AS days_to_96,
              |       datediff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') >= 10 AS grace_passed
              |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin)),
-    Q("d5_tiered_match", d5, None),
+    Q("d5_tiered_match", d5,
+      // checkNames replicated in SQL: on ASCII-lowercased input, collator
+      // PRIMARY equality degenerates to plain equality, so the four clauses
+      // (equality, whitespace-stripped, sorted word bag, pair-counting
+      // sub-collection with the adaptive Levenshtein budget) are all
+      // expressible with nested list lambdas.
+      Some("""WITH p AS (SELECT p_partkey, p_brand, lower(p_name) AS nl,
+             |             CASE WHEN p_partkey % 7 = 0 THEN 'Q' || (p_partkey % 100) END AS wiki
+             |           FROM part),
+             |t AS (SELECT p_partkey, p_brand, nl, wiki,
+             |        replace(nl, ' ', '') AS nospace,
+             |        list_sort(list_filter(string_split(nl, ' '), w -> w <> '')) AS toks
+             |      FROM p),
+             |j AS (SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             |        CASE WHEN a.nl = b.nl OR a.nospace = b.nospace OR a.toks = b.toks
+             |          OR (len(a.toks) > 0 AND list_sum(list_transform(b.toks, wm ->
+             |                len(list_filter(a.toks, ws -> levenshtein(wm, ws) <=
+             |                  CASE WHEN least(length(wm), length(ws)) <= 4 THEN 1
+             |                       WHEN least(length(wm), length(ws)) <= 6 THEN 2
+             |                       WHEN least(length(wm), length(ws)) <= 8 THEN 3
+             |                       ELSE 4 END)))) >= len(a.toks))
+             |          OR (len(b.toks) > 0 AND list_sum(list_transform(a.toks, wm ->
+             |                len(list_filter(b.toks, ws -> levenshtein(wm, ws) <=
+             |                  CASE WHEN least(length(wm), length(ws)) <= 4 THEN 1
+             |                       WHEN least(length(wm), length(ws)) <= 6 THEN 2
+             |                       WHEN least(length(wm), length(ws)) <= 8 THEN 3
+             |                       ELSE 4 END)))) >= len(b.toks))
+             |        THEN 'NameMatch'
+             |        WHEN a.wiki IS NOT NULL AND a.wiki = b.wiki THEN 'OtherTagsMatch' END AS tier
+             |      FROM t a JOIN t b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+             |SELECT a_key, b_key, tier FROM j WHERE tier IS NOT NULL
+             |ORDER BY a_key, b_key""".stripMargin)),
   )
 }
