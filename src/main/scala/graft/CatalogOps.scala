@@ -14,6 +14,12 @@ import graft.geo.Geometry
   */
 object CatalogOps {
 
+  /** Spread a small single-file scan across cores before per-row interpreted
+    * expression chains (map algebra, OLC encodes) — otherwise they run at the
+    * scan's 1-2-task parallelism (see SNIPPETS/round-1 notes). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   // ---- B8/H1: placetype display dimension -----------------------------------
 
   /** B8 placeTypes projection + H1 display-name sort
@@ -83,7 +89,11 @@ object CatalogOps {
     * one sorted deterministic change string. */
   private def c1(s: SparkSession, d: String): DataFrame = {
     val k = col("o_orderkey")
-    Tables.orders(s, d)
+    // cache barrier: without it, PushDownPredicates re-derives the entire
+    // interpreted diff pipeline into the single-task parquet scan filter
+    // (measured: the whole query runs twice, once serially)
+    val diffed = spread(
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_orderpriority"))
       .select(k, oldMap(k).as("old_m"), newMap(k).as("new_m"))
       .select(k,
         transform(array_except(map_keys(col("old_m")), map_keys(col("new_m"))),
@@ -94,21 +104,23 @@ object CatalogOps {
           kk => concat(kk, lit("=set:"), element_at(col("new_m"), kk))).as("sets"))
       .select(k,
         array_join(array_sort(concat(col("removed"), col("sets"))), ";").as("changes"))
-      .where(col("changes") =!= "")
-      .orderBy("o_orderkey")
+      .cache()
+    diffed.where(col("changes") =!= "").orderBy("o_orderkey")
   }
 
   /** H7 removed-keys set difference (PlaceOpObjectHelper.java:122-127). */
   private def h7(s: SparkSession, d: String): DataFrame = {
     val k = col("o_orderkey")
-    Tables.orders(s, d)
+    // cache barrier against filter-pushdown re-derivation (see c1)
+    val removed = spread(
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_orderpriority"))
       .select(k, oldMap(k).as("old_m"), newMap(k).as("new_m"))
       .select(k,
         array_join(array_sort(
           array_except(map_keys(col("old_m")), map_keys(col("new_m")))), ",")
           .as("removed_keys"))
-      .where(col("removed_keys") =!= "")
-      .orderBy("o_orderkey")
+      .cache()
+    removed.where(col("removed_keys") =!= "").orderBy("o_orderkey")
   }
 
   // ---- C5/C8/F10: id generation, match-id, codecs ----------------------------
@@ -178,7 +190,7 @@ object CatalogOps {
     * + the 20k-style split decision flag. */
   private def e3(s: SparkSession, d: String): DataFrame = {
     val k = col("c_custkey")
-    Tables.customer(s, d)
+    spread(Tables.customer(s, d).select("c_custkey"))
       .select(graft.geo.GeoFunctions.olcEncode(Synth.lat(k), Synth.lon(k), 2).as("tile2"))
       .groupBy("tile2")
       .agg(count(lit(1)).as("cnt"))
@@ -191,10 +203,14 @@ object CatalogOps {
     * count is >= the split threshold; emit work units (cell, level, size). */
   private def i3(s: SparkSession, d: String): DataFrame = {
     val k = col("c_custkey")
-    val pts = Tables.customer(s, d).select(
+    // cache barrier: three consumers (two count aggs + the join) would each
+    // re-derive the expensive OLC encode into a 1-task scan stage via
+    // inferred isnotnull join-key filters
+    val pts = spread(Tables.customer(s, d).select("c_custkey")).select(
       graft.geo.GeoFunctions.olcEncode(Synth.lat(k), Synth.lon(k), 6).as("tile6"))
       .withColumn("tile4", substring(col("tile6"), 1, 4))
       .withColumn("tile2", substring(col("tile6"), 1, 2))
+      .cache()
     val c2 = pts.groupBy("tile2").agg(count(lit(1)).as("cnt2"))
     val c4 = pts.groupBy("tile4").agg(count(lit(1)).as("cnt4"))
     pts.join(broadcast(c2), "tile2").join(broadcast(c4), "tile4")

@@ -29,11 +29,17 @@ object RunOne {
         }
       })
     }
-    val t0 = System.nanoTime()
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (args.contains("--explain")) df.explain("formatted")
-    val n = df.count()
-    println(f"$name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val times = args.sliding(2).collectFirst {
+      case Array("--times", n) => n.toInt }.getOrElse(1)
+    (1 to times).foreach { i =>
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (i == 1 && args.contains("--explain")) df.explain("formatted")
+      val n = df.count()
+      println(f"$name[$i]: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     spark.stop()
   }
 }

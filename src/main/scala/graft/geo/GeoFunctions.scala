@@ -40,24 +40,16 @@ object GeoFunctions {
   }
 
   /** 6-char (default) OLC tile id — the engine's partition key
-    * (reference: OsmLocationTool.java:26-33). */
+    * (reference: OsmLocationTool.java:26-33). Native codegen expression
+    * (graft.functions.OlcEncodeExpr) computing the same floor arithmetic
+    * as the DuckDB oracle's SQL formulation — the earlier builtin-composed
+    * Column expanded to a multi-KB tree per call site, and predicate
+    * pushdown duplicated it into single-task scan filters. */
   def olcEncode(lat: Column, lon: Column, codeLength: Int = 6): Column = {
-    // Pure floor arithmetic — kept as builtins so the same expression is
-    // writable in ANSI SQL for the oracle.
-    var latVal = lit(90.0) + when(lat > 90.0, 90.0).when(lat < -90.0, -90.0).otherwise(lat)
-    var lonVal = lit(180.0) + (((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0)
-    var res = 20.0
-    val chars = (0 until codeLength / 2).flatMap { _ =>
-      val latD = least(floor(latVal / res), lit(19.0)).cast("int")
-      val lonD = least(floor(lonVal / res), lit(19.0)).cast("int")
-      val latC = lit(Olc.Alphabet).substr(latD + 1, lit(1))
-      val lonC = lit(Olc.Alphabet).substr(lonD + 1, lit(1))
-      latVal = latVal - latD.cast("double") * res
-      lonVal = lonVal - lonD.cast("double") * res
-      res /= 20.0
-      Seq(latC, lonC)
-    }
-    concat(chars: _*)
+    graft.functions.OlcEncodeExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("olc_encode",
+      lat.cast("double"), lon.cast("double"), lit(codeLength))
   }
 
   /** Cell-center latitude/longitude of a pair-section OLC code (UDF — string

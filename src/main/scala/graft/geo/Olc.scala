@@ -46,6 +46,17 @@ object Olc {
     sb.toString
   }
 
+  /** Encode with the longitude first wrapped by the exact modulo arithmetic
+    * the SQL/column formulations use: `((lon+180)%360+360)%360-180`. For
+    * in-range lon this is the identity VALUE but not the identity DOUBLE —
+    * fmod can perturb the ulp, which flips a trailing digit when the input
+    * sits on a cell boundary. Engine-side callers (and the DuckDB oracle)
+    * agree on this formulation, so tile ids stay bit-identical everywhere. */
+  def encodeWrapped(lat: Double, lon: Double, codeLength: Int): String = {
+    val lonW = ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    encode(lat, lonW, codeLength)
+  }
+
   /** Decode a pair-section code to the (south, west, height, width) cell. */
   def decodeArea(code: String): (Double, Double, Double, Double) = {
     var latLo = -90.0
