@@ -23,7 +23,7 @@ object QueryCatalog {
   def all: Seq[Q] =
     CatalogCore.entries ++ CatalogGeo.entries ++ CatalogText.entries ++
       CatalogPlaces.entries ++ CatalogPipeline.entries ++ CatalogExtra.entries ++
-      CatalogOps.entries
+      CatalogOps.entries ++ CatalogSources.entries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

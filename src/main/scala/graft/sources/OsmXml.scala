@@ -38,9 +38,11 @@ object OsmXml {
   final case class OsmMember(mtype: String, ref: Long, role: String)
 
   /** One augmented-diff action: create/modify/delete with old/new entity
-    * snapshots (either may be absent, as in the reference's DiffEntity). */
-  final case class OsmDiff(action: String, old: Option[OsmEntity],
-      `new`: Option[OsmEntity])
+    * snapshots (either may be absent, as in the reference's DiffEntity —
+    * named before/after here because `old`/`new` are not valid Java field
+    * identifiers for Spark encoders). */
+  final case class OsmDiff(action: String, before: Option[OsmEntity],
+      after: Option[OsmEntity])
 
   implicit val entityEnc: Encoder[OsmEntity] = Encoders.product[OsmEntity]
   implicit val diffEnc: Encoder[OsmDiff] = Encoders.product[OsmDiff]
@@ -117,25 +119,25 @@ object OsmXml {
     val r = newFactory().createXMLStreamReader(new StringReader(xml))
     val out = mutable.ArrayBuffer.empty[OsmDiff]
     var action: String = null
-    var oldE: Option[OsmEntity] = None
-    var newE: Option[OsmEntity] = None
+    var beforeE: Option[OsmEntity] = None
+    var afterE: Option[OsmEntity] = None
     var side: String = null // "old" | "new" | null
     try {
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
             case "action" =>
-              action = attr(r, "type").getOrElse("modify"); oldE = None; newE = None
+              action = attr(r, "type").getOrElse("modify"); beforeE = None; afterE = None
             case "old" if action != null => side = "old"
             case "new" if action != null => side = "new"
             case t if EntityTags(t) && action != null =>
               val e = Some(readEntity(r))
-              if (side == "old") oldE = e else newE = e
+              if (side == "old") beforeE = e else afterE = e
             case _ => ()
           }
           case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
             case "action" =>
-              out += OsmDiff(action, oldE, newE); action = null
+              out += OsmDiff(action, beforeE, afterE); action = null
             case "old" | "new" => side = null
             case _ => ()
           }
