@@ -85,6 +85,13 @@ object CatalogPipeline {
       .orderBy("query_id", "rank")
   }
 
+  private def p13(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding near-dup over corpus ∪ perturbed copy (vec' = vec with one
     * component nudged) — random embeddings have no natural near-dups. */
   private def p7(s: SparkSession, d: String): DataFrame = {
@@ -173,6 +180,7 @@ object CatalogPipeline {
              |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
     Q("p6_ann_lsh", p6, None),
+    Q("p13_ann_ivf", p13, None),
     Q("p7_embed_neardup", p7, None),
     Q("p8_lang_id", p8,
       Some("""WITH w AS (SELECT doc_id,

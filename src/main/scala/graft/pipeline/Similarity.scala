@@ -86,6 +86,68 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF-style ANN top-k, the inverted-list scale path next to [[lshTopK]]:
+    * the corpus is coarse-quantized into `nlist` cells — seeds are the
+    * `nlist` lowest-id vectors (deterministic), refined with one Lloyd
+    * step over the corpus — and each query probes its `nprobe` nearest
+    * cells. Centroids are a tiny driver-side artifact (nlist × dim) used
+    * as a broadcast dim; assignment is map-side; scoring touches only the
+    * probed cells' inverted lists. At 100 TB the Lloyd step's elementwise
+    * mean would use treeAggregate instead of the dimension explode used
+    * here, and the quantizer would be trained on a sample. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
+    def cosScalar(a: Seq[Float], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val x = a(i).toDouble; val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def nearestCells(cents: Array[Array[Double]], v: Seq[Float], m: Int): Seq[Int] =
+      cents.indices.sortBy(c => -cosScalar(v, cents(c))).take(m)
+    // Quantizer training happens driver-side on a BOUNDED sample (nlist*16
+    // vectors — a few hundred KB): seeds = lowest-id sample vectors, one
+    // Lloyd step over the sample. A cluster-wide Lloyd pass over the full
+    // corpus is quantization overkill AND executes its elementwise means in
+    // whatever parallelism the scan gives (measured 34 s single-task at
+    // sf0.1); sample training is the standard IVF shape.
+    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(nlist * 16).collect()
+      .map(_.getSeq[Float](1))
+    val seeds = sample.take(nlist).map(_.toArray.map(_.toDouble))
+    val dim = if (seeds.nonEmpty) seeds(0).length else 0
+    val sums = Array.fill(nlist)(new Array[Double](dim))
+    val counts = new Array[Long](nlist)
+    sample.foreach { v =>
+      val c = nearestCells(seeds, v, 1).head
+      var i = 0
+      while (i < dim && i < v.length) { sums(c)(i) += v(i); i += 1 }
+      counts(c) += 1
+    }
+    val centroids: Array[Array[Double]] = seeds.indices.map { c =>
+      if (counts(c) == 0) seeds(c) else sums(c).map(_ / counts(c))
+    }.toArray
+    val assign = udf((v: Seq[Float]) => nearestCells(centroids, v, 1).head)
+    val probes = udf((v: Seq[Float]) => nearestCells(centroids, v, nprobe))
+    // repartition: the per-row assignment otherwise runs at the single-file
+    // scan's parallelism
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        assign(col(vecCol)).as("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(probes(col(vecCol))).as("cell")))
+    val scored = c.join(q, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all corpus pairs with
     * cosine >= minSim, LSH-bucketed so only same-bucket pairs are scored.
     * Exact within a bucket; the all-pairs oracle form is only run at test

@@ -63,6 +63,25 @@ class PipelineQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: recall@10 vs brute force, and never better-than-exact sims") {
+    withSpark { spark =>
+      val e = graft.Tables.embeddings(spark, sf)
+      val q = e.where(col("vec_id") < 20)
+      def topSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = topSet(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10))
+      val ivf = topSet(Similarity.ivfTopK(e, q, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 8))
+      val recall = ivf.intersect(exact).size.toDouble / exact.size
+      info(s"IVF recall@10 = $recall (${ivf.intersect(exact).size}/${exact.size})")
+      // random 96-dim embeddings are a worst case for coarse quantization;
+      // probing half the cells must still recover a solid majority
+      assert(recall >= 0.5, s"IVF recall $recall below contract")
+      assert(ivf.size == exact.size) // k results per query regardless
+    }
+  }
+
   test("simhash pairs are within the declared Hamming bound and symmetric-free") {
     withSpark { spark =>
       val docs = graft.Tables.documents(spark, sf).select("doc_id", "text", "lang")
