@@ -75,6 +75,33 @@ class OsmXmlSpec extends AnyFunSuite {
     assert(OsmXml.parseEntities("<osm>" + OsmXml.renderEntity(w) + "</osm>") == Seq(w))
   }
 
+  test("property: render → parse roundtrip over generated entities") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tagStr = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('&', '<', '>', '"', '\'', ' ', 'ß', '東')))
+      .map(_.mkString.take(20))
+    val entGen: Gen[OsmEntity] = for {
+      etype <- Gen.oneOf("node", "way", "relation")
+      id <- Gen.choose(1L, Long.MaxValue / 2)
+      lat <- Gen.option(Gen.choose(-90.0, 90.0))
+      lon <- Gen.option(Gen.choose(-180.0, 180.0))
+      tags <- Gen.mapOf(Gen.zip(tagStr, tagStr))
+      nds <- Gen.listOf(Gen.choose(1L, 1000000L))
+      members <- Gen.listOf(for {
+        t <- Gen.oneOf("node", "way", "relation")
+        r <- Gen.choose(1L, 1000000L)
+        role <- Gen.oneOf("", "outer", "inner", "stop")
+      } yield OsmMember(t, r, role))
+      ver <- Gen.option(Gen.choose(1, 99).map(_.toString))
+    } yield OsmEntity(etype, id, lat, lon, tags, nds, members, ver, None, None)
+    (0 until 300).foreach { i =>
+      val e = entGen.pureApply(Gen.Parameters.default, Seed(13L + i))
+      val back = OsmXml.parseEntities("<osm>" + OsmXml.renderEntity(e) + "</osm>")
+      assert(back == Seq(e), s"roundtrip broke for seed $i: $e")
+    }
+  }
+
   test("file source: chunk files → Dataset, plus D8 way→node link resolution") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
