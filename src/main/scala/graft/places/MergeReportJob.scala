@@ -93,7 +93,15 @@ object MergeReportJob {
   /** Run the full report merge: returns per-group results. */
   def run(spark: SparkSession, features: Seq[ReportFeature]): Dataset[GroupResult] = {
     import spark.implicits._
-    val grouped = withGroupIds(features.toDS())
+    run(features.toDS())
+  }
+
+  /** Distributed form: group-id window + per-group merge kernel, no
+    * driver-side materialization of the feature list. */
+  def run(features: Dataset[ReportFeature]): Dataset[GroupResult] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val grouped = withGroupIds(features)
     grouped.select(col("group_id"), col("ord"), col("oprId"), col("deleted"),
         col("lat"), col("lon"), col("tags"))
       .as[(Long, Long, String, Option[String], Double, Double, Map[String, String])]
