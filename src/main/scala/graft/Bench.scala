@@ -15,7 +15,10 @@ object Bench {
     // lands entirely on whichever query happens to run first
     Tables.events(spark, sfDir).count()
     Tables.lineitem(spark, sfDir).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    Tables.customer(spark, sfDir).count()
+    // deterministic name order: Map hash order shifts when queries are
+    // added, which silently reshuffles warm-up effects between rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -29,7 +32,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
