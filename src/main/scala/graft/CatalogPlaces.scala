@@ -115,7 +115,8 @@ object CatalogPlaces {
     val live = filter(col("osm"), o =>
       o.getField("deleted").isNull && o.getField("lat").isNotNull &&
         o.getField("osm_value").isNotNull)
-    val main = coalesce(element_at(live, 1), element_at(col("osm"), 1))
+    // try_element_at: ANSI-safe when the live-source filter empties the array
+    val main = coalesce(try_element_at(live, lit(1)), try_element_at(col("osm"), lit(1)))
     p.where(!col("closed"))
       .select(
         col("key"),
