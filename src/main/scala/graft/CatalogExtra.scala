@@ -32,11 +32,18 @@ object CatalogExtra {
       (name: String) => graft.text.TextFunctions.simpleName(name))
     s.udf.register("graft_first_non_empty",
       (xs: Seq[String]) => graft.text.TextFunctions.firstNonEmpty(xs))
+    // native Catalyst expressions are part of the same SQL surface
+    graft.functions.OlcEncodeExpr.register(s)
     Tables.part(s, d).createOrReplaceTempView("part_v")
+    // D-suffixed literals keep the arithmetic in DOUBLE like the Column
+    // API (plain 100.0 parses as DECIMAL in Spark SQL and would round
+    // differently at cell boundaries than the oracle)
     s.sql("""
       SELECT p_partkey,
              graft_simple_name(p_name) AS simple_name,
-             graft_first_non_empty(array(p_type, p_name)) AS first_ne
+             graft_first_non_empty(array(p_type, p_name)) AS first_ne,
+             olc_encode(((p_partkey * 7919) % 17000) / 100.0D - 85.0D,
+                        ((p_partkey * 104729) % 36000) / 100.0D - 180.0D, 6) AS tile
       FROM part_v ORDER BY p_partkey""")
   }
 
@@ -91,11 +98,14 @@ object CatalogExtra {
               |  || (${Synth.olcSql(6)}) || ',s' || c_custkey || '"}}' AS feature_json
               |FROM v ORDER BY c_custkey""".stripMargin)),
     Q("k1_sql_surface", k1,
-      Some("""SELECT p_partkey,
-             |  lower(regexp_replace(p_name, '[ -]', '', 'g')) AS simple_name,
-             |  coalesce(nullif(split_part(p_type, ';', 1), ''),
-             |           nullif(split_part(p_name, ';', 1), '')) AS first_ne
-             |FROM part ORDER BY p_partkey""".stripMargin)),
+      Some(s"""WITH v AS (SELECT p_partkey, p_name, p_type,
+              |  ${Synth.latvLonvSql("p_partkey")} FROM part)
+              |SELECT p_partkey,
+              |  lower(regexp_replace(p_name, '[ -]', '', 'g')) AS simple_name,
+              |  coalesce(nullif(split_part(p_type, ';', 1), ''),
+              |           nullif(split_part(p_name, ';', 1), '')) AS first_ne,
+              |  (${Synth.olcSql(6)}) AS tile
+              |FROM v ORDER BY p_partkey""".stripMargin)),
     Q("e2_images_count", e2,
       Some("""SELECT o_custkey AS key,
              |  CAST(count(*) AS INT) AS total_images,

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,7 +59,11 @@ object OlcEncodeExpr {
       spark.sessionState.functionRegistry.registerFunction(
         name,
         new ExpressionInfo(classOf[OlcEncodeExpr].getName, "olc_encode"),
-        (exprs: Seq[Expression]) => OlcEncodeExpr(exprs.head, exprs(1), exprs(2)))
+        // coerce SQL-side DECIMAL arithmetic / int literals to the codec's
+        // exact input types (Cast is a no-op when types already match)
+        (exprs: Seq[Expression]) => OlcEncodeExpr(
+          Cast(exprs.head, DoubleType), Cast(exprs(1), DoubleType),
+          Cast(exprs(2), IntegerType)))
     }
   }
 }
