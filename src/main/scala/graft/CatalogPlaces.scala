@@ -163,9 +163,11 @@ object CatalogPlaces {
     * <100 km proximity graph of event points, labels = min id in the
     * component (the scalable, deterministic form of the reference's greedy
     * in-memory clustering; SURVEY §7 hard-part 2). The distance join is
-    * tile-bucketed DataFrame code; the component search is GraphX Pregel —
-    * the synthetic lattice chains hundreds of points, where a naive
-    * label-propagation loop needs O(diameter) rounds. */
+    * tile-bucketed DataFrame code; the component search is alternating
+    * large-star/small-star star-contraction as pure DataFrame iteration
+    * ([[graft.geo.ConnectedComponents]]) — the synthetic lattice chains
+    * hundreds of points, where naive label propagation needs O(diameter)
+    * rounds; star-contraction needs O(log n). */
   private def pl3(s: SparkSession, d: String): DataFrame = {
     val pts = Tables.events(s, d).select(
       col("event_id").as("k"),
@@ -175,18 +177,16 @@ object CatalogPlaces {
     // keeps the proximity graph sparse with small components — the
     // reference's regime (150 m clusters of a handful of places). A fixed
     // radius percolates at higher SF into one giant high-diameter
-    // component and Pregel degenerates.
+    // component and clustering cost explodes quadratically.
     val n = Tables.events(s, d).count()
     val radiusM = math.min(100000.0 * math.sqrt(10000.0 / n),
       graft.geo.GeoJoins.MaxRadiusM)
-    val halfEdges = graft.geo.GeoJoins.pairsWithin(pts, "k", "lat", "lon", radiusM)
+    val edges = graft.geo.GeoJoins.pairsWithin(pts, "k", "lat", "lon", radiusM)
       .select(col("a_key").as("a"), col("b_key").as("b"))
-    // few edges (sparse by construction) — pack them into few partitions so
-    // each Pregel round schedules 8 tasks, not 32 near-empty ones
-    val edgeRdd = halfEdges.rdd.map(r => (r.getLong(0), r.getLong(1))).coalesce(8)
-    val cc = org.apache.spark.graphx.Graph.fromEdgeTuples(edgeRdd, 1)
-      .connectedComponents().vertices // (vertexId, min id in component)
-    val labels = s.createDataFrame(cc).toDF("node", "cluster")
+      // few edges (sparse by construction) — pack them so each contraction
+      // round schedules a handful of tasks, not 32 near-empty ones
+      .coalesce(8)
+    val labels = graft.geo.ConnectedComponents.label(s, edges)
     pts.select(col("k").as("node"))
       .join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
