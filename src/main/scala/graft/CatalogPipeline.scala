@@ -131,6 +131,30 @@ object CatalogPipeline {
         TextAnalysis.bagFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  // ---- corpus shaping ------------------------------------------------------
+
+  /** Deterministic stratified rebalance: every language down-sampled to the
+    * smallest language's size. The bucket hash is a portable multiplicative
+    * scheme (Knuth 2654435761) so the DuckDB oracle reproduces membership
+    * bit-for-bit; production callers would pass pmod(xxhash64(id), buckets). */
+  private def p14(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.stratifiedBalance(
+        Tables.documents(s, d).select("doc_id", "lang"), "lang",
+        pmod(col("doc_id") * lit(2654435761L), lit(10000L)))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
+  /** Token-budget sequence packing, shard(source)-parallel: 2048-token
+    * sequences filled in doc_id order; chunk ids globally unique via
+    * broadcast per-shard bases. */
+  private def p15(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.packSequences(Tables.documents(s, d),
+        "source", "doc_id",
+        TextAnalysis.wsTokenCount(col("text")).cast("long"), budget = 2048)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("chunk_id"), col("offset"))
+      .orderBy("doc_id")
+
   // ---- multimodal ----------------------------------------------------------
 
   private def p12(s: SparkSession, d: String): DataFrame =
@@ -249,5 +273,38 @@ object CatalogPipeline {
              |  round(list_sum(frames)::DOUBLE / len(frames), 6) AS frame_mean,
              |  CAST(len(frames) AS INT) AS n_frames
              |FROM b ORDER BY doc_id""".stripMargin)),
+    Q("p14_stratified_sample", p14,
+      Some("""WITH sizes AS (SELECT lang, count(*) AS stratum_n
+             |               FROM documents GROUP BY lang),
+             |t AS (SELECT lang, stratum_n,
+             |        (SELECT min(stratum_n) FROM sizes) AS target_n FROM sizes)
+             |SELECT d.doc_id, d.lang,
+             |  CAST((d.doc_id * 2654435761) % 10000 AS BIGINT) AS bucket
+             |FROM documents d JOIN t USING (lang)
+             |WHERE ((d.doc_id * 2654435761) % 10000) * t.stratum_n
+             |      < t.target_n * 10000
+             |ORDER BY doc_id""".stripMargin)),
+    Q("p15_seq_pack", p15,
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             |         AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+             |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0) AS before FROM t),
+             |l AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    CAST(floor(before / 2048) AS BIGINT) AS local_chunk,
+             |    CAST(before % 2048 AS BIGINT) AS "offset" FROM c),
+             |b AS (SELECT source, max(local_chunk) + 1 AS n_chunks
+             |      FROM l GROUP BY source),
+             |bb AS (SELECT source, coalesce(sum(n_chunks) OVER (ORDER BY source
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_base
+             |       FROM b)
+             |SELECT l.doc_id, l.source, l.n_tokens,
+             |  CAST(l.local_chunk + bb.chunk_base AS BIGINT) AS chunk_id, l."offset"
+             |FROM l JOIN bb USING (source) ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -134,13 +134,32 @@ final class PlacesEngine(places: DataFrame, operations: DataFrame) {
     graft.places.MergeReportJob.run(features).toDF()
 
   /** D2/I2 clustering of a history window's features (the scalable form of
-    * the reference's greedy 150 m grouping), delegated to the places
-    * pipeline used by pl3/MergeReportJob. */
+    * the reference's greedy 150 m grouping): proximity pairs from the
+    * tile-bucketed distance join, components from the DataFrame-native
+    * star-contraction ([[graft.geo.ConnectedComponents]]). Returns one row
+    * per feature with its cluster's representative id (min member id —
+    * deterministic, unlike the reference's scan-order group leader). */
   def clusterHistory(fromDate: String, toDate: String, radiusM: Double): DataFrame = {
+    // graph nodes are 64-bit hashes of the opr id (ids are array<string>;
+    // the hash keeps edges/labels fixed-width through the shuffles),
+    // mapped back to the string id at the end
     val pts = history(fromDate, toDate)
       .join(places.select(col("id"), mainOsm.getField("lat").as("lat"),
         mainOsm.getField("lon").as("lon")), "id")
-      .select(concat_ws(",", col("id")).as("k"), col("lat"), col("lon"))
-    graft.geo.GeoJoins.pairsWithin(pts, "k", "lat", "lon", radiusM)
+      .select(concat_ws(",", col("id")).as("opr_id"), col("lat"), col("lon"))
+      .withColumn("node", xxhash64(col("opr_id")))
+      .cache() // three consumers: edge build, label join, representative map
+    val edges = graft.geo.GeoJoins.pairsWithin(
+        pts.select(col("node").as("k"), col("lat"), col("lon")),
+        "k", "lat", "lon", radiusM)
+      .select(col("a_key").as("a"), col("b_key").as("b"))
+    val labels = graft.geo.ConnectedComponents.label(
+      pts.sparkSession, edges)
+    val representative = pts.select(col("node").as("cluster_node"),
+      col("opr_id").as("cluster_id"))
+    pts.join(labels, Seq("node"), "left")
+      .withColumn("cluster_node", coalesce(col("cluster"), col("node")))
+      .join(representative, "cluster_node")
+      .select(col("opr_id"), col("cluster_id"))
   }
 }

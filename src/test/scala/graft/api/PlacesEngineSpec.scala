@@ -143,4 +143,22 @@ class PlacesEngineSpec extends AnyFunSuite {
       assert(engine.reviewClosedPlaces("2021-06-01", "2021-07-01", reviewed).count() == 0)
     }
   }
+
+  test("clusterHistory: 150 m chain collapses to one cluster, far place stays singleton") {
+    withSpark { spark =>
+      val engine = new PlacesEngine(
+        spark.createDataFrame(spark.sparkContext.parallelize(placeRows), placesSchema),
+        spark.createDataFrame(spark.sparkContext.parallelize(opRows), opsSchema))
+      val out = engine.clusterHistory("2021-06-01", "2021-07-01", radiusM = 150.0)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // aaa111(50.001,8.0) ~132m~ bbb222(50.002,8.001) ~132m~
+      // ccc333(50.003,8.002): chained into ONE cluster even though the
+      // endpoints are ~260m apart; ddd444 (Vienna) is alone
+      val chain = Seq("9G225000,aaa111", "9G2250,bbb222", "9G2250,ccc333")
+      assert(out.keySet == (chain :+ "8FWV54,ddd444").toSet)
+      assert(chain.map(out).distinct.size == 1, s"chain split: $out")
+      assert(chain.contains(out(chain.head)))
+      assert(out("8FWV54,ddd444") == "8FWV54,ddd444")
+    }
+  }
 }

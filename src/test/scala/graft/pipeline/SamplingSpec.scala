@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators: deterministic stratified rebalance and
+  * token-budget sequence packing, checked against scalar reimplementations
+  * and for their scale-critical plan shapes (broadcast joins, no corpus
+  * shuffle for sampling, shard-partitioned windows for packing). */
+class SamplingSpec extends AnyFunSuite {
+
+  private def session() = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("sampling-spec")
+    .getOrCreate()
+
+  test("stratifiedBalance: deterministic, balanced to min stratum, broadcast plan") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // skew: 1000 en, 300 de, 50 fr → every stratum samples toward 50
+      val docs = ((1L to 1000L).map(i => (i, "en")) ++
+        (2001L to 2300L).map(i => (i, "de")) ++
+        (3001L to 3050L).map(i => (i, "fr"))).toDF("doc_id", "lang")
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(10000L))
+      val out = Sampling.stratifiedBalance(docs, "lang", bucket)
+        .select("doc_id", "lang").collect()
+
+      // scalar oracle: keep iff bucket * n < target * 10000
+      val counts = Map("en" -> 1000L, "de" -> 300L, "fr" -> 50L)
+      val target = 50L
+      def keep(id: Long, lang: String): Boolean =
+        math.floorMod(id * 2654435761L, 10000L) * counts(lang) < target * 10000L
+      val expected = ((1L to 1000L).map((_, "en")) ++
+        (2001L to 2300L).map((_, "de")) ++
+        (3001L to 3050L).map((_, "fr"))).filter(x => keep(x._1, x._2)).toSet
+      assert(out.map(r => (r.getLong(0), r.getString(1))).toSet == expected)
+
+      // each stratum lands within ±40% of the target (hash granularity)
+      val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+      byLang.foreach { case (l, n) =>
+        assert(n >= target * 0.6 && n <= target * 1.4, s"$l -> $n vs target $target")
+      }
+
+      // scale shape: the stratum-size side must broadcast (corpus never
+      // shuffles for the filter)
+      val plan = Sampling.stratifiedBalance(docs, "lang", bucket)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    } finally spark.stop()
+  }
+
+  test("packSequences: matches scalar greedy cumsum; chunk ids globally unique") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      val rnd = new scala.util.Random(7)
+      val docs = (1L to 500L).map { i =>
+        (i, s"s${i % 3}", 1 + rnd.nextInt(900)) // shards s0,s1,s2
+      }.toDF("doc_id", "source", "toks")
+      val budget = 2048
+      val out = Sampling.packSequences(docs, "source", "doc_id",
+          col("toks").cast("long"), budget)
+        .select("doc_id", "source", "n_tokens", "chunk_id", "offset")
+        .collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+
+      // scalar: per shard in doc_id order, cumsum-before; chunk bases by
+      // shard name order
+      val byShard = docs.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+        .groupBy(_._2)
+      val localChunks = scala.collection.mutable.Map[Long, (String, Long, Long, Long)]()
+      val nChunks = byShard.map { case (shard, xs) =>
+        var run = 0L
+        xs.sortBy(_._1).foreach { case (id, _, t) =>
+          localChunks(id) = (shard, t, run / budget, run % budget)
+          run += t
+        }
+        shard -> (localChunks.collect { case (_, (s, _, lc, _)) if s == shard => lc }.max + 1)
+      }
+      val shards = nChunks.keys.toSeq.sorted
+      val bases = shards.zip(shards.scanLeft(0L)((acc, sh) => acc + nChunks(sh)).init).toMap
+      val expected = localChunks.map { case (id, (sh, t, lc, off)) =>
+        id -> (sh, t, lc + bases(sh), off)
+      }.toMap
+      assert(out == expected)
+
+      // chunk ids of different shards never collide
+      val chunksPerShard = out.values.groupBy(_._1).view
+        .mapValues(_.map(_._3).toSet).toMap
+      chunksPerShard.toSeq.combinations(2).foreach { case Seq((s1, c1), (s2, c2)) =>
+        assert(c1.intersect(c2).isEmpty, s"$s1/$s2 chunk id collision")
+      }
+    } finally spark.stop()
+  }
+}
