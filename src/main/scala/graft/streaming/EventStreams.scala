@@ -88,31 +88,48 @@ object EventStreams {
 
   /** Micro-batch op application: fold each batch of edits into a
     * persistent state table via foreachBatch — the streaming form of the
-    * C3/C4 write path with MERGE idempotence. Returns the started query;
-    * state lands at `stateDir` partitioned by the entity key range. */
-  def applyOpsStream(edits: DataFrame, stateDir: String, checkpointDir: String) = {
+    * C3/C4 write path with MERGE idempotence.
+    *
+    * The state table is hash-bucketed on the entity key
+    * (`bucket = pmod(xxhash64(user_id), numBuckets)`) and each micro-batch
+    * touches ONLY the buckets its keys hash into: read those partitions,
+    * merge last-wins, rewrite them with dynamic partition overwrite. At
+    * 100 TB of state a batch's write cost is proportional to the touched
+    * key range, not the table — and replaying a batch rewrites the same
+    * buckets to the same bytes (idempotent).
+    *
+    * `numBuckets` must stay constant for the lifetime of a state dir. */
+  def applyOpsStream(edits: DataFrame, stateDir: String, checkpointDir: String,
+                     numBuckets: Int = 64) = {
     edits.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // last-wins within the batch, then overwrite-by-partition:
-        // idempotent under replay (same batch → same partitions rewritten)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("event_id").desc)
         val deduped = batch
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("user_id").orderBy(col("event_id").desc)))
+          .withColumn("bucket", pmod(xxhash64(col("user_id")), lit(numBuckets.toLong)))
+          .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1).drop("rn")
+          .cache() // two consumers: bucket list + merge
+        // ≤ numBuckets values — a driver-side list, never the data
+        val touched = deduped.select("bucket").distinct()
+          .collect().map(_.getLong(0))
         val existing = try {
-          spark.read.parquet(stateDir)
+          spark.read.parquet(stateDir).where(col("bucket").isin(touched: _*))
         } catch { case _: Throwable => spark.emptyDataFrame }
-        val merged = if (existing.isEmpty) deduped
+        val merged = (if (existing.isEmpty) deduped
           else existing.unionByName(deduped, allowMissingColumns = true)
-            .withColumn("rn", row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy("user_id").orderBy(col("event_id").desc)))
-            .where(col("rn") === 1).drop("rn")
-        merged.write.mode("overwrite").parquet(stateDir + "_next")
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1).drop("rn"))
+          // materialize BEFORE the write: the merge plan reads stateDir,
+          // and Spark (correctly) refuses to overwrite a path it is
+          // reading from in the same plan
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(stateDir)
+        deduped.unpersist(false)
         ()
       }
       .start()

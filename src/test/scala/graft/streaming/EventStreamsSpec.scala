@@ -83,4 +83,38 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("applyOpsStream: bucketed last-wins upsert, incremental across batches") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("ops-stream").toFile
+      val stateDir = new java.io.File(tmp, "state").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.applyOpsStream(mem.toDF(), stateDir, ckpt, numBuckets = 8)
+      def state(): Map[Long, Long] =
+        spark.read.parquet(stateDir).collect()
+          .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+      try {
+        // batch 1: user 10 twice (event 2 wins), user 20 once
+        mem.addData(
+          EventStreams.Event(1, ts(0), 10, "view", 1.0),
+          EventStreams.Event(2, ts(1), 10, "click", 2.0),
+          EventStreams.Event(3, ts(2), 20, "view", 3.0))
+        q.processAllAvailable()
+        assert(state() == Map(10L -> 2L, 20L -> 3L))
+        // batch 2: newer edit for user 10, new user 30 — user 20's bucket
+        // (if untouched) must survive the partial overwrite
+        mem.addData(
+          EventStreams.Event(4, ts(3), 10, "purchase", 9.0),
+          EventStreams.Event(5, ts(4), 30, "view", 1.0))
+        q.processAllAvailable()
+        assert(state() == Map(10L -> 4L, 20L -> 3L, 30L -> 5L))
+        // state stays bucket-partitioned on disk (pruned reads at scale)
+        assert(new java.io.File(stateDir).listFiles()
+          .exists(_.getName.startsWith("bucket=")))
+      } finally q.stop()
+    }
+  }
 }
