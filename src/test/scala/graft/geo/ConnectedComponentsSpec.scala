@@ -29,13 +29,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     n.map(x => x -> label(find(x))).toMap
   }
 
+  private def session(): SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("cc-spec")
+    .getOrCreate()
+
   test("matches union-find on chains, grids, random graphs, noise") {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .appName("cc-spec")
-      .getOrCreate()
+    val spark = session()
     import spark.implicits._
     try {
       val rnd = new Random(42)
@@ -74,6 +76,43 @@ class ConnectedComponentsSpec extends AnyFunSuite {
         assert(got.keySet == expected.keySet, s"threshold=$threshold")
         val bad = got.filter { case (n, c) => expected(n) != c }
         assert(bad.isEmpty, s"threshold=$threshold mislabeled: ${bad.take(5)}")
+      }
+    } finally spark.stop()
+  }
+
+  test("randomized sweep: star-contraction fixed point equals union-find on 20 seeded graphs") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      (1 to 20).foreach { seed =>
+        val rnd = new Random(seed)
+        val n = 20 + rnd.nextInt(120)
+        val shape = seed % 4
+        val edges: Seq[(Long, Long)] = shape match {
+          case 0 => // sparse random: percolation regime, many components
+            (0 until n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+          case 1 => // path + random chords
+            (0L until (n - 1).toLong).map(i => (i, i + 1)) ++
+              (0 until n / 10).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+          case 2 => // binary-tree-ish parent edges (reversed orientation)
+            (1L until n.toLong).map(i => (i / 2, i))
+          case 3 => // two cliques bridged by one edge
+            val half = n / 2
+            (for { i <- 0 until half; j <- i + 1 until half } yield (i.toLong, j.toLong)) ++
+              (for { i <- half until n; j <- i + 1 until n } yield (i.toLong, j.toLong)) ++
+              Seq((0L, half.toLong))
+        }
+        val real = edges.filter(e => e._1 != e._2)
+        if (real.nonEmpty) {
+          val nodes = real.flatMap(e => Seq(e._1, e._2)).distinct
+          val expected = unionFind(nodes, real)
+          // threshold 0 forces the distributed loop — the path with the
+          // subtle convergence argument
+          val got = ConnectedComponents
+            .label(spark, edges.toDF("a", "b"), localThreshold = 0L)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == expected, s"seed=$seed shape=$shape n=$n")
+        }
       }
     } finally spark.stop()
   }
