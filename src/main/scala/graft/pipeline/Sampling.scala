@@ -44,6 +44,28 @@ object Sampling {
       .where(col("bucket") * col("stratum_n") < col("target_n") * lit(buckets.toLong))
   }
 
+  /** Deterministic per-stratum rate sampling — mixture reweighting toward
+    * target domain/language proportions. Keeps a row iff
+    * `bucket < floor(rate * buckets)`; rates clamp to [0, 1] (down-sampling
+    * only — repeat-epoch upsampling belongs to the trainer's data loader).
+    * Strata absent from `rates` are dropped (an explicit mixture is a
+    * whitelist). Same scale shape as [[stratifiedBalance]]: thresholds
+    * broadcast, corpus never shuffles.
+    */
+  def sampleByRates(df: DataFrame, stratumCol: String, bucket: Column,
+                    rates: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thresholds = rates.toSeq.toDF(stratumCol, "rate")
+      .select(col(stratumCol),
+        floor(least(greatest(col("rate"), lit(0.0)), lit(1.0)) * buckets)
+          .as("threshold"))
+    df.withColumn("bucket", bucket)
+      .join(broadcast(thresholds), stratumCol)
+      .where(col("bucket") < col("threshold"))
+      .drop("threshold")
+  }
+
   /** Token-budget sequence packing, the window-based contiguous form: docs
     * in `orderCol` order within each `shardCol` fill fixed `budget`-token
     * sequences; `chunk_id` = which sequence a doc starts in, `offset` = its

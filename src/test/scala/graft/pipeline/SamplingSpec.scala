@@ -50,6 +50,20 @@ class SamplingSpec extends AnyFunSuite {
       val plan = Sampling.stratifiedBalance(docs, "lang", bucket)
         .queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+
+      // explicit mixture rates: exact threshold membership; absent strata
+      // drop; rates clamp to [0,1]
+      val rated = Sampling.sampleByRates(docs, "lang", bucket,
+          Map("en" -> 0.1, "de" -> 1.5, "fr" -> -1.0))
+        .select("doc_id", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val expectedRated = ((1L to 1000L).map((_, "en")) ++
+        (2001L to 2300L).map((_, "de")))
+        .filter { case (id, lang) =>
+          val th = if (lang == "en") 1000L else 10000L // floor(rate*10000)
+          math.floorMod(id * 2654435761L, 10000L) < th
+        }.toSet
+      assert(rated == expectedRated)
     } finally spark.stop()
   }
 
