@@ -112,6 +112,33 @@ final class PlacesEngine(places: DataFrame, operations: DataFrame) {
     created.unionByName(deletedF).unionByName(edited)
   }
 
+  /** Op-log replay: per-entity state as of `asOf` (exclusive) — the
+    * reference reconstructs objects by replaying operations over the
+    * superblock chain (ObjectsManager); here the whole reconstruction is
+    * one pass over the pruned op window: group by id, last status wins in
+    * (block_date, block_id, op_ord) order via a single max(struct(...)) —
+    * no per-entity iteration, no window sort over the full log.
+    *
+    * Returns id, tileid, status (ACTIVE/REMOVED/DELETED), created_date
+    * (first CREATED op), last_change, n_ops. */
+  def snapshotAt(asOf: String): DataFrame = {
+    val h = history("1970-01-01", asOf)
+    h.groupBy(col("id"))
+      .agg(
+        max(struct(col("block_date"), col("block_id"), col("op_ord"),
+          col("status"))).as("last"),
+        min(when(col("status") === "CREATED", col("block_date")))
+          .as("created_date"),
+        max(col("block_date")).as("last_change"),
+        count(lit(1)).as("n_ops"),
+        first(col("tileid")).as("tileid"))
+      .select(col("id"), col("tileid"),
+        when(col("last.status") === "DELETED", "DELETED")
+          .when(col("last.status") === "REMOVED", "REMOVED")
+          .otherwise("ACTIVE").as("status"),
+        col("created_date"), col("last_change"), col("n_ops"))
+  }
+
   /** §3.2 REVIEW_CLOSED_PLACES flavor: history REMOVED/DELETED features
     * that still need review — current place not tombstoned and main source
     * deleted (B6), minus ids already reviewed (H8 anti-join). */

@@ -144,6 +144,28 @@ class PlacesEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotAt: op-log replay reconstructs per-entity state at a timestamp") {
+    withSpark { spark =>
+      val engine = new PlacesEngine(
+        spark.createDataFrame(spark.sparkContext.parallelize(placeRows), placesSchema),
+        spark.createDataFrame(spark.sparkContext.parallelize(opRows), opsSchema))
+      // mid-June: only block 1 (bbb222 created) has happened
+      val early = engine.snapshotAt("2021-06-07")
+        .collect().map(r => (r.getSeq[String](0).mkString(","), r.getString(2))).toMap
+      assert(early == Map("9G2250,bbb222" -> "ACTIVE"))
+      // after block 2: ccc333 deleted, ddd444 source-tombstoned (REMOVED),
+      // aaa111 edited (ACTIVE), bbb222 untouched since creation
+      val late = engine.snapshotAt("2021-06-30")
+        .collect().map(r => (r.getSeq[String](0).mkString(","),
+          (r.getString(2), r.getLong(5)))).toMap
+      assert(late == Map(
+        "9G2250,bbb222" -> ("ACTIVE", 1L),
+        "9G225000,aaa111" -> ("ACTIVE", 1L),
+        "9G2250,ccc333" -> ("DELETED", 1L),
+        "8FWV54,ddd444" -> ("REMOVED", 1L)))
+    }
+  }
+
   test("clusterHistory: 150 m chain collapses to one cluster, far place stays singleton") {
     withSpark { spark =>
       val engine = new PlacesEngine(
