@@ -114,6 +114,23 @@ class EventStreamsSpec extends AnyFunSuite {
         // state stays bucket-partitioned on disk (pruned reads at scale)
         assert(new java.io.File(stateDir).listFiles()
           .exists(_.getName.startsWith("bucket=")))
+        // batch parity: the incrementally-folded state equals one-shot
+        // batch last-wins over the full event log — the micro-batch loop
+        // and the batch write path agree
+        val allEvents = Seq(
+          EventStreams.Event(1, ts(0), 10, "view", 1.0),
+          EventStreams.Event(2, ts(1), 10, "click", 2.0),
+          EventStreams.Event(3, ts(2), 20, "view", 3.0),
+          EventStreams.Event(4, ts(3), 10, "purchase", 9.0),
+          EventStreams.Event(5, ts(4), 30, "view", 1.0)).toDF()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(org.apache.spark.sql.functions.col("event_id").desc)
+        val batchState = allEvents
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .where(org.apache.spark.sql.functions.col("rn") === 1)
+          .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+        assert(state() == batchState)
       } finally q.stop()
     }
   }
