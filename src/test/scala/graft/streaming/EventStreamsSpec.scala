@@ -134,4 +134,51 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("OSM diff stream: parse -> CDC classify -> bucketed state (the sync-bot loop)") {
+    withSpark { spark =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      implicit val sqlCtx = spark.sqlContext
+      import graft.sources.OsmXml
+      def node(id: Long, v: Int, name: String) =
+        s"""<node id="$id" lat="50.0" lon="8.0" version="$v"><tag k="name" v="$name"/></node>"""
+      val doc1 =
+        s"""<osm><action type="create"><new>${node(1, 1, "A")}</new></action>
+           |<action type="create"><new>${node(2, 1, "B")}</new></action></osm>""".stripMargin
+      val doc2 =
+        s"""<osm><action type="modify"><old>${node(1, 1, "A")}</old><new>${node(1, 2, "A2")}</new></action>
+           |<action type="delete"><old>${node(2, 1, "B")}</old></action></osm>""".stripMargin
+
+      val tmp = java.nio.file.Files.createTempDirectory("osm-cdc").toFile
+      val stateDir = new java.io.File(tmp, "state").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      val mem = MemoryStream[String]
+      // entity key orders by (version, action-rank) so a delete at the same
+      // version outranks the create/modify that produced it
+      val cdc = mem.toDS()
+        .flatMap(xml => OsmXml.parseDiffs(xml))(OsmXml.diffEnc)
+        .toDF()
+        .select(
+          coalesce(col("after.id"), col("before.id")).as("user_id"),
+          (coalesce(col("after.version"), col("before.version")).cast("long") * 10 +
+            when(col("action") === "delete", 2)
+              .when(col("action") === "modify", 1).otherwise(0)).as("event_id"),
+          col("action"),
+          coalesce(col("after.tags").getItem("name"),
+            col("before.tags").getItem("name")).as("name"))
+      val q = EventStreams.applyOpsStream(cdc, stateDir, ckpt, numBuckets = 4)
+      try {
+        mem.addData(doc1)
+        q.processAllAvailable()
+        mem.addData(doc2)
+        q.processAllAvailable()
+        val st = spark.read.parquet(stateDir).collect()
+          .map(r => r.getAs[Long]("user_id") ->
+            (r.getAs[String]("action"), r.getAs[String]("name"))).toMap
+        // node 1: latest surviving fact is the v2 modify; node 2: tombstone
+        assert(st == Map(1L -> ("modify", "A2"), 2L -> ("delete", "B")))
+      } finally q.stop()
+    }
+  }
 }
