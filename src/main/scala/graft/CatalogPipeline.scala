@@ -131,6 +131,26 @@ object CatalogPipeline {
         TextAnalysis.bagFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Dedup resolution end-to-end: near-dup pairs (p2's generator) →
+    * duplicate clusters (connected components) → canonical keep-list. */
+  private def p17(s: SparkSession, d: String): DataFrame =
+    Dedup.resolveByComponents(nearCorpus(s, d), "doc_id",
+        Dedup.ngramJaccardPairs(nearCorpus(s, d), "doc_id", "text",
+          bucketCol = "lang", n = 2, minSim = 0.8))
+      .orderBy("doc_id")
+
+  /** Winnowing fingerprint (k=5 char grams, w=4 windows) rendered as a
+    * join-key string. The repartition spreads the per-char higher-order
+    * lambdas off the single-file scan task. */
+  private def p16(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        array_join(transform(
+          TextAnalysis.winnowFingerprint(col("text"), 5, 4),
+          _.cast("string")), "-").as("fingerprint"))
+      .orderBy("doc_id")
+
   // ---- corpus shaping ------------------------------------------------------
 
   /** Deterministic stratified rebalance: every language down-sampled to the
@@ -190,6 +210,31 @@ object CatalogPipeline {
               |            (len(a.grams) + len(b.grams)
               |             - len(list_intersect(a.grams, b.grams))), 6) >= 0.8
               |ORDER BY a_id, b_id""".stripMargin)),
+    Q("p17_dedup_resolve", p17,
+      Some(s"""WITH corpus AS ($nearCorpusSql),
+              |g AS (SELECT doc_id, lang,
+              |        list_distinct(list_transform(range(len(w) - 1),
+              |          i -> w[i+1] || ' ' || w[i+2])) AS grams
+              |      FROM (SELECT doc_id, lang,
+              |              list_filter(string_split(text, ' '), x -> x <> '') AS w
+              |            FROM corpus)),
+              |pairs AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              |  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+              |              (len(a.grams) + len(b.grams)
+              |               - len(list_intersect(a.grams, b.grams))), 6) >= 0.8),
+              |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+              |          UNION SELECT b_id, a_id FROM pairs),
+              |reach AS (
+              |  WITH RECURSIVE r(s, t) AS (
+              |    SELECT doc_id, doc_id FROM corpus
+              |    UNION
+              |    SELECT r.s, e.b FROM r JOIN edges e ON r.t = e.a)
+              |  SELECT * FROM r)
+              |SELECT s AS doc_id, min(t) AS cluster_id,
+              |       s = min(t) AS keep
+              |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin)),
     Q("p3_minhash_lsh", p3, None),
     Q("p4_simhash", p4, None),
     Q("p5_cosine_topk", p5,
@@ -306,5 +351,22 @@ object CatalogPipeline {
              |SELECT l.doc_id, l.source, l.n_tokens,
              |  CAST(l.local_chunk + bb.chunk_base AS BIGINT) AS chunk_id, l."offset"
              |FROM l JOIN bb USING (source) ORDER BY doc_id""".stripMargin)),
+    Q("p16_winnow", p16,
+      // grams: hash chars j+1..j+k; windows: min over grams [i, i+w)
+      Some("""WITH g AS (SELECT doc_id, text, length(text) AS n FROM documents),
+             |fp AS (
+             |  SELECT doc_id,
+             |    CASE WHEN n >= 8 THEN
+             |      list_sort(list_distinct(list_transform(range(n - 5 - 4 + 2),
+             |        i -> list_min(list_transform(range(i, i + 4),
+             |          j -> list_reduce(
+             |            list_prepend(0::BIGINT,
+             |              list_transform(range(5),
+             |                q -> ascii(substr(text, CAST(j + q + 1 AS INT), 1))::BIGINT)),
+             |            (acc, x) -> (acc * 31 + x) % 1000000007))))))
+             |    ELSE []::BIGINT[] END AS fps
+             |  FROM g)
+             |SELECT doc_id, array_to_string(fps, '-') AS fingerprint
+             |FROM fp ORDER BY doc_id""".stripMargin)),
   )
 }

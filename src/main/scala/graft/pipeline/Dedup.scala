@@ -235,4 +235,26 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .select("a_id", "b_id", "hamming")
   }
+
+  /** Dedup resolution: near-dup PAIRS (from any of the generators above)
+    * become duplicate CLUSTERS via connected components, and each cluster
+    * keeps exactly one representative — the minimum doc id (swap in a
+    * quality-ranked min by re-keying ids if curation wants "best", not
+    * "first"). Returns every corpus doc with its cluster and keep flag, so
+    * the keep-list is `where(keep)`.
+    *
+    * Transitivity is the point: A≈B and B≈C dedup {A,B,C} to one doc even
+    * when A,C were never compared (LSH won't compare every pair at scale).
+    */
+  def resolveByComponents(corpus: DataFrame, idCol: String,
+                          pairs: DataFrame): DataFrame = {
+    val labels = graft.geo.ConnectedComponents.label(
+      corpus.sparkSession,
+      pairs.select(col("a_id").as("a"), col("b_id").as("b")))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
 }

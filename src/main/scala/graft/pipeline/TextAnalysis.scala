@@ -76,6 +76,24 @@ object TextAnalysis {
   def bagFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(words(text))), " "))
 
+  /** Full winnowing fingerprint (Schleimer et al., SIGMOD'03): polynomial
+    * hash of every character k-gram, minimum per sliding w-window of
+    * grams, distinct + sorted. All integer math mod 1e9+7 so an external
+    * engine (the DuckDB oracle) reproduces the selection bit-for-bit;
+    * entirely builtin higher-order functions — no UDF in the plan.
+    * Documents shorter than k+w-1 chars fingerprint to the empty array. */
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val M = 1000000007L
+    val n = length(text)
+    val grams = transform(sequence(lit(0), n - k),
+      i => aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
+        (acc, j) => (acc * 31 + ascii(text.substr(i + j + 1, lit(1)))) % M))
+    val mins = transform(sequence(lit(0), size(grams) - w),
+      i => array_min(slice(grams, i + 1, lit(w))))
+    when(n >= k + w - 1, array_sort(array_distinct(mins)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Winnowing fingerprint: minimum rolling polynomial hash over character
     * k-grams (k=16). Robust to word order only at gram granularity; pure
     * Scala for use in a UDF. */
