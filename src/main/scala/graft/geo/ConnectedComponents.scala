@@ -155,6 +155,11 @@ object ConnectedComponents {
         System.err.println(s"[cc] round=$round edges=${next._1} fp=${next._2} converged=$converged")
     }
 
+    if (!converged)
+      System.err.println(s"[ConnectedComponents] WARNING: star contraction " +
+        s"hit the $maxRounds-round bound without a fixed point; labels may " +
+        "be incomplete (expected only on adversarial graphs)")
+
     // converged edge set is a union of stars (u → component min) plus the
     // roots themselves; emit both sides
     val members = e.select($"u".as("node"), $"v".as("cluster"))

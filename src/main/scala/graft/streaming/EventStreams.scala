@@ -106,7 +106,6 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy(col("event_id").desc)
         val deduped = batch
@@ -128,7 +127,11 @@ object EventStreams {
           // and Spark (correctly) refuses to overwrite a path it is
           // reading from in the same plan
           .localCheckpoint(true)
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(stateDir)
+        merged.write.mode("overwrite")
+          // per-write option, not session config: only the buckets present
+          // in `merged` are replaced
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket").parquet(stateDir)
         deduped.unpersist(false)
         ()
       }
