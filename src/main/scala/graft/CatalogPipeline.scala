@@ -17,6 +17,30 @@ object CatalogPipeline {
 
   private val IdOffset = 1000000L
 
+  /** DuckDB rendering of [[graft.pipeline.PortableHash.poly]] + the simhash
+    * mixing round over a word-list column `ws` (see PortableHash for why
+    * every hash here is mod-1e9+7 integer math: the oracle reproduces
+    * signatures, band keys, and LSH buckets bit-for-bit). */
+  private def polyMixSql(base: Int, mult: Long, add: Long): String =
+    s"""list_transform(ws, s -> (list_reduce(list_prepend(0::BIGINT,
+       |         list_transform(range(length(s)),
+       |           c -> ascii(substr(s, CAST(c + 1 AS INT), 1))::BIGINT)),
+       |         (acc, x) -> (acc * $base + x) % 1000000007) * $mult + $add)
+       |       % 1000000007)""".stripMargin
+
+  /** DuckDB rendering of [[graft.pipeline.PortableHash.rhSignature]] over an
+    * `embedding FLOAT[]` column: fixed-point quantize, integer dot with the
+    * deterministic plane components, sign bits packed into `sig`. DuckDB
+    * lambda indexes are 1-based, hence the (i - 1). */
+  private val rhSigSql =
+    """SELECT vec_id, embedding, CAST(list_sum(list_transform(range(8),
+      |      j -> CASE WHEN coalesce(list_sum(list_transform(
+      |             list_transform(embedding,
+      |               x -> CAST(floor(x::DOUBLE * 1048576 + 0.5) AS BIGINT)),
+      |             (x, i) -> x * (((j * 4096 + (i - 1)) * 2654435761 + 987654321)
+      |                            % 1000000007 - 500000003))), 0) >= 0
+      |           THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS sig""".stripMargin
+
   /** documents ∪ identical copy (exact-dup corpus). */
   private def exactCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
@@ -235,8 +259,69 @@ object CatalogPipeline {
               |SELECT s AS doc_id, min(t) AS cluster_id,
               |       s = min(t) AS keep
               |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin)),
-    Q("p3_minhash_lsh", p3, None),
-    Q("p4_simhash", p4, None),
+    Q("p3_minhash_lsh", p3,
+      Some(s"""WITH corpus AS ($nearCorpusSql),
+              |g AS (SELECT doc_id,
+              |        list_distinct(list_transform(range(len(w) - 1),
+              |          i -> w[i+1] || ' ' || w[i+2])) AS grams
+              |      FROM (SELECT doc_id,
+              |              list_filter(string_split(text, ' '), x -> x <> '') AS w
+              |            FROM corpus)),
+              |hh AS (SELECT doc_id, grams,
+              |        list_transform(grams, s ->
+              |          list_reduce(list_prepend(0::BIGINT,
+              |            list_transform(range(length(s)),
+              |              c -> ascii(substr(s, CAST(c + 1 AS INT), 1))::BIGINT)),
+              |            (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+              |       FROM g WHERE len(grams) > 0),
+              |sig AS (SELECT doc_id,
+              |         list_transform(range(64), i -> list_min(list_transform(hs, h ->
+              |           ((((2*i+1) * 1103515245) % 1000000007) * h
+              |            + (((i+1) * 12345) % 1000000007)) % 1000000007))) AS sig
+              |        FROM hh),
+              |banded AS (SELECT doc_id,
+              |            unnest(list_transform(range(16), t ->
+              |              list_reduce(list_prepend((t+1)::BIGINT, sig[t*4+1 : t*4+4]),
+              |                (acc, x) -> (acc * 31 + x) % 1000000007))) AS band_key
+              |           FROM sig),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |         FROM banded a JOIN banded b
+              |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+              |j AS (SELECT c.a_id, c.b_id,
+              |        round(len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+              |              (len(ga.grams) + len(gb.grams)
+              |               - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
+              |      FROM cand c JOIN hh ga ON ga.doc_id = c.a_id
+              |                  JOIN hh gb ON gb.doc_id = c.b_id)
+              |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.8
+              |ORDER BY a_id, b_id""".stripMargin)),
+    Q("p4_simhash", p4,
+      Some(s"""WITH corpus AS ($nearCorpusSql),
+              |w AS (SELECT doc_id,
+              |        list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              |      FROM corpus),
+              |h AS (SELECT doc_id, ${polyMixSql(31, 2654435761L, 987654321L)} AS h1,
+              |                     ${polyMixSql(37, 1540483477L, 12345701L)} AS h2
+              |      FROM w),
+              |sh AS (SELECT doc_id, CAST(
+              |        coalesce(list_sum(list_transform(range(30), b -> CASE WHEN
+              |          coalesce(list_sum(list_transform(h1,
+              |            v -> CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+              |          THEN (1::BIGINT << b) ELSE 0::BIGINT END)), 0)
+              |        + coalesce(list_sum(list_transform(range(30), b -> CASE WHEN
+              |          coalesce(list_sum(list_transform(h2,
+              |            v -> CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+              |          THEN (1::BIGINT << (b + 30)) ELSE 0::BIGINT END)), 0) AS BIGINT) AS sh
+              |       FROM h),
+              |ch AS (SELECT doc_id, sh, c, (sh >> (c * 15)) & 32767 AS v
+              |       FROM sh, unnest([0, 1, 2, 3]) AS t(c)),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+              |                a.sh AS a_sh, b.sh AS b_sh
+              |         FROM ch a JOIN ch b
+              |           ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+              |SELECT a_id, b_id, CAST(bit_count(xor(a_sh, b_sh)) AS INT) AS hamming
+              |FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= 3
+              |ORDER BY a_id, b_id""".stripMargin)),
     Q("p5_cosine_topk", p5,
       Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
              |           FROM embeddings WHERE vec_id < 5),
@@ -248,9 +333,43 @@ object CatalogPipeline {
              |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
              |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
-    Q("p6_ann_lsh", p6, None),
+    Q("p6_ann_lsh", p6,
+      Some(s"""WITH sig AS ($rhSigSql FROM embeddings),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, sig AS bucket
+              |      FROM sig),
+              |q AS (SELECT vec_id AS query_id, embedding AS q_vec,
+              |        unnest(list_prepend(sig, list_transform(range(8),
+              |          j -> xor(sig, 1::BIGINT << j)))) AS bucket
+              |      FROM sig WHERE vec_id < 5),
+              |s AS (SELECT q.query_id, c.neighbor_id,
+              |        round(list_cosine_similarity(q.q_vec::DOUBLE[],
+              |                                     c.c_vec::DOUBLE[]), 6) AS sim
+              |      FROM c JOIN q USING (bucket) WHERE c.neighbor_id <> q.query_id)
+              |SELECT query_id, neighbor_id, sim, rank FROM (
+              |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
     Q("p13_ann_ivf", p13, None),
-    Q("p7_embed_neardup", p7, None),
+    Q("p7_embed_neardup", p7,
+      Some(s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+              |UNION ALL
+              |SELECT vec_id + 1000000,
+              |       list_transform(embedding, (x, i) ->
+              |         CASE WHEN i = 1 THEN x + 0.01::REAL ELSE x END)
+              |FROM embeddings),
+              |sig AS ($rhSigSql FROM u),
+              |probe AS (SELECT vec_id AS a_id, embedding AS a_vec,
+              |            unnest(list_prepend(sig, list_transform(range(8),
+              |              j -> xor(sig, 1::BIGINT << j)))) AS bucket
+              |          FROM sig),
+              |build AS (SELECT vec_id AS b_id, embedding AS b_vec, sig AS bucket
+              |          FROM sig),
+              |s AS (SELECT DISTINCT p.a_id, b.b_id,
+              |        round(list_cosine_similarity(p.a_vec::DOUBLE[],
+              |                                     b.b_vec::DOUBLE[]), 6) AS sim
+              |      FROM probe p JOIN build b USING (bucket) WHERE p.a_id < b.b_id)
+              |SELECT a_id, b_id, sim FROM s WHERE sim >= 0.99
+              |ORDER BY a_id, b_id""".stripMargin)),
     Q("p8_lang_id", p8,
       Some("""WITH w AS (SELECT doc_id,
              |             list_filter(string_split(text, ' '), x -> x <> '') AS ws

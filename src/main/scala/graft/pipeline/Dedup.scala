@@ -122,58 +122,20 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit FNV-1a — a stable, dependency-free hash for shingles/words.
-    * (Deterministic across JVMs; NOT for adversarial inputs.) */
-  def stableHash64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i).toLong
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
-
-  /** MinHash signature of a shingle set: sig(i) = min over shingles of
-    * (a_i * h + b_i) with 64-bit wrap — one pass per document. */
-  def minhashSignature(shingles: Seq[String], numHashes: Int): Array[Long] = {
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    val hs = shingles.map(stableHash64)
-    var i = 0
-    while (i < numHashes) {
-      // odd multipliers from splitmix64-style mixing of the hash index
-      val a = 0x9e3779b97f4a7c15L * (2 * i + 1)
-      val b = 0xbf58476d1ce4e5b9L * (i + 1)
-      var m = Long.MaxValue
-      hs.foreach { h => val v = a * h + b; if (v < m) m = v }
-      sig(i) = m
-      i += 1
-    }
-    sig
-  }
-
-  /** LSH band keys for a signature: one stable key per band of `rows`
-    * consecutive signature slots. Docs sharing any band key are candidates. */
-  def bandKeys(sig: Seq[Long], rows: Int): Seq[Long] =
-    sig.grouped(rows).zipWithIndex.map { case (band, idx) =>
-      var h = 0xcbf29ce484222325L ^ idx
-      band.foreach { v => h ^= v; h *= 0x100000001b3L }
-      h
-    }.toSeq
-
   /** MinHash+LSH near-duplicate pairs, verified with exact n-gram Jaccard.
     * numHashes must be divisible by bandRows. Pipeline:
     * shingle → signature (map-only) → band explode → bucket join on band
     * key → distinct candidate pairs → Jaccard verify against re-joined
     * shingle sets. Only (id, band_key) and (id, grams-of-candidates)
-    * shuffle. */
+    * shuffle. Hashing is [[PortableHash]] (mod-1e9+7 integer math), so the
+    * DuckDB oracle reproduces signatures and band keys exactly. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, numHashes: Int, bandRows: Int,
                       minSim: Double): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
     val sigUdf = udf((grams: Seq[String]) =>
-      bandKeys(minhashSignature(grams, numHashes).toSeq, bandRows))
+      PortableHash.bandKeys(
+        PortableHash.minhashSignature(grams, numHashes).toSeq, bandRows))
     // barrier + cache: g feeds signature generation and both verify joins;
     // see ngramJaccardPairs for why both exchanges are load-bearing
     val par2 = df.sparkSession.sparkContext.defaultParallelism
@@ -182,6 +144,7 @@ object Dedup {
         filter(split(col(textCol), " "), w => w =!= "").as("words"))
       .repartition(par2, col("id"))
       .select(col("id"), ngramsOfWords(col("words"), n).as("grams"))
+      .where(size(col("grams")) > 0) // gram-less docs can never pair
       .cache()
     val banded = g.select(col("id"), explode(sigUdf(col("grams"))).as("band_key"))
     val candidates = banded.as("a").join(banded.as("b"),
@@ -196,35 +159,20 @@ object Dedup {
       .where(col("jaccard") >= minSim)
   }
 
-  /** 64-bit SimHash over word multiset: sign-sum of each hash bit. */
-  def simhash64(words: Seq[String]): Long = {
-    val acc = new Array[Int](64)
-    words.foreach { w =>
-      val h = stableHash64(w)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-        b += 1
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
-
   /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked by
-    * 16-bit signature chunks (a pair within distance d <= 3 shares at least
-    * one of 4 chunks exactly — pigeonhole), so no all-pairs comparison. */
+    * 15-bit signature chunks (a pair within distance d <= 3 shares at least
+    * one of 4 chunks exactly — pigeonhole), so no all-pairs comparison.
+    * The 60-bit signature is [[PortableHash.simhash60]], reproducible by
+    * the DuckDB oracle. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
     require(maxDist <= 3, "4-chunk blocking guarantees recall only for dist<=3")
     val shUdf = udf((text: String) =>
-      simhash64(text.split(" ").filter(_.nonEmpty).toSeq))
+      PortableHash.simhash60(text.split(" ").filter(_.nonEmpty).toSeq))
     val g = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
     val chunked = g.select(col("id"), col("sh"),
       explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"), shiftrightunsigned(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+        struct(lit(c).as("c"), shiftrightunsigned(col("sh"), c * 15).bitwiseAND(0x7FFFL).as("v"))): _*))
         .as("chunk"))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))

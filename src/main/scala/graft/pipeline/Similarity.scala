@@ -40,29 +40,13 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random unit-ish component for hyperplane j,
-    * dimension i (splitmix64 finalizer → [-1, 1)). */
-  def planeComponent(j: Int, i: Int): Double = {
-    var z = (j.toLong << 32 | (i.toLong & 0xffffffffL)) + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-  }
-
-  /** Random-hyperplane signature: bit j = sign(v · plane_j). */
-  def rhSignature(vec: Seq[Float], numPlanes: Int): Int = {
-    var sig = 0
-    var j = 0
-    while (j < numPlanes) {
-      var dot = 0.0
-      var i = 0
-      while (i < vec.length) { dot += vec(i) * planeComponent(j, i); i += 1 }
-      if (dot >= 0) sig |= (1 << j)
-      j += 1
-    }
-    sig
-  }
+  /** Random-hyperplane signature: bit j = sign(v · plane_j), with
+    * deterministic fixed-point planes and an exact integer dot product
+    * ([[PortableHash.rhSignature]]) so the DuckDB oracle reproduces every
+    * bucket assignment bit-for-bit — no FP-accumulation-order ambiguity in
+    * the sign test. */
+  def rhSignature(vec: Seq[Float], numPlanes: Int): Int =
+    PortableHash.rhSignature(vec, numPlanes)
 
   /** LSH-bucketed ANN top-k: corpus and queries are hashed into 2^numPlanes
     * buckets; scoring happens only within a query's bucket (plus buckets at
