@@ -234,6 +234,81 @@ object CatalogGeo {
               |      FROM pts p CROSS JOIN edges e GROUP BY 1, 2)
               |SELECT c_nationkey, count(*) AS inside_cnt FROM x WHERE crossings % 2 = 1
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
-    Q("g5_geometry_trail", g5, None),
+    Q("g5_geometry_trail", g5,
+      // Douglas-Peucker as a recursive segment-split CTE: each parent (lo,hi)
+      // whose max orthogonal distance exceeds eps emits its two halves; kept
+      // points = 2 endpoints + one split point per divided parent, so
+      // |r| = 1 + 2*splits and kept = 2 + (|r|-1)/2. The distance kernel
+      // mirrors Geometry.orthogonalDist op-for-op (sqrt/*,+ are IEEE-exact;
+      // cos(x/180*pi) matches Math.toRadians' evaluation order). Area and
+      // winding reuse the g7 oracle shapes.
+      Some(s"""WITH RECURSIVE g AS (SELECT user_id, event_id,
+              |            (${synthLatSql.format("event_id")}) AS lat,
+              |            (${synthLonSql.format("event_id")}) AS lon FROM events),
+              |t AS (SELECT user_id, list(struct_pack(lat := lat, lon := lon) ORDER BY event_id) AS v
+              |      FROM g GROUP BY user_id),
+              |base AS (SELECT user_id, v, len(v) AS n FROM t),
+              |r AS (
+              |  SELECT user_id, 0 AS lo, n - 1 AS hi FROM base WHERE n > 2
+              |  UNION ALL
+              |  SELECT p.user_id,
+              |         CASE WHEN s.side = 0 THEN p.lo ELSE p.best END AS lo,
+              |         CASE WHEN s.side = 0 THEN p.best ELSE p.hi END AS hi
+              |  FROM (
+              |    SELECT q.user_id, q.lo, q.hi,
+              |           q.lo + list_position(q.ds, list_max(q.ds)) AS best
+              |    FROM (
+              |      SELECT r.user_id, r.lo, r.hi,
+              |             list_transform(range(r.lo + 1, r.hi), i ->
+              |               CASE WHEN w.len2 = 0.0 THEN
+              |                 sqrt((b.v[i+1].lon * w.kx - w.ax) * (b.v[i+1].lon * w.kx - w.ax)
+              |                    + (b.v[i+1].lat - w.ay) * (b.v[i+1].lat - w.ay))
+              |               ELSE
+              |                 sqrt((b.v[i+1].lon * w.kx - (w.ax + greatest(0.0, least(1.0,
+              |                        ((b.v[i+1].lon * w.kx - w.ax) * w.dx + (b.v[i+1].lat - w.ay) * w.dy) / w.len2)) * w.dx))
+              |                    * (b.v[i+1].lon * w.kx - (w.ax + greatest(0.0, least(1.0,
+              |                        ((b.v[i+1].lon * w.kx - w.ax) * w.dx + (b.v[i+1].lat - w.ay) * w.dy) / w.len2)) * w.dx))
+              |                    + (b.v[i+1].lat - (w.ay + greatest(0.0, least(1.0,
+              |                        ((b.v[i+1].lon * w.kx - w.ax) * w.dx + (b.v[i+1].lat - w.ay) * w.dy) / w.len2)) * w.dy))
+              |                    * (b.v[i+1].lat - (w.ay + greatest(0.0, least(1.0,
+              |                        ((b.v[i+1].lon * w.kx - w.ax) * w.dx + (b.v[i+1].lat - w.ay) * w.dy) / w.len2)) * w.dy)))
+              |               END) AS ds
+              |      FROM r JOIN base b USING (user_id)
+              |      CROSS JOIN LATERAL (
+              |        SELECT kx, b.v[r.lo+1].lon * kx AS ax, b.v[r.lo+1].lat AS ay,
+              |               b.v[r.hi+1].lon * kx - b.v[r.lo+1].lon * kx AS dx,
+              |               b.v[r.hi+1].lat - b.v[r.lo+1].lat AS dy,
+              |               (b.v[r.hi+1].lon * kx - b.v[r.lo+1].lon * kx) * (b.v[r.hi+1].lon * kx - b.v[r.lo+1].lon * kx)
+              |             + (b.v[r.hi+1].lat - b.v[r.lo+1].lat) * (b.v[r.hi+1].lat - b.v[r.lo+1].lat) AS len2
+              |        FROM (SELECT cos((b.v[r.lo+1].lat + b.v[r.hi+1].lat) / 2 / 180.0 * pi()) AS kx)
+              |      ) w
+              |      WHERE r.hi > r.lo + 1
+              |    ) q
+              |    WHERE list_max(q.ds) > 0.5
+              |  ) p, (VALUES (0), (1)) s(side)
+              |),
+              |dp AS (SELECT b.user_id,
+              |         CAST(CASE WHEN b.n <= 2 THEN b.n ELSE 2 + (c.cnt - 1) // 2 END AS INT)
+              |           AS simplified_points
+              |       FROM base b
+              |       LEFT JOIN (SELECT user_id, count(*) AS cnt FROM r GROUP BY user_id) c
+              |         USING (user_id)),
+              |c2 AS (SELECT user_id, v, n,
+              |         list_sum(list_transform(v, p -> p.lat)) / n AS latref FROM base),
+              |m AS (SELECT user_id, v, n,
+              |        111319.49079327358 * cos(radians(latref)) AS mlon,
+              |        111319.49079327358 AS mlat
+              |      FROM c2),
+              |aw AS (SELECT user_id,
+              |  CAST(round(abs(list_sum(list_transform(range(n), i ->
+              |    (v[i+1].lon * mlon) * (v[(i+1) % n + 1].lat * mlat) -
+              |    (v[(i+1) % n + 1].lon * mlon) * (v[i+1].lat * mlat)))) / 2.0 / 1e6, 0)
+              |    AS BIGINT) AS area_km2,
+              |  list_sum(list_transform(range(n), i ->
+              |    (v[(i+1) % n + 1].lon - v[i+1].lon) *
+              |    (v[(i+1) % n + 1].lat + v[i+1].lat))) > 0 AS clockwise
+              |FROM m)
+              |SELECT dp.user_id, dp.simplified_points, aw.area_km2, aw.clockwise
+              |FROM dp JOIN aw USING (user_id) ORDER BY user_id""".stripMargin)),
   )
 }

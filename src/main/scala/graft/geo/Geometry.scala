@@ -79,10 +79,13 @@ object Geometry {
     val px = p.lon * kx; val py = p.lat
     val dx = bx - ax; val dy = by - ay
     val len2 = dx * dx + dy * dy
-    if (len2 == 0.0) math.hypot(px - ax, py - ay)
+    // sqrt(x*x + y*y) rather than hypot: *, +, sqrt are correctly-rounded
+    // IEEE ops, so the DuckDB oracle reproduces these bits exactly.
+    if (len2 == 0.0) math.sqrt((px - ax) * (px - ax) + (py - ay) * (py - ay))
     else {
       val t = math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
-      math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+      val ex = px - (ax + t * dx); val ey = py - (ay + t * dy)
+      math.sqrt(ex * ex + ey * ey)
     }
   }
 
