@@ -61,6 +61,14 @@ object CatalogPipeline {
       col("lang")))
   }
 
+  /** DuckDB rendering of ivfTopK's cosScalar fold — `a` a REAL[] column,
+    * `b` a DOUBLE[] centroid list: dot / (sqrt(na) * sqrt(nb)) with
+    * per-element Float->Double widening, matching the Scala op order. */
+  private def cosFoldSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]))
+       | / (sqrt(list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE)))
+       |  * sqrt(list_sum(list_transform(range(len($a)), i -> $b[i+1] * $b[i+1])))))""".stripMargin
+
   private val exactCorpusSql =
     """SELECT doc_id, text, lang FROM documents
       |UNION ALL SELECT doc_id + 1000000, text, lang FROM documents""".stripMargin
@@ -349,7 +357,48 @@ object CatalogPipeline {
               |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
               |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
-    Q("p13_ann_ivf", p13, None),
+    Q("p13_ann_ivf", p13,
+      // Reproduces the driver-side quantizer training exactly: sample = 256
+      // lowest-id vectors, seeds = first 16, one Lloyd step over the sample
+      // (sums folded in vec_id order via list() ORDER BY — aggregate SUM
+      // would be order-nondeterministic), empty cells keep their seed. Cell
+      // argmax uses the unrounded cosScalar fold; candidate scoring reuses
+      // the proven list_cosine_similarity round-6 pattern from p5/p6.
+      Some(s"""WITH samp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
+              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+              |                 list_transform(embedding, x -> x::DOUBLE) AS c
+              |          FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 16)),
+              |sassign AS (SELECT s.vec_id, s.embedding,
+              |              (SELECT cell FROM (
+              |                 SELECT sd.cell, ${cosFoldSql("s.embedding", "sd.c")} AS sim FROM seeds sd)
+              |               ORDER BY sim DESC, cell LIMIT 1) AS cell
+              |            FROM samp s),
+              |cmean AS (SELECT cell, cnt,
+              |            list_transform(range(d), i ->
+              |              list_sum(list_transform(vals, v -> v[i+1]::DOUBLE)) / cnt) AS c
+              |          FROM (SELECT cell, list(embedding ORDER BY vec_id) AS vals,
+              |                       count(*) AS cnt, len(first(embedding)) AS d
+              |                FROM sassign GROUP BY cell)),
+              |cents AS (SELECT s.cell, coalesce(m.c, s.c) AS c
+              |          FROM seeds s LEFT JOIN cmean m USING (cell)),
+              |corp AS (SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec,
+              |           (SELECT cell FROM (
+              |              SELECT cn.cell, ${cosFoldSql("e.embedding", "cn.c")} AS sim FROM cents cn)
+              |            ORDER BY sim DESC, cell LIMIT 1) AS cell
+              |         FROM embeddings e),
+              |qp AS (SELECT vec_id AS query_id, embedding AS q_vec, cell FROM (
+              |         SELECT e.vec_id, e.embedding, cn.cell,
+              |                row_number() OVER (PARTITION BY e.vec_id
+              |                  ORDER BY ${cosFoldSql("e.embedding", "cn.c")} DESC, cn.cell) AS pr
+              |         FROM embeddings e CROSS JOIN cents cn WHERE e.vec_id < 5)
+              |       WHERE pr <= 4),
+              |s AS (SELECT q.query_id, c.neighbor_id,
+              |        round(list_cosine_similarity(q.q_vec::DOUBLE[], c.c_vec::DOUBLE[]), 6) AS sim
+              |      FROM qp q JOIN corp c USING (cell) WHERE q.query_id <> c.neighbor_id)
+              |SELECT query_id, neighbor_id, sim, rank FROM (
+              |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
     Q("p7_embed_neardup", p7,
       Some(s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
               |UNION ALL
