@@ -139,13 +139,18 @@ object Dedup {
     // barrier + cache: g feeds signature generation and both verify joins;
     // see ngramJaccardPairs for why both exchanges are load-bearing
     val par2 = df.sparkSession.sparkContext.defaultParallelism
-    val g = df.repartition(par2)
+    val g0 = df.repartition(par2)
       .select(col(idCol).as("id"),
         filter(split(col(textCol), " "), w => w =!= "").as("words"))
       .repartition(par2, col("id"))
       .select(col("id"), ngramsOfWords(col("words"), n).as("grams"))
-      .where(size(col("grams")) > 0) // gram-less docs can never pair
       .cache()
+    // gram-less docs can never pair. The guard sits ABOVE the cache barrier:
+    // pushed below it, the size(grams) filter re-derives the interpreted
+    // shingling pipeline inside the single-file parquet scan and runs it
+    // serially (measured 14 s of p3's 21 s at sf0.1 — same trap as
+    // ngramJaccardPairs' sz guard).
+    val g = g0.where(size(col("grams")) > 0)
     val banded = g.select(col("id"), explode(sigUdf(col("grams"))).as("band_key"))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
