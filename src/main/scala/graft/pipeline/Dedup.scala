@@ -57,14 +57,21 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** All-pairs n-gram Jaccard within a blocking bucket, additionally
-    * blocked by gram-count bands: J(A,B) >= s implies |A|/|B| <= 1/s, so
-    * pairs can only match within nearby log-scale size bands — an EXACT
-    * filter (no false negatives), which turns the quadratic bucket join
-    * into small (bucket × band) cells. Emits pairs with sim >= minSim. */
+  /** All-pairs n-gram Jaccard within a blocking bucket via EXACT prefix
+    * filtering (Bayardo et al. AllPairs / PPJoin family): under any fixed
+    * global order of grams — ascending 64-bit hash here — J(A,B) >= t
+    * implies the first |A|-ceil(t*|A|)+1 grams of A and the first
+    * |B|-ceil(t*|B|)+1 grams of B share an element. Candidates are pairs
+    * co-occurring under a prefix gram (plus the exact size-ratio bound
+    * max <= min/t); only candidates are verified. No false negatives.
+    *
+    * Scale note: this replaces a within-bucket quadratic join with one
+    * keyed by (bucket, prefix-gram) — candidate volume tracks actual gram
+    * sharing, not bucket size. At extreme scale the remaining skew lever
+    * is ordering grams by ascending global corpus frequency (rarest-first
+    * prefixes); hash order approximates it for near-uniform vocabularies. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         bucketCol: String, n: Int, minSim: Double): DataFrame = {
-    val base = 1.0 / minSim // band growth factor; ratio bound for a match
     // sorted grams → the pair similarity is a codegen'd merge walk
     // (graft.functions.SortedIntersectSize) — no per-pair Scala conversion
     graft.functions.SortedIntersectSize.register(df.sparkSession)
@@ -78,11 +85,12 @@ object Dedup {
     // Explicit partition counts keep AQE from coalescing these byte-wise
     // tiny but CPU-heavy shuffles to one partition.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    // cache: g feeds both join sides — without it the shingling of the
-    // whole corpus is recomputed per consumer. Grams shuffle and compare as
-    // 64-bit hashes, not strings: the merge walk is the hot loop and long
-    // compares are ~10x cheaper; distinct-gram counts (and so Jaccard) are
-    // unchanged w.h.p. (64-bit collisions within one document pair).
+    // cache: g feeds the candidate prefixes and both verify joins — without
+    // it the shingling of the whole corpus is recomputed per consumer.
+    // Grams shuffle and compare as 64-bit hashes, not strings: the merge
+    // walk is the hot loop and long compares are ~10x cheaper; distinct-gram
+    // counts (and so Jaccard) are unchanged w.h.p. (64-bit collisions
+    // within one document pair).
     val g0 = df.repartition(par)
       .select(col(idCol).as("id"), col(bucketCol).as("bucket"),
         filter(split(col(textCol), " "), w => w =!= "").as("words"))
@@ -91,35 +99,37 @@ object Dedup {
         array_sort(transform(ngramsOfWords(col("words"), n), g => xxhash64(g)))
           .as("grams"))
       .withColumn("sz", size(col("grams")))
-      .withColumn("band", floor(log(col("sz").cast("double")) / math.log(base)).cast("int"))
       .cache()
     // the sz guard sits ABOVE the cache barrier: pushed into the scan it
     // would inline the whole interpreted shingling pipeline into the
     // single-file parquet scan task and run it serially (measured 18s of a
     // 26s job at sf0.1)
     val g = g0.where(col("sz") > 0)
-    // probe explodes to bands [b, b+2] (+2 covers float rounding at band
-    // edges); build stays at its own band
-    val probe = g.select(col("id").as("a_id"), col("grams").as("a_grams"),
-      col("sz").as("a_sz"), col("bucket"),
-      explode(array(col("band"), col("band") + 1, col("band") + 2)).as("band"))
-    val build = g.select(col("id").as("b_id"), col("grams").as("b_grams"),
-      col("sz").as("b_sz"), col("bucket"), col("band"))
-    // the probe covers bands upward only, so a pair is found in exactly one
-    // direction (smaller band probes up to the larger); normalize the pair
-    // ordering with least/greatest rather than requiring a_id < b_id
-    probe.join(build, Seq("bucket", "band"))
-      .where(col("a_id") =!= col("b_id") &&
-        greatest(col("a_sz"), col("b_sz")).cast("double") <=
-          least(col("a_sz"), col("b_sz")) * lit(base + 1e-6))
+    // prefix length sz - floor(t*sz - eps) + 1 >= sz - ceil(t*sz) + 1: at
+    // most one gram longer than the tight bound, immune to float edges on
+    // either side of an integer t*sz
+    val prefLen = (col("sz") - floor(col("sz").cast("double") * lit(minSim) - lit(1e-9)) + 1)
+      .cast("int")
+    val pref = g.select(col("id"), col("bucket"), col("sz"),
+      explode(slice(col("grams"), lit(1), prefLen)).as("gram"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.gram") === col("b.gram") &&
+          col("a.id") < col("b.id") &&
+          greatest(col("a.sz"), col("b.sz")).cast("double") <=
+            least(col("a.sz"), col("b.sz")) / lit(minSim) + lit(1e-6))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    cand
+      .join(g.select(col("id").as("a_id"), col("grams").as("a_grams"),
+        col("sz").as("a_sz")), "a_id")
+      .join(g.select(col("id").as("b_id"), col("grams").as("b_grams"),
+        col("sz").as("b_sz")), "b_id")
       .withColumn("inter",
         expr("sorted_intersect_size(a_grams, b_grams)").cast("double"))
-      .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"),
+      .select(col("a_id"), col("b_id"),
         round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 6)
           .as("jaccard"))
       .where(col("jaccard") >= minSim)
-      .distinct()
   }
 
   /** MinHash+LSH near-duplicate pairs, verified with exact n-gram Jaccard.
