@@ -149,11 +149,18 @@ object Dedup {
     // barrier + cache: g feeds signature generation and both verify joins;
     // see ngramJaccardPairs for why both exchanges are load-bearing
     val par2 = df.sparkSession.sparkContext.defaultParallelism
+    // grams kept as strings for the portable signature UDF; the verify
+    // intersection runs on sorted 64-bit hashes instead (codegen'd merge
+    // walk, ~10x cheaper than interpreted string array_intersect; distinct
+    // counts unchanged w.h.p. — same trade as ngramJaccardPairs)
+    graft.functions.SortedIntersectSize.register(df.sparkSession)
     val g0 = df.repartition(par2)
       .select(col(idCol).as("id"),
         filter(split(col(textCol), " "), w => w =!= "").as("words"))
       .repartition(par2, col("id"))
       .select(col("id"), ngramsOfWords(col("words"), n).as("grams"))
+      .withColumn("hgrams", array_sort(transform(col("grams"), g => xxhash64(g))))
+      .withColumn("sz", size(col("grams")))
       .cache()
     // gram-less docs can never pair. The guard sits ABOVE the cache barrier:
     // pushed below it, the size(grams) filter re-derives the interpreted
@@ -167,10 +174,15 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
     candidates
-      .join(g.select(col("id").as("a_id"), col("grams").as("a_grams")), "a_id")
-      .join(g.select(col("id").as("b_id"), col("grams").as("b_grams")), "b_id")
+      .join(g.select(col("id").as("a_id"), col("hgrams").as("a_grams"),
+        col("sz").as("a_sz")), "a_id")
+      .join(g.select(col("id").as("b_id"), col("hgrams").as("b_grams"),
+        col("sz").as("b_sz")), "b_id")
+      .withColumn("inter",
+        expr("sorted_intersect_size(a_grams, b_grams)").cast("double"))
       .select(col("a_id"), col("b_id"),
-        round(jaccard(col("a_grams"), col("b_grams")), 6).as("jaccard"))
+        round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 6)
+          .as("jaccard"))
       .where(col("jaccard") >= minSim)
   }
 
