@@ -111,12 +111,24 @@ object Dedup {
     val prefLen = (col("sz") - floor(col("sz").cast("double") * lit(minSim) - lit(1e-9)) + 1)
       .cast("int")
     val pref = g.select(col("id"), col("bucket"), col("sz"),
-      explode(slice(col("grams"), lit(1), prefLen)).as("gram"))
+      posexplode(slice(col("grams"), lit(1), prefLen)))
+      .toDF("id", "bucket", "sz", "pos", "gram")
+    // positional filter (PPJoin): a shared gram at 0-based sorted positions
+    // (i, j) bounds the overlap by min(i,j) + 1 + min(|A|-i-1, |B|-j-1)
+    // (shared grams sort strictly before/after it on both sides); J >= t
+    // needs overlap >= t/(1+t) * (|A|+|B|). Still exact — an occurrence
+    // below the bound can never witness a qualifying pair, and a
+    // qualifying pair's shared prefix grams all qualify.
+    val alpha = (col("a.sz") + col("b.sz")).cast("double") *
+      lit(minSim / (1 + minSim)) - lit(1e-9)
+    val overlapBound = least(col("a.pos"), col("b.pos")) + 1 +
+      least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.gram") === col("b.gram") &&
           col("a.id") < col("b.id") &&
           greatest(col("a.sz"), col("b.sz")).cast("double") <=
-            least(col("a.sz"), col("b.sz")) / lit(minSim) + lit(1e-6))
+            least(col("a.sz"), col("b.sz")) / lit(minSim) + lit(1e-6) &&
+          overlapBound.cast("double") >= alpha)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
     cand
