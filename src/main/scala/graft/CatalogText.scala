@@ -121,17 +121,35 @@ object CatalogText {
     import s.implicits._
     val nm = broadcast(matching.toSeq.toDF("nm_a", "nm_b"))
     val p = Tables.part(s, d).select(
-      col("p_partkey"), col("p_brand"), col("p_name"),
-      when(col("p_partkey") % 7 === 0, concat(lit("Q"), col("p_partkey") % 100)).as("wiki"))
-    p.repartition(s.sparkContext.defaultParallelism).as("a")
-      .join(broadcast(p).as("b"),
-        col("a.p_brand") === col("b.p_brand") && col("a.p_partkey") < col("b.p_partkey"))
-      .join(nm, col("a.p_name") === col("nm_a") && col("b.p_name") === col("nm_b"), "left")
-      .withColumn("tier",
-        when(col("nm_a").isNotNull, "NameMatch")
-          .when(col("a.wiki").isNotNull && col("a.wiki") === col("b.wiki"), "OtherTagsMatch"))
-      .where(col("tier").isNotNull)
-      .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"), col("tier"))
+        col("p_partkey"), col("p_brand"), col("p_name"),
+        when(col("p_partkey") % 7 === 0, concat(lit("Q"), col("p_partkey") % 100)).as("wiki"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .cache()
+    // Candidates come from the match keys themselves, never from brand
+    // blocking alone: a brand-blocked all-pairs join is quadratic in brand
+    // size (8M pair evaluations here; unbounded at 100 TB). Name tier =
+    // equi-join through the broadcast name-pair table on (brand, both
+    // names); tag tier = equi-join on (brand, wikidata). A pair matching
+    // both tiers takes the better one (min priority), as the reference's
+    // cascade does.
+    val nameCand = p.as("a")
+      .join(nm, col("a.p_name") === col("nm_a"))
+      .join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") && col("b.p_name") === col("nm_b") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"),
+        lit(0).as("pri"))
+    val pw = p.where(col("wiki").isNotNull)
+    val wikiCand = pw.as("a")
+      .join(pw.as("b"),
+        col("a.p_brand") === col("b.p_brand") && col("a.wiki") === col("b.wiki") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"),
+        lit(1).as("pri"))
+    nameCand.unionByName(wikiCand)
+      .groupBy("a_key", "b_key").agg(min(col("pri")).as("pri"))
+      .select(col("a_key"), col("b_key"),
+        when(col("pri") === 0, "NameMatch").otherwise("OtherTagsMatch").as("tier"))
       .orderBy("a_key", "b_key")
   }
 
