@@ -31,4 +31,38 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(offenders.isEmpty, s"cartesian joins in: $offenders")
     } finally spark.stop()
   }
+
+  test("selective scans push filters; key-only scan prunes columns; dim joins broadcast") {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("plan-audit-2")
+      .getOrCreate()
+    try {
+      val sf = "/root/testdata/sf0.001"
+      def plan(name: String): String =
+        QueryCatalog.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+      // At 100 TB these predicates are the difference between reading a
+      // row group and reading the table: they must reach the parquet
+      // reader, not evaluate above it.
+      for (q <- Seq("a7_pruned_scan", "a9_point_lookup", "a10_log_window",
+                    "b1_tombstone_filter")) {
+        assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan(q)).isDefined,
+          s"$q: no pushed filters reach the scan")
+      }
+
+      // a6 projects one key column; the scan must not read the other 15.
+      assert(plan("a6_keys_only").contains("ReadSchema: struct<l_suppkey"),
+        "a6: scan reads more than the projected key column")
+
+      // Small-dimension joins must broadcast — a shuffle join here means
+      // the big side is exchanged to meet a dimension table.
+      for (q <- Seq("d7_enrichment_join", "pl4_merge_scoring"))
+        assert(plan(q).contains("BroadcastHashJoin"),
+          s"$q: expected a broadcast hash join for the small dimension side")
+    } finally spark.stop()
+  }
 }
