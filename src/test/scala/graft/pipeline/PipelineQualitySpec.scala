@@ -99,4 +99,52 @@ class PipelineQualitySpec extends AnyFunSuite {
       assert(zero >= 500, s"expected all 500 identical-copy pairs at distance 0, got $zero")
     }
   }
+
+  test("prefix-filter join is exact: matches brute-force all-pairs Jaccard") {
+    // The AllPairs/PPJoin prefix + positional filters in ngramJaccardPairs
+    // claim zero false negatives. Pin that against a brute-force oracle on
+    // seeded random corpora engineered to stress the filter edges: tiny
+    // vocabulary (dense gram sharing), mixed doc lengths (size-ratio
+    // boundary), exact twins and 1-2 word truncations (J at/near 0.8).
+    withSpark { spark =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(42)
+      val vocab = Vector.tabulate(25)(i => s"w$i")
+      def doc(len: Int): String =
+        Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      for (trial <- 1 to 3) {
+        val base = (1 to 120).map { i =>
+          (i.toLong, doc(4 + rnd.nextInt(40)), s"b${i % 2}")
+        }
+        val twins = base.collect { case (id, text, b) if id % 3 == 0 =>
+          val w = text.split(" ")
+          (id + 10000L, w.dropRight(1 + rnd.nextInt(2)).mkString(" "), b)
+        }
+        val corpus = (base ++ twins).toDF("doc_id", "text", "lang")
+        val got = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "lang", 2, 0.8)
+          .select("a_id", "b_id", "jaccard").collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        // brute force on the driver, same gram definition (distinct word 2-grams)
+        def grams(t: String): Set[String] =
+          t.split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+            .map(_.mkString(" ")).toSet
+        val rows = (base ++ twins).map { case (id, t, b) => (id, grams(t), b) }
+        val want = (for {
+          (ia, ga, ba) <- rows; (ib, gb, bb) <- rows
+          if ia < ib && ba == bb && ga.nonEmpty && gb.nonEmpty
+          inter = (ga & gb).size.toDouble
+          j = inter / (ga.size + gb.size - inter)
+          if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.8
+        } yield ((ia, ib),
+          BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+        assert(want.nonEmpty, s"trial $trial generated no qualifying pairs")
+        assert(got.keySet == want.keySet,
+          s"trial $trial: missing=${(want.keySet -- got.keySet).take(5)} " +
+            s"extra=${(got.keySet -- want.keySet).take(5)}")
+        want.foreach { case (k, j) =>
+          assert(math.abs(got(k) - j) < 1e-6, s"trial $trial: jaccard mismatch at $k")
+        }
+      }
+    }
+  }
 }
