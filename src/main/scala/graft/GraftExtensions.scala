@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+import graft.functions.{CosineSim, OlcEncodeExpr, SortedIntersectSize}
+
+/** Session-extension injector for the engine's native SQL functions, so a
+  * cluster deployment gets them in EVERY session (including thrift/Connect
+  * sessions that never touch Scala code):
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * Injects the same builders the per-session `register(spark)` helpers use;
+  * the helpers remain for library callers that own their session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("olc_encode"),
+      new ExpressionInfo(classOf[OlcEncodeExpr].getName, "olc_encode"),
+      // coerce SQL-side DECIMAL arithmetic / int literals to the codec's
+      // exact input types (Cast is a no-op when types already match)
+      (exprs: Seq[Expression]) => OlcEncodeExpr(
+        Cast(exprs.head, DoubleType), Cast(exprs(1), DoubleType),
+        Cast(exprs(2), IntegerType))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs.head, exprs(1))))
+  }
+}
