@@ -203,23 +203,26 @@ object CatalogOps {
     * count is >= the split threshold; emit work units (cell, level, size). */
   private def i3(s: SparkSession, d: String): DataFrame = {
     val k = col("c_custkey")
-    // cache barrier: three consumers (two count aggs + the join) would each
-    // re-derive the expensive OLC encode into a 1-task scan stage via
-    // inferred isnotnull join-key filters
-    val pts = spread(Tables.customer(s, d).select("c_custkey")).select(
-      graft.geo.GeoFunctions.olcEncode(Synth.lat(k), Synth.lon(k), 6).as("tile6"))
+    // ONE pass over the points (the finest-level count); every coarser
+    // level is a rollup of that tiny tile relation, so the expensive OLC
+    // encode runs once and nothing point-sized is joined or re-aggregated.
+    // No cache barrier: the three consumers share the aggregation's
+    // shuffle via exchange reuse, which (unlike the point-set cache this
+    // replaced) also holds on a 1000-executor cluster.
+    val c6 = spread(Tables.customer(s, d).select("c_custkey")).select(
+        graft.geo.GeoFunctions.olcEncode(Synth.lat(k), Synth.lon(k), 6).as("tile6"))
+      .groupBy("tile6").agg(count(lit(1)).as("cnt6"))
       .withColumn("tile4", substring(col("tile6"), 1, 4))
       .withColumn("tile2", substring(col("tile6"), 1, 2))
-      .cache()
-    val c2 = pts.groupBy("tile2").agg(count(lit(1)).as("cnt2"))
-    val c4 = pts.groupBy("tile4").agg(count(lit(1)).as("cnt4"))
-    pts.join(broadcast(c2), "tile2").join(broadcast(c4), "tile4")
+    val c2 = c6.groupBy("tile2").agg(sum("cnt6").as("cnt2"))
+    val c4 = c6.groupBy("tile4").agg(sum("cnt6").as("cnt4"))
+    c6.join(broadcast(c2), "tile2").join(broadcast(c4), "tile4")
       .withColumn("cell",
         when(col("cnt2") < 25, col("tile2"))
           .when(col("cnt4") < 25, col("tile4"))
           .otherwise(col("tile6")))
       .groupBy("cell")
-      .agg(count(lit(1)).as("n_points"))
+      .agg(sum("cnt6").as("n_points"))
       .withColumn("level", length(col("cell")).cast("int"))
       .orderBy("cell")
   }
