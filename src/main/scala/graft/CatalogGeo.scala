@@ -89,6 +89,25 @@ object CatalogGeo {
       .orderBy("a_key", "b_key")
   }
 
+  /** D2/D3-family distance join in its NAIVE form — a plain inner join
+    * whose only spatial predicate is `haversine_m(...) < r` — relying on
+    * graft.plans.HaversineJoinRule to rewrite it into the tile-bucketed
+    * equi-join GeoJoins builds by hand. HaversineJoinRuleSpec pins the
+    * rewritten plan shape (no nested-loop) and brute-force parity. */
+  private def d9(s: SparkSession, d: String): DataFrame = {
+    graft.plans.HaversineJoinRule.register(s)
+    val a = Tables.events(s, d).select(col("event_id"),
+      synthLat(col("event_id")).as("a_lat"), synthLon(col("event_id")).as("a_lon"))
+    val b = customerGeo(s, d).select(col("c_custkey"),
+      col("lat").as("b_lat"), col("lon").as("b_lon"))
+    a.join(b, GeoFunctions.haversineM(col("a_lat"), col("a_lon"),
+        col("b_lat"), col("b_lon")) < lit(60000.0))
+      .select(col("event_id"), col("c_custkey"),
+        round(GeoFunctions.haversineM(col("a_lat"), col("a_lon"),
+          col("b_lat"), col("b_lon")), 1).as("dist_m"))
+      .orderBy("event_id", "c_custkey")
+  }
+
   /** G3 mercator tile numbers (OsmMapUtils.java:41-59). */
   private def g3(s: SparkSession, d: String): DataFrame =
     customerGeo(s, d)
@@ -199,6 +218,18 @@ object CatalogGeo {
               |FROM g a JOIN g b ON a.k < b.k
               |WHERE ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} < 100000.0
               |ORDER BY a_key, b_key""".stripMargin)),
+    Q("d9_radius_join_rule", d9,
+      Some(s"""WITH a AS (
+              |  SELECT event_id, (${synthLatSql.format("event_id")}) AS a_lat,
+              |         (${synthLonSql.format("event_id")}) AS a_lon
+              |  FROM events),
+              |b AS (
+              |  SELECT c_custkey, ($custLatSql) AS b_lat, ($custLonSql) AS b_lon
+              |  FROM customer)
+              |SELECT a.event_id, b.c_custkey,
+              |       round(${havSql("a.a_lat", "a.a_lon", "b.b_lat", "b.b_lon")}, 1) AS dist_m
+              |FROM a JOIN b ON ${havSql("a.a_lat", "a.a_lon", "b.b_lat", "b.b_lon")} < 60000.0
+              |ORDER BY event_id, c_custkey""".stripMargin)),
     Q("g3_mercator_tiles", g3,
       Some(s"""SELECT c_custkey,
               |  CAST(floor((($custLonSql) + 180.0) / 360.0 * pow(2.0, 10.0)) AS BIGINT) AS tile_x,

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
-import graft.functions.{CosineSim, OlcEncodeExpr, SortedIntersectSize}
+import graft.functions.{CosineSim, HaversineM, OlcEncodeExpr, OlcRing, SortedIntersectSize}
+import graft.plans.HaversineJoinRule
 
 /** Session-extension injector for the engine's native SQL functions, so a
   * cluster deployment gets them in EVERY session (including thrift/Connect
@@ -35,5 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("haversine_m"), HaversineM.info, HaversineM.builder))
+    ext.injectFunction((
+      FunctionIdentifier("olc_ring"), OlcRing.info,
+      (exprs: Seq[Expression]) => OlcRing(exprs.head)))
+    // naive `haversine_m(...) < r` join conditions → tile-bucketed equi-joins
+    ext.injectOptimizerRule(_ => HaversineJoinRule)
   }
 }

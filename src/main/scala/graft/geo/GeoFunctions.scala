@@ -19,13 +19,15 @@ object GeoFunctions {
   val EarthRadiusKm = 6372.8
 
   /** Great-circle distance in meters, identical formula to the reference
-    * (OsmMapUtils.java:99-110), composed from codegen'd builtins. */
+    * (OsmMapUtils.java:99-110). Native codegen expression
+    * (graft.functions.HaversineM) — same doubles as the previous
+    * builtin-composed Column, but a single compact node that
+    * graft.plans.HaversineJoinRule can pattern-match in join conditions. */
   def haversineM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
-    val dLat = radians(lat2 - lat1)
-    val dLon = radians(lon2 - lon1)
-    val a = pow(sin(dLat / 2), 2) +
-      pow(sin(dLon / 2), 2) * cos(radians(lat1)) * cos(radians(lat2))
-    lit(2 * EarthRadiusKm * 1000.0) * asin(sqrt(a))
+    graft.functions.HaversineM.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("haversine_m", lat1.cast("double"), lon1.cast("double"),
+      lat2.cast("double"), lon2.cast("double"))
   }
 
   /** Scalar form of [[haversineM]] for row-local kernels (same formula and
