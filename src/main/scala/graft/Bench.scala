@@ -43,14 +43,27 @@ object Bench {
       val warm = timed(name, fn)
       (name, cold, warm)
     }
+    // ONE compact JSON line: the driver captures only a bounded tail of
+    // stdout, and r01/r02 proved a full-precision cold+warm dump (~6 KB)
+    // gets front-truncated past parseability ("parsed": null). Three
+    // decimals × one map keeps the line ~2 KB; the full cold/warm detail
+    // goes to a file for local iteration instead.
+    def r3(v: Double) = math.rint(v * 1000) / 1000
     def toJson(xs: Seq[(String, Double)]) =
-      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      xs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val qs = toJson(results.map(r => (r._1, r._2)))
     val qsWarm = toJson(results.map(r => (r._1, r._3)))
-    val total = results.map(_._2).sum
-    val totalWarm = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""value_warm":$totalWarm,"queries_warm":$qsWarm,"sf":"$sfDir"}""")
+    val total = r3(results.map(_._2).sum)
+    val totalWarm = r3(results.map(_._3).sum)
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    val detail = s"""{"value_warm":$totalWarm,"queries_warm":$qsWarm,""" +
+      s""""queries_cold":$qs,"sf_dir":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_detail.json"),
+        detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }
