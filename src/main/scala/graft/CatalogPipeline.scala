@@ -183,6 +183,42 @@ object CatalogPipeline {
           _.cast("string")), "-").as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Duplicated-span scrub over the near-dup corpus (original and perturbed
+    * copy share almost every 10-word span, so the rule has real work). */
+  private def p18(s: SparkSession, d: String): DataFrame =
+    Dedup.spanScrub(nearCorpus(s, d), "doc_id", "text", spanWords = 10)
+      .orderBy("doc_id")
+
+  /** PII corpus: deterministic e-mail / phone / IPv4 tokens appended to a
+    * subset of docs, so the scrub has known positives in both engines. */
+  private def piiCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 256, lit(".1")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-0199"))
+          .otherwise(lit(""))).as("text"))
+
+  // NB: no line may start with "||" — this string is re-embedded in a
+  // stripMargin oracle, which would eat the first bar of the operator
+  private val piiCorpusSql =
+    """SELECT doc_id, text ||
+      | CASE WHEN doc_id % 7 = 0
+      |      THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+      | CASE WHEN doc_id % 5 = 0
+      |      THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END ||
+      | CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199' ELSE '' END AS text
+      |FROM documents""".stripMargin
+
+  private def p19(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TextAnalysis.piiScrub(piiCorpus(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   // ---- corpus shaping ------------------------------------------------------
 
   /** Deterministic stratified rebalance: every language down-sampled to the
@@ -519,6 +555,41 @@ object CatalogPipeline {
              |SELECT l.doc_id, l.source, l.n_tokens,
              |  CAST(l.local_chunk + bb.chunk_base AS BIGINT) AS chunk_id, l."offset"
              |FROM l JOIN bb USING (source) ORDER BY doc_id""".stripMargin)),
+    Q("p18_span_scrub", p18,
+      Some(s"""WITH corpus AS ($nearCorpusSql),
+              |w AS (SELECT doc_id,
+              |        list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              |      FROM corpus),
+              |sp AS (SELECT doc_id,
+              |         unnest(list_transform(range(((len(ws) - 1) // 10) + 1),
+              |           i -> {'idx': i,
+              |                 'span': array_to_string(
+              |                   ws[CAST(i*10+1 AS INT) : CAST(i*10+10 AS INT)], ' ')})) AS s
+              |       FROM w WHERE len(ws) > 0),
+              |flat AS (SELECT doc_id, s.idx AS span_idx, s.span AS span,
+              |                md5(s.span) AS span_hash FROM sp),
+              |freq AS (SELECT span_hash, count(DISTINCT doc_id) AS n_docs
+              |         FROM flat GROUP BY span_hash)
+              |SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+              |  CAST(count(CASE WHEN n_docs > 1 THEN 1 END) AS INT) AS n_dropped,
+              |  md5(coalesce(array_to_string(
+              |    list(span ORDER BY span_idx) FILTER (WHERE n_docs = 1),
+              |    ' '), '')) AS clean_hash
+              |FROM flat JOIN freq USING (span_hash)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    Q("p19_pii_scrub", p19,
+      Some(s"""WITH corpus AS ($piiCorpusSql)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text,
+              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+              |  CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b')) AS INT) AS n_phones,
+              |  CAST(len(regexp_extract_all(text,
+              |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ips,
+              |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+              |    '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS clean_hash
+              |FROM corpus ORDER BY doc_id""".stripMargin)),
     Q("p16_winnow", p16,
       // grams: hash chars j+1..j+k; windows: min over grams [i, i+w)
       Some("""WITH g AS (SELECT doc_id, text, length(text) AS n FROM documents),

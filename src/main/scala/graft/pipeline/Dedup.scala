@@ -223,6 +223,53 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Duplicated-span scrub (the RefinedWeb/C4 "remove repeated lines"
+    * rule, formulated over fixed-width word spans because the corpus has
+    * no line structure): chop every document into consecutive
+    * `spanWords`-word spans, count in how many distinct documents each
+    * span occurs corpus-wide, and drop every span seen in more than one
+    * document. Emits per doc: span count, dropped count, and the md5 of
+    * the scrubbed text (spans rejoined in document order).
+    *
+    * Scale: only (doc_id, span_idx, 32-char span hash) rows shuffle to the
+    * frequency aggregation and back — never full documents; the rebuild
+    * groups by doc_id, whose group size is bounded by document length.
+    * Intra-document repeats are NOT dropped (n_docs counts distinct docs)
+    * — that's the reference rule's semantics, not an accident. */
+  def spanScrub(df: DataFrame, idCol: String, textCol: String,
+                spanWords: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // same two load-bearing exchanges as ngramJaccardPairs: spread the
+    // per-row lambdas off the tiny scan, then a barrier so CollapseProject
+    // can't inline `words` into every slice()
+    val d = df.repartition(par)
+      .select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " "), w => w =!= "").as("words"))
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"),
+        when(size(col("words")) < 1, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), ((size(col("words")) - 1) / lit(spanWords)).cast("int")),
+            i => array_join(slice(col("words"), i * spanWords + 1, lit(spanWords)), " ")))
+          .as("spans"))
+    val spans = d.select(col("doc_id"), posexplode(col("spans")))
+      .toDF("doc_id", "span_idx", "span")
+      .withColumn("span_hash", md5(col("span")))
+    val freq = spans.groupBy("span_hash")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    spans.join(freq, "span_hash")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_spans"),
+        sum(when(col("n_docs") > 1, 1).otherwise(0)).cast("int").as("n_dropped"),
+        // collect_list skips the nulls the `when` leaves for dropped spans;
+        // the struct sort restores document order before the rejoin
+        md5(array_join(transform(
+          array_sort(collect_list(
+            when(col("n_docs") === 1, struct(col("span_idx"), col("span"))))),
+          s => s.getField("span")), " ")).as("clean_hash"))
+  }
+
   /** Dedup resolution: near-dup PAIRS (from any of the generators above)
     * become duplicate CLUSTERS via connected components, and each cluster
     * keeps exactly one representative — the minimum doc id (swap in a

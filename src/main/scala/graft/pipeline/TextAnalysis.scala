@@ -94,6 +94,30 @@ object TextAnalysis {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** PII patterns shared by the scrub and its oracle: plain ASCII regexes
+    * that mean the same thing to Java regex (Spark) and RE2 (DuckDB). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub for corpus curation: counts and redacts emails, short phone
+    * numbers, and IPv4 literals. Map-only builtin regexes — one codegen'd
+    * scan at any scale, no UDF. Emails are replaced first so an address's
+    * host part can't later half-match the IP pattern. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    df.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ips"),
+      md5(clean).as("clean_hash"))
+  }
+
   /** Winnowing fingerprint: minimum rolling polynomial hash over character
     * k-grams (k=16). Robust to word order only at gram granularity; pure
     * Scala for use in a UDF. */

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Semantics of the corpus-curation scrub operators on hand-built inputs
+  * with known expected outputs: duplicated-span removal (RefinedWeb/C4
+  * rule over fixed-width spans) and PII redaction. */
+class CurationScrubSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("curation-scrub")
+    .getOrCreate()
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("spanScrub drops exactly the spans shared across documents") {
+    import spark.implicits._
+    // spans of width 2: doc 1 = [a b][c d][e f], doc 2 = [a b][x y],
+    // doc 3 = [c d] [c d] (intra-doc repeat, unique to doc 3)
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b x y"),
+      (3L, "c d c d")).toDF("id", "text")
+    val got = Dedup.spanScrub(df, "id", "text", spanWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // doc 1 loses [a b] (shared with 2) and [c d] (shared with 3)
+    assert(got(1L) === ((3, 2, md5Hex("e f"))))
+    // doc 2 loses [a b], keeps [x y]
+    assert(got(2L) === ((2, 1, md5Hex("x y"))))
+    // doc 3: [c d] appears in docs 1 and 3 → dropped twice → empty text;
+    // the intra-doc repeat alone would NOT have dropped it (n_docs counts
+    // distinct documents)
+    assert(got(3L) === ((2, 2, md5Hex(""))))
+  }
+
+  test("spanScrub keeps intra-document repeats when no other doc shares the span") {
+    import spark.implicits._
+    val df = Seq((1L, "p q p q"), (2L, "r s t u")).toDF("id", "text")
+    val got = Dedup.spanScrub(df, "id", "text", spanWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2, 0, md5Hex("p q p q"))))
+    assert(got(2L) === ((2, 0, md5Hex("r s t u"))))
+  }
+
+  test("spanScrub: short docs form one partial span; width divides evenly too") {
+    import spark.implicits._
+    val df = Seq((1L, "solo"), (2L, "a b c d")).toDF("id", "text")
+    val got = Dedup.spanScrub(df, "id", "text", spanWords = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got(1L) === ((1, 0))) // one 1-word span, nothing dropped
+    assert(got(2L) === ((2, 0))) // exactly two full spans, no ghost third
+  }
+
+  test("piiScrub counts and redacts emails, phones, IPv4; order prevents half-matches") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to jane.doe+x@mail.example.org or call 555-0199"),
+      (2L, "server at 192.168.0.1 and 10.0.42.1 no mail"),
+      (3L, "clean text only")).toDF("id", "text")
+    val got = TextAnalysis.piiScrub(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(1L) === ((1, 1, 0, md5Hex("write to <EMAIL> or call <PHONE>"))))
+    assert(got(2L) === ((0, 0, 2, md5Hex("server at <IP> and <IP> no mail"))))
+    assert(got(3L) === ((0, 0, 0, md5Hex("clean text only"))))
+  }
+}
