@@ -219,6 +219,13 @@ object CatalogPipeline {
     graft.pipeline.TextAnalysis.piiScrub(piiCorpus(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Gopher repetition signals over the raw documents table — the small
+    * vocabulary makes repeated 2/3-grams common, so the rule has teeth. */
+  private def p20(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TextAnalysis.repetitionSignals(
+        Tables.documents(s, d), "doc_id", "text", ns = Seq(2, 3))
+      .orderBy("doc_id")
+
   // ---- corpus shaping ------------------------------------------------------
 
   /** Deterministic stratified rebalance: every language down-sampled to the
@@ -590,6 +597,47 @@ object CatalogPipeline {
               |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
               |    '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS clean_hash
               |FROM corpus ORDER BY doc_id""".stripMargin)),
+    Q("p20_rep_signals", p20,
+      Some("""WITH w AS (SELECT doc_id,
+             |            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |          FROM documents),
+             |base AS (SELECT doc_id, ws,
+             |           coalesce(list_sum(list_transform(ws, x -> length(x)::BIGINT)), 0)
+             |             AS n_chars
+             |         FROM w),
+             |g2 AS (SELECT doc_id, n_chars, 2 AS n,
+             |         unnest(list_transform(range(len(ws) - 1),
+             |           i -> {'g': ws[i+1] || ' ' || ws[i+2],
+             |                 'len': length(ws[i+1]) + length(ws[i+2])})) AS s
+             |       FROM base WHERE len(ws) >= 2),
+             |g3 AS (SELECT doc_id, n_chars, 3 AS n,
+             |         unnest(list_transform(range(len(ws) - 2),
+             |           i -> {'g': ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3],
+             |                 'len': length(ws[i+1]) + length(ws[i+2]) + length(ws[i+3])})) AS s
+             |       FROM base WHERE len(ws) >= 3),
+             |u AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+             |pg AS (SELECT doc_id, n_chars, n, s.g AS g,
+             |         count(*) AS occ, max(s.len) AS len
+             |       FROM u GROUP BY doc_id, n_chars, n, s.g),
+             |pd AS (SELECT doc_id, n_chars,
+             |         max(CASE WHEN n = 2 THEN occ * len END) AS top_2,
+             |         sum(CASE WHEN n = 2 AND occ > 1 THEN occ * len ELSE 0 END) AS dup_2,
+             |         max(CASE WHEN n = 3 THEN occ * len END) AS top_3,
+             |         sum(CASE WHEN n = 3 AND occ > 1 THEN occ * len ELSE 0 END) AS dup_3
+             |       FROM pg GROUP BY doc_id, n_chars)
+             |SELECT d.doc_id,
+             |  coalesce(CASE WHEN pd.n_chars > 0 THEN
+             |    round(least(coalesce(top_2, 0)::DOUBLE / pd.n_chars, 1.0), 6) END, 0.0)
+             |    AS top_2gram_frac,
+             |  coalesce(CASE WHEN pd.n_chars > 0 THEN
+             |    round(least(dup_2::DOUBLE / pd.n_chars, 1.0), 6) END, 0.0) AS dup_2gram_frac,
+             |  coalesce(CASE WHEN pd.n_chars > 0 THEN
+             |    round(least(coalesce(top_3, 0)::DOUBLE / pd.n_chars, 1.0), 6) END, 0.0)
+             |    AS top_3gram_frac,
+             |  coalesce(CASE WHEN pd.n_chars > 0 THEN
+             |    round(least(dup_3::DOUBLE / pd.n_chars, 1.0), 6) END, 0.0) AS dup_3gram_frac
+             |FROM documents d LEFT JOIN pd USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
     Q("p16_winnow", p16,
       // grams: hash chars j+1..j+k; windows: min over grams [i, i+w)
       Some("""WITH g AS (SELECT doc_id, text, length(text) AS n FROM documents),

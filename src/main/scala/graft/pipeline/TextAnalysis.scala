@@ -118,6 +118,73 @@ object TextAnalysis {
       md5(clean).as("clean_hash"))
   }
 
+  /** Within-document repetition signals (the Gopher/MassiveText quality
+    * rules, Rae et al. 2021 §A1.1): for each n in `ns`, the fraction of
+    * characters contained in word n-grams that occur more than once in the
+    * document. A high duplicate-n-gram fraction marks boilerplate and
+    * machine-generated spam.
+    *
+    * Distributed shape: explode to (doc_id, n, gram) — grams hashed to
+    * 64-bit before the shuffle — count per key, and aggregate the
+    * duplicated fraction back per doc. Only hashes shuffle; document text
+    * stays in its scan partition. The word count rides along so callers
+    * can threshold like the paper (e.g. drop docs with dup_2gram > 0.2). */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, ns: Seq[Int] = Seq(2, 3)): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    // same exchange discipline as Dedup.ngramJaccardPairs: spread the
+    // per-row lambdas, then a barrier so the words array is materialized
+    // once instead of re-split per element
+    val base = df.repartition(par)
+      .select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " "), w => w =!= "").as("words"))
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), col("words"),
+        // chars-in-words denominator: total word chars (separators excluded,
+        // so the fractions are length-weighted over content, not layout)
+        aggregate(col("words"), lit(0L), (a, w) => a + length(w)).as("n_chars"))
+    val gramRows = ns.map { n =>
+      // NON-distinct n-grams, each with its char length (sum of member
+      // word lengths) — repetition needs every occurrence, so this is NOT
+      // ngramsOfWords (which deduplicates)
+      val grams = when(size(col("words")) < n, array().cast("array<struct<h:bigint,len:bigint>>"))
+        .otherwise(transform(sequence(lit(0), size(col("words")) - n),
+          i => struct(
+            xxhash64(concat_ws(" ",
+              (0 until n).map(j => element_at(col("words"), i + j + 1)): _*)).as("h"),
+            (0 until n).map(j => length(element_at(col("words"), i + j + 1)).cast("long"))
+              .reduce(_ + _).as("len"))))
+      base.select(col("doc_id"), col("n_chars"), lit(n).as("n"),
+        explode(grams).as("g"))
+    }.reduce(_ unionByName _)
+    val perGram = gramRows
+      .groupBy(col("doc_id"), col("n_chars"), col("n"), col("g.h").as("h"))
+      .agg(count(lit(1)).as("occ"), max(col("g.len")).as("len"))
+    // one conditional aggregation instead of pivot+joins: per doc, for each
+    // n, the char coverage of the single most-repeated gram (Gopher's exact
+    // small-n rule) and of all duplicated grams (the standard
+    // no-overlap-correction approximation, clamped to 1)
+    val aggs = ns.flatMap { n =>
+      Seq(
+        max(when(col("n") === n, col("occ") * col("len"))).as(s"top_$n"),
+        sum(when(col("n") === n && col("occ") > 1, col("occ") * col("len"))
+          .otherwise(0L)).as(s"dup_$n"))
+    }
+    val perDoc = perGram.groupBy("doc_id", "n_chars").agg(aggs.head, aggs.tail: _*)
+    def frac(c: Column) = when(col("n_chars") > 0,
+      round(least(c.cast("double") / col("n_chars"), lit(1.0)), 6)).otherwise(0.0)
+    val signals = perDoc.select(col("doc_id") +: ns.flatMap(n => Seq(
+      frac(coalesce(col(s"top_$n"), lit(0L))).as(s"top_${n}gram_frac"),
+      frac(col(s"dup_$n")).as(s"dup_${n}gram_frac"))): _*)
+    // docs shorter than min(ns) words produce no gram rows at all — keep
+    // them in the signal table with all-zero fractions
+    df.select(col(idCol).as("doc_id")).join(signals, Seq("doc_id"), "left")
+      .select(col("doc_id") +: ns.flatMap(n => Seq(
+        coalesce(col(s"top_${n}gram_frac"), lit(0.0)).as(s"top_${n}gram_frac"),
+        coalesce(col(s"dup_${n}gram_frac"), lit(0.0)).as(s"dup_${n}gram_frac"))): _*)
+  }
+
   /** Winnowing fingerprint: minimum rolling polynomial hash over character
     * k-grams (k=16). Robust to word order only at gram granularity; pure
     * Scala for use in a UDF. */

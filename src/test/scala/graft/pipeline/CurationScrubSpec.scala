@@ -60,6 +60,23 @@ class CurationScrubSpec extends AnyFunSuite {
     assert(got(2L) === ((2, 0))) // exactly two full spans, no ghost third
   }
 
+  test("repetitionSignals: hand-computed Gopher fractions") {
+    import spark.implicits._
+    // doc 1: "ab cd ab cd ef" — words chars = 10
+    //   2-grams: [ab cd]x2, [cd ab]x1, [cd ef]x1 → top2 = 2*4=8, dup2 = 8
+    //   3-grams: all distinct → top3 = 6, dup3 = 0
+    // doc 2: one word → no grams, all zeros
+    // doc 3: "x x x" — chars=3; 2-grams [x x]x2 → top2=dup2=4 → clamp to 1.0
+    val df = Seq((1L, "ab cd ab cd ef"), (2L, "solo"), (3L, "x x x"))
+      .toDF("id", "text")
+    val got = TextAnalysis.repetitionSignals(df, "id", "text", Seq(2, 3))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) === ((0.8, 0.8, 0.6, 0.0)))
+    assert(got(2L) === ((0.0, 0.0, 0.0, 0.0)))
+    assert(got(3L) === ((1.0, 1.0, 1.0, 0.0)))
+  }
+
   test("piiScrub counts and redacts emails, phones, IPv4; order prevents half-matches") {
     import spark.implicits._
     val df = Seq(
