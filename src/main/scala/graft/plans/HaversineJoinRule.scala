@@ -20,9 +20,10 @@ import graft.functions.{HaversineM, OlcEncodeExpr, OlcRing}
   * work splitting (OsmSyncBot.java:503-535).
   *
   * This rule turns that join into the shape [[graft.geo.GeoJoins]] builds
-  * by hand: the left side is exploded to its 3×3 OLC-cell neighbor ring ×
-  * 3 adjacent latitude bands (27 keys), the right side keeps its single
-  * (cell, band), and the join becomes a hash/sort-merge equi-join on
+  * by hand: the side the stats estimate as smaller is exploded to its 3×3
+  * OLC-cell neighbor ring × 3 adjacent latitude bands (27 keys — the 27×
+  * amplification belongs on the cheaper side), the other side keeps its
+  * single (cell, band), and the join becomes a hash/sort-merge equi-join on
   * those keys with the original haversine predicate kept as the exact
   * post-filter. Coverage argument (same as GeoJoins.pairsWithin):
   * d < r ⇒ Δlat ≤ r/111,000 m/° = one band, and for r ≤ 190 km the
@@ -113,17 +114,31 @@ object HaversineJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     def bandOf(lat: Expression) =
       Floor(Divide(Cast(lat, DoubleType), Literal(bandDeg)))
 
-    // left (probe): project the home cell/band, explode ring × band window
-    val cell0 = Alias(cellOf(m.latL, m.lonL), Prefix + "cell0")()
-    val band0 = Alias(bandOf(m.latL), Prefix + "band0")()
-    val projL = Project(j.left.output :+ cell0 :+ band0, j.left)
+    // Explode the side the stats estimate as SMALLER: the ring × band
+    // explode is a 27× row amplification, and 27×|small| beats 27×|big| —
+    // at cluster scale exploding a 100 TB probe against a 1 GB build would
+    // be the wrong plan by five orders of magnitude. Coverage is symmetric
+    // (if |a.band - b.band| ≤ 1 then b's window contains a's home band and
+    // vice versa), so correctness doesn't depend on the choice. Ties (or
+    // missing stats, which surface as equal defaults) explode the left,
+    // matching the hand-built GeoJoins shape.
+    val explodeLeft = j.left.stats.sizeInBytes <= j.right.stats.sizeInBytes
+    val (probe, probeLat, probeLon) =
+      if (explodeLeft) (j.left, m.latL, m.lonL) else (j.right, m.latR, m.lonR)
+    val (build, buildLat, buildLon) =
+      if (explodeLeft) (j.right, m.latR, m.lonR) else (j.left, m.latL, m.lonL)
+
+    // probe: project the home cell/band, explode ring × band window
+    val cell0 = Alias(cellOf(probeLat, probeLon), Prefix + "cell0")()
+    val band0 = Alias(bandOf(probeLat), Prefix + "band0")()
+    val projP = Project(probe.output :+ cell0 :+ band0, probe)
 
     val ringGen = Explode(OlcRing(cell0.toAttribute))
     val cellA = attrFor(ringGen, Prefix + "cell")
     // cell0 is consumed by the generator; don't carry it further
     val genCell = Generate(ringGen,
-      Seq(projL.output.indexWhere(_.exprId == cell0.exprId)),
-      outer = false, None, Seq(cellA), projL)
+      Seq(projP.output.indexWhere(_.exprId == cell0.exprId)),
+      outer = false, None, Seq(cellA), projP)
 
     val b0 = band0.toAttribute
     val bandGen = Explode(CreateArray(Seq(
@@ -133,16 +148,17 @@ object HaversineJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       Seq(genCell.output.indexWhere(_.exprId == band0.exprId)),
       outer = false, None, Seq(bandA), genCell)
 
-    // right (build): single home key per row
-    val cellB = Alias(cellOf(m.latR, m.lonR), Prefix + "cellR")()
-    val bandB = Alias(bandOf(m.latR), Prefix + "bandR")()
-    val projR = Project(j.right.output :+ cellB :+ bandB, j.right)
+    // build: single home key per row
+    val cellB = Alias(cellOf(buildLat, buildLon), Prefix + "cellR")()
+    val bandB = Alias(bandOf(buildLat), Prefix + "bandR")()
+    val projB = Project(build.output :+ cellB :+ bandB, build)
 
     // equi keys in front (ExtractEquiJoinKeys finds them), original
     // condition — including the haversine conjunct — kept verbatim
     val newCond = And(And(EqualTo(cellA, cellB.toAttribute),
       EqualTo(bandA, bandB.toAttribute)), j.condition.get)
-    Project(j.output, Join(genBand, projR, Inner, Some(newCond), j.hint))
+    val (newL, newR) = if (explodeLeft) (genBand, projB) else (projB, genBand)
+    Project(j.output, Join(newL, newR, Inner, Some(newCond), j.hint))
   }
 
   /** Generator-output attribute with the generator's element type and

@@ -93,6 +93,39 @@ class HaversineJoinRuleSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("the smaller side gets the 27x explode, whichever side it is") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val big = (0L until 5000L).map(i => (i, (i % 60).toDouble / 4.0, (i % 90).toDouble / 4.0))
+      .toDF("bk", "blat", "blon")
+    val small = (0L until 20L).map(i => (i, i.toDouble, i.toDouble / 2.0))
+      .toDF("sk", "slat", "slon")
+    def explodedSideCols(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+      assert(gens.nonEmpty, s"rule did not fire:\n${df.queryExecution.optimizedPlan}")
+      gens.flatMap(_.child.output.map(_.name)).toSet
+    }
+    // small on the right → right side explodes
+    val j1 = big.join(small,
+      GeoFunctions.haversineM($"blat", $"blon", $"slat", $"slon") < lit(50000.0))
+    assert(explodedSideCols(j1).contains("sk"))
+    assert(!explodedSideCols(j1).contains("bk"))
+    // small on the left → still the small side explodes
+    val j2 = small.join(big,
+      GeoFunctions.haversineM($"blat", $"blon", $"slat", $"slon") < lit(50000.0))
+    assert(explodedSideCols(j2).contains("sk"))
+    assert(!explodedSideCols(j2).contains("bk"))
+    // and both orientations return the same exact pair set
+    val got1 = j1.select($"bk", $"sk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got2 = j2.select($"bk", $"sk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      (bk, blat, blon) <- (0L until 5000L).map(i => (i, (i % 60).toDouble / 4.0, (i % 90).toDouble / 4.0))
+      (sk, slat, slon) <- (0L until 20L).map(i => (i, i.toDouble, i.toDouble / 2.0))
+      if GeoFunctions.haversineMScalar(blat, blon, slat, slon) < 50000.0
+    } yield (bk, sk)).toSet
+    assert(got1 === expect && got2 === expect)
+  }
+
   test("radius beyond the single-ring bound is left alone") {
     import spark.implicits._
     val pts = points.toDF("k", "lat", "lon")
