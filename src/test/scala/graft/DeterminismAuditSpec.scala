@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Partition-count invariance audit: every result the engine reports must
+  * be a pure function of the DATA, not of how Spark happened to split it.
+  * On a cluster, partition counts change with input size, AQE decisions,
+  * and executor counts — an operator whose output shifts with
+  * `spark.sql.shuffle.partitions` (order-dependent aggregation, first/last
+  * without a frame, greedy per-partition logic) silently corrupts results
+  * at scale while passing any single-configuration test.
+  *
+  * The audited subset is the order-sensitive surface: window/sessionize
+  * logic, collect_list folds, connected components, greedy clustering,
+  * tiered matching, sketches, and the sequence packer. Coprime odd
+  * partition counts (3, 13) maximize the reshuffling between runs.
+  */
+class DeterminismAuditSpec extends AnyFunSuite {
+
+  private val Audited = Seq(
+    "c1_field_diff", "c7_last_wins_dedup", "d5_tiered_match", "e5_weighted_avg",
+    "h5_ordered_distinct", "i1_merge_groups", "i2_sessionize",
+    "i3_adaptive_split", "p15_seq_pack", "p17_dedup_resolve", "p18_span_scrub",
+    "p20_rep_signals", "pl2_ops_fold", "pl3_history_cluster",
+    "pl4_merge_scoring", "x1_sketch_distinct", "x2_sketch_quantile")
+
+  private def runAll(partitions: Int): Map[String, Seq[String]] = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName(s"determinism-audit-$partitions")
+      .getOrCreate()
+    try {
+      val sf = "/root/testdata/sf0.001"
+      Audited.map { name =>
+        val rows = QueryCatalog.queries(name)(spark, sf)
+          .collect().map(_.toString).toSeq
+        name -> rows
+      }.toMap
+    } finally spark.stop()
+  }
+
+  test("order-sensitive queries return identical rows at 3 and 13 shuffle partitions") {
+    val a = runAll(3)
+    val b = runAll(13)
+    val diffs = Audited.filter(n => a(n) != b(n))
+    val detail = diffs.headOption.map { n =>
+      s"; e.g. $n only@3=${a(n).diff(b(n)).take(3)} only@13=${b(n).diff(a(n)).take(3)}"
+    }.getOrElse("")
+    assert(diffs.isEmpty, s"partition-dependent results in $diffs$detail")
+  }
+}
