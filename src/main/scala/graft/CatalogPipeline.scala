@@ -219,6 +219,16 @@ object CatalogPipeline {
     graft.pipeline.TextAnalysis.piiScrub(piiCorpus(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Contamination screen: benchmark = every 97th doc (deterministic ~1%
+    * eval set); the small shared vocabulary gives realistic partial
+    * overlap, and the benchmark docs themselves screen at 1.0. */
+  private def p21(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.contaminationFlags(docs, docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5, minFrac = 0.3)
+      .orderBy("doc_id")
+  }
+
   /** Gopher repetition signals over the raw documents table — the small
     * vocabulary makes repeated 2/3-grams common, so the rule has teeth. */
   private def p20(s: SparkSession, d: String): DataFrame =
@@ -597,6 +607,36 @@ object CatalogPipeline {
               |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
               |    '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS clean_hash
               |FROM corpus ORDER BY doc_id""".stripMargin)),
+    Q("p21_contamination", p21,
+      Some("""WITH w AS (SELECT doc_id,
+             |            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |          FROM documents),
+             |g AS (SELECT doc_id,
+             |        CASE WHEN len(ws) >= 5 THEN
+             |          list_distinct(list_transform(range(len(ws) - 4),
+             |            i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+             |                 || ' ' || ws[i+4] || ' ' || ws[i+5]))
+             |        ELSE []::VARCHAR[] END AS grams
+             |      FROM w),
+             |bset AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+             |         WHERE doc_id % 97 = 0),
+             |cg AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+             |       FROM g),
+             |hits AS (SELECT cg.doc_id, cg.n_grams,
+             |           count(b.gram) AS n_contaminated
+             |         FROM cg LEFT JOIN bset b USING (gram)
+             |         GROUP BY cg.doc_id, cg.n_grams)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(h.n_grams, 0) AS INT) AS n_grams,
+             |  CAST(coalesce(h.n_contaminated, 0) AS INT) AS n_contaminated,
+             |  coalesce(CASE WHEN h.n_grams > 0 THEN
+             |    round(h.n_contaminated::DOUBLE / h.n_grams, 6) END, 0.0)
+             |    AS contaminated_frac,
+             |  coalesce(CASE WHEN h.n_grams > 0 THEN
+             |    round(h.n_contaminated::DOUBLE / h.n_grams, 6) END, 0.0) >= 0.3
+             |    AS flagged
+             |FROM documents d LEFT JOIN hits h USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
     Q("p20_rep_signals", p20,
       Some("""WITH w AS (SELECT doc_id,
              |            list_filter(string_split(text, ' '), x -> x <> '') AS ws

@@ -270,6 +270,44 @@ object Dedup {
           s => s.getField("span")), " ")).as("clean_hash"))
   }
 
+  /** Benchmark-contamination screen (the n-gram-overlap decontamination
+    * rule of GPT-3/PaLM-style training pipelines): for every training
+    * document, the fraction of its distinct word n-grams that also occur
+    * anywhere in the benchmark set, plus a flag at `minFrac`.
+    *
+    * Scale shape: the benchmark side is the SMALL side by construction
+    * (eval sets are thousands of docs, the corpus is the 100 TB side) —
+    * its distinct gram hashes become a broadcast build side, the corpus
+    * explodes its grams map-side and joins without shuffling text, and
+    * only (doc_id, hit) pairs reach the per-doc count. */
+  def contaminationFlags(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int, minFrac: Double): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    def grams(df: DataFrame) = df.repartition(par)
+      .select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " "), w => w =!= "").as("words"))
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"),
+        transform(ngramsOfWords(col("words"), n), g => xxhash64(g)).as("grams"))
+    val benchGrams = grams(benchmark)
+      .select(explode(col("grams")).as("gram")).distinct()
+    // explode_outer: a doc shorter than n words keeps its row (null gram,
+    // zero hits) instead of silently vanishing from the screen table
+    val corpusGrams = grams(corpus)
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+    corpusGrams
+      .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(when(col("n_grams") > 0,
+          col("n_contaminated").cast("double") / col("n_grams")).otherwise(0.0), 6)
+          .as("contaminated_frac"))
+      .withColumn("flagged", col("contaminated_frac") >= minFrac)
+  }
+
   /** Dedup resolution: near-dup PAIRS (from any of the generators above)
     * become duplicate CLUSTERS via connected components, and each cluster
     * keeps exactly one representative — the minimum doc id (swap in a

@@ -77,6 +77,30 @@ class CurationScrubSpec extends AnyFunSuite {
     assert(got(3L) === ((1.0, 1.0, 1.0, 0.0)))
   }
 
+  test("contaminationFlags: overlap fractions against a benchmark set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 2-grams; benchmark doc 100 = "a b c" → bench grams {a b, b c}
+    val corpus = Seq(
+      (1L, "a b c d"),   // grams {a b, b c, c d} → 2/3 contaminated
+      (2L, "x y z"),     // grams {x y, y z} → 0
+      (3L, "zz"),        // no 2-grams → kept with zeros
+      (100L, "a b c")).toDF("id", "text")
+    val bench = corpus.where(col("id") === 100L)
+    val got = Dedup.contaminationFlags(corpus, bench, "id", "text", n = 2, minFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((3, 2, 0.666667, true)))
+    assert(got(2L) === ((2, 0, 0.0, false)))
+    assert(got(3L) === ((0, 0, 0.0, false)))
+    assert(got(100L) === ((2, 2, 1.0, true)))
+    // the benchmark side must be the broadcast build side: no shuffle of
+    // corpus text, and no sort-merge join in the plan
+    val plan = Dedup.contaminationFlags(corpus, bench, "id", "text", 2, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$plan")
+  }
+
   test("piiScrub counts and redacts emails, phones, IPv4; order prevents half-matches") {
     import spark.implicits._
     val df = Seq(
