@@ -200,7 +200,11 @@ object CatalogPlaces {
     * the group has a single closed place. */
   private def pl4(s: SparkSession, d: String): DataFrame = {
     // cache: four consumers (closed, active, 2x group stats) would each
-    // re-run the OLC tile encodes and struct assembly otherwise
+    // re-run the OLC tile encodes and struct assembly otherwise. Lazy on
+    // purpose: the four stages race to populate it (4x the compute), but
+    // with idle cores the races overlap and forcing materialization first
+    // (p.count()) only adds a serial pass — measured wall-neutral-to-worse
+    // here; flip on a contended cluster (see Dedup.ngramJaccardPairs).
     val p = placesTable(s, d)
       .withColumn("simple_name", lower(regexp_replace(col("name"), "[ -]", "")))
       .cache()

@@ -100,6 +100,12 @@ object Dedup {
           .as("grams"))
       .withColumn("sz", size(col("grams")))
       .cache()
+    // NB the lazy cache stampedes: the prefix leg and both verify-join
+    // legs submit stages concurrently and each shingles the corpus before
+    // any partition lands in cache. With idle cores (this bench) the
+    // races overlap and an eager g0.count() only ADDS a serial pass
+    // (measured +0.9 s warm at sf0.1); on a contended cluster flip this
+    // trade and force materialization first.
     // the sz guard sits ABOVE the cache barrier: pushed into the scan it
     // would inline the whole interpreted shingling pipeline into the
     // single-file parquet scan task and run it serially (measured 18s of a
@@ -174,6 +180,7 @@ object Dedup {
       .withColumn("hgrams", array_sort(transform(col("grams"), g => xxhash64(g))))
       .withColumn("sz", size(col("grams")))
       .cache()
+    // lazy on purpose — see the cache-stampede note in ngramJaccardPairs
     // gram-less docs can never pair. The guard sits ABOVE the cache barrier:
     // pushed below it, the size(grams) filter re-derives the interpreted
     // shingling pipeline inside the single-file parquet scan and runs it
