@@ -259,9 +259,15 @@ object Dedup {
             sequence(lit(0), ((size(col("words")) - 1) / lit(spanWords)).cast("int")),
             i => array_join(slice(col("words"), i * spanWords + 1, lit(spanWords)), " ")))
           .as("spans"))
+    // cache: spans feeds the frequency aggregation AND the join-back, and
+    // without it the whole shingle pipeline runs twice. No stampede risk
+    // here (unlike ngramJaccardPairs): the freq side ends in a broadcast,
+    // which must complete before the probe stage starts, so the two
+    // consumers are serialized anyway and the second reads the cache.
     val spans = d.select(col("doc_id"), posexplode(col("spans")))
       .toDF("doc_id", "span_idx", "span")
       .withColumn("span_hash", md5(col("span")))
+      .cache()
     val freq = spans.groupBy("span_hash")
       .agg(countDistinct("doc_id").as("n_docs"))
     spans.join(freq, "span_hash")
