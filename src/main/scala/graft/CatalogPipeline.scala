@@ -229,6 +229,13 @@ object CatalogPipeline {
       .orderBy("doc_id")
   }
 
+  /** Perplexity filter: bigram LM trained on the corpus itself, top-50
+    * vocab + unk, add-0.5 smoothing (TextAnalysis.bigramPerplexity). */
+  private def p22(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TextAnalysis.bigramPerplexity(
+        Tables.documents(s, d), "doc_id", "text", topK = 50, alpha = 0.5)
+      .orderBy("doc_id")
+
   /** Gopher repetition signals over the raw documents table — the small
     * vocabulary makes repeated 2/3-grams common, so the rule has teeth. */
   private def p20(s: SparkSession, d: String): DataFrame =
@@ -607,6 +614,35 @@ object CatalogPipeline {
               |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
               |    '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS clean_hash
               |FROM corpus ORDER BY doc_id""".stripMargin)),
+    Q("p22_perplexity", p22,
+      Some("""WITH w AS (SELECT doc_id,
+             |            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |          FROM documents),
+             |tok AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
+             |          SELECT doc_id, unnest(list_transform(range(len(ws)),
+             |            i -> {'pos': i, 'w': ws[i+1]})) AS t
+             |          FROM w)),
+             |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+             |vocab AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT 50),
+             |mapped AS (SELECT t.doc_id, t.pos,
+             |             CASE WHEN v.w IS NOT NULL THEN t.w ELSE '' END AS tok
+             |           FROM tok t LEFT JOIN vocab v USING (w)),
+             |big AS (SELECT doc_id, tok,
+             |          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS tok2
+             |        FROM mapped),
+             |bi AS (SELECT * FROM big WHERE tok2 IS NOT NULL),
+             |bc AS (SELECT tok, tok2, count(*) AS cb FROM bi GROUP BY tok, tok2),
+             |cu AS (SELECT tok, count(*) AS cuc FROM mapped GROUP BY tok),
+             |sc AS (SELECT bi.doc_id,
+             |         ln((bc.cb + 0.5) / (cu.cuc + 0.5 * 51)) AS logp
+             |       FROM bi JOIN bc USING (tok, tok2) JOIN cu USING (tok)),
+             |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+             |          round(exp(-avg(logp)), 6) AS perplexity
+             |        FROM sc GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS INT) AS n_bigrams,
+             |       coalesce(a.perplexity, 0.0) AS perplexity
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
     Q("p21_contamination", p21,
       Some("""WITH w AS (SELECT doc_id,
              |            list_filter(string_split(text, ' '), x -> x <> '') AS ws

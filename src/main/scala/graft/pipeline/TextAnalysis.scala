@@ -94,6 +94,60 @@ object TextAnalysis {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** Language-model perplexity scoring (the CCNet/RedPajama quality
+    * filter, with the KenLM swapped for a corpus-trained word-bigram
+    * model): per document, the perplexity exp(-mean ln P(w2|w1)) under an
+    * add-α-smoothed bigram model over a capped vocabulary (top `topK`
+    * words by count, deterministic count-then-word tie-break; everything
+    * else maps to an UNK token). High perplexity marks gibberish, low
+    * marks boilerplate — pipelines keep the middle band.
+    *
+    * Scale shape: the vocabulary is the only driver-bounded artifact
+    * (`topK` rows, broadcast). The bigram/unigram count tables are NOT
+    * broadcast — scoring joins them by key, so only (token-pair, count)
+    * and (doc_id, token-pair) rows shuffle; document text never does.
+    * Training on the full corpus including the doc being scored is the
+    * standard self-scoring setup for a filter (no train/held-out split).
+    */
+  def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                       topK: Int = 50, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val Unk = "unk"
+    val docs = df.repartition(par)
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .repartition(par, col("doc_id"))
+    val tokens = docs.select(col("doc_id"), posexplode(col("ws")))
+      .toDF("doc_id", "pos", "w")
+    val vocab = tokens.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topK)
+      .select(col("w"), lit(true).as("in_vocab"))
+    val mapped = tokens.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("in_vocab"), col("w")).otherwise(lit(Unk)).as("tok"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = mapped
+      .withColumn("tok2", lead("tok", 1).over(byPos))
+      .where(col("tok2").isNotNull)
+    val bigramCounts = bigrams.groupBy("tok", "tok2").agg(count(lit(1)).as("cb"))
+    val unigramCounts = mapped.groupBy("tok").agg(count(lit(1)).as("cu"))
+    // every (tok, tok2) of a doc exists in the count tables by construction
+    // — inner joins lose nothing
+    val scored = bigrams
+      .join(bigramCounts, Seq("tok", "tok2"))
+      .join(unigramCounts, Seq("tok"))
+      .withColumn("logp",
+        log((col("cb") + lit(alpha)) / (col("cu") + lit(alpha * (topK + 1)))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(exp(-avg(col("logp"))), 6).as("perplexity"))
+    // docs with < 2 words have no bigrams: keep them, unscored
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        coalesce(col("perplexity"), lit(0.0)).as("perplexity"))
+  }
+
   /** PII patterns shared by the scrub and its oracle: plain ASCII regexes
     * that mean the same thing to Java regex (Spark) and RE2 (DuckDB). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -77,6 +77,25 @@ class CurationScrubSpec extends AnyFunSuite {
     assert(got(3L) === ((1.0, 1.0, 1.0, 0.0)))
   }
 
+  test("bigramPerplexity: hand-computed bigram model, unk mapping, short docs") {
+    import spark.implicits._
+    // corpus: "a a b" and "a c"; topK=2 keeps {a, b} (count 3,1; c loses the
+    // b-vs-c count tie? no: counts a=3, b=1, c=1 → tie b/c broken by word → b)
+    // mapped: doc1 = [a, a, b], doc2 = [a, unk]
+    // unigrams: a=3, b=1, unk=1; bigrams: (a,a)=1, (a,b)=1, (a,unk)=1
+    // alpha=0.5, V=topK+1=3 → denom(a)=3+1.5=4.5
+    // doc1: lnP(a,a)=ln(1.5/4.5), lnP(a,b)=ln(1.5/4.5) → ppl=4.5/1.5=3.0
+    // doc2: lnP(a,unk)=ln(1.5/4.5) → ppl=3.0
+    // doc3: one word → no bigrams → (0, 0.0)
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("id", "text")
+    val got = TextAnalysis.bigramPerplexity(df, "id", "text", topK = 2, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((2, 3.0)))
+    assert(got(2L) === ((1, 3.0)))
+    assert(got(3L) === ((0, 0.0)))
+  }
+
   test("contaminationFlags: overlap fractions against a benchmark set") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
