@@ -22,7 +22,8 @@ class DeterminismAuditSpec extends AnyFunSuite {
     "c1_field_diff", "c7_last_wins_dedup", "d5_tiered_match", "e5_weighted_avg",
     "h5_ordered_distinct", "i1_merge_groups", "i2_sessionize",
     "i3_adaptive_split", "p15_seq_pack", "p17_dedup_resolve", "p18_span_scrub",
-    "p20_rep_signals", "pl2_ops_fold", "pl3_history_cluster",
+    "p20_rep_signals", "p21_contamination", "p22_perplexity",
+    "pl2_ops_fold", "pl3_history_cluster",
     "pl4_merge_scoring", "x1_sketch_distinct", "x2_sketch_quantile")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
