@@ -91,13 +91,18 @@ object Dedup {
     // walk is the hot loop and long compares are ~10x cheaper; distinct-gram
     // counts (and so Jaccard) are unchanged w.h.p. (64-bit collisions
     // within one document pair).
+    // one native kernel instead of array_sort(transform(ngrams, xxhash64)):
+    // no gram strings, no interpreted per-element lambdas (PPJoin's
+    // exactness only needs SOME fixed global gram order — sorted 64-bit
+    // combine-hashes serve as well as sorted string-hashes, and Jaccard
+    // depends only on distinct-gram identities)
+    graft.functions.NgramHashes.register(df.sparkSession)
     val g0 = df.repartition(par)
       .select(col(idCol).as("id"), col(bucketCol).as("bucket"),
         filter(split(col(textCol), " "), w => w =!= "").as("words"))
       .repartition(par, col("id"))
       .select(col("id"), col("bucket"),
-        array_sort(transform(ngramsOfWords(col("words"), n), g => xxhash64(g)))
-          .as("grams"))
+        call_function("ngram_hashes", col("words"), lit(n)).as("grams"))
       .withColumn("sz", size(col("grams")))
       .cache()
     // NB the lazy cache stampedes: the prefix leg and both verify-join
@@ -172,12 +177,16 @@ object Dedup {
     // walk, ~10x cheaper than interpreted string array_intersect; distinct
     // counts unchanged w.h.p. — same trade as ngramJaccardPairs)
     graft.functions.SortedIntersectSize.register(df.sparkSession)
+    graft.functions.NgramHashes.register(df.sparkSession)
     val g0 = df.repartition(par2)
       .select(col(idCol).as("id"),
         filter(split(col(textCol), " "), w => w =!= "").as("words"))
       .repartition(par2, col("id"))
-      .select(col("id"), ngramsOfWords(col("words"), n).as("grams"))
-      .withColumn("hgrams", array_sort(transform(col("grams"), g => xxhash64(g))))
+      // string grams feed the portable signature UDF (the oracle
+      // reproduces those hashes); the verify-side sorted hash arrays come
+      // from the native kernel (only intersect SIZES matter there)
+      .select(col("id"), ngramsOfWords(col("words"), n).as("grams"),
+        call_function("ngram_hashes", col("words"), lit(n)).as("hgrams"))
       .withColumn("sz", size(col("grams")))
       .cache()
     // lazy on purpose — see the cache-stampede note in ngramJaccardPairs
@@ -297,12 +306,15 @@ object Dedup {
                          idCol: String, textCol: String,
                          n: Int, minFrac: Double): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
+    graft.functions.NgramHashes.register(corpus.sparkSession)
     def grams(df: DataFrame) = df.repartition(par)
       .select(col(idCol).as("doc_id"),
         filter(split(col(textCol), " "), w => w =!= "").as("words"))
       .repartition(par, col("doc_id"))
+      // both sides hash grams with the same native kernel, so membership
+      // is preserved without materializing gram strings
       .select(col("doc_id"),
-        transform(ngramsOfWords(col("words"), n), g => xxhash64(g)).as("grams"))
+        call_function("ngram_hashes", col("words"), lit(n)).as("grams"))
     val benchGrams = grams(benchmark)
       .select(explode(col("grams")).as("gram")).distinct()
     // explode_outer: a doc shorter than n words keeps its row (null gram,
