@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
-import graft.functions.{CosineSim, HaversineM, OlcEncodeExpr, OlcRing, SortedIntersectSize}
+import graft.functions.{CosineSim, HaversineM, NgramHashes, OlcEncodeExpr, OlcRing, SortedIntersectSize}
 import graft.plans.HaversineJoinRule
 
 /** Session-extension injector for the engine's native SQL functions, so a
@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("olc_ring"), OlcRing.info,
       (exprs: Seq[Expression]) => OlcRing(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes"), NgramHashes.info,
+      (exprs: Seq[Expression]) => NgramHashes(exprs.head,
+        Cast(exprs(1), IntegerType))))
     // naive `haversine_m(...) < r` join conditions → tile-bucketed equi-joins
     ext.injectOptimizerRule(_ => HaversineJoinRule)
   }
