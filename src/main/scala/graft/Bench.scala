@@ -55,8 +55,11 @@ object Bench {
     val qsWarm = toJson(results.map(r => (r._1, r._3)))
     val total = r3(results.map(_._2).sum)
     val totalWarm = r3(results.map(_._3).sum)
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("0")
+    // sf as a strict JSON number, or the quoted raw dir name when the
+    // pattern doesn't match — "sf1." would otherwise emit an invalid JSON
+    // token and break the very harness parse this field serves
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir.replace("\"", "") + "\"")
     val detail = s"""{"value_warm":$totalWarm,"queries_warm":$qsWarm,""" +
       s""""queries_cold":$qs,"sf_dir":"$sfDir"}"""
     try {

@@ -77,7 +77,7 @@ object CatalogGeo {
 
   /** D2/D4 tile-bucketed distance self-join: event-point pairs within 100 km
     * (OprHistoryChangesProvider.java:185-209; MergePlaceBot.java:169-182)
-    * via the engine's GeoJoins operator (OLC cell × latitude band
+    * via the engine's GeoJoins operator (latitude-adaptive GeoBands
     * bucketing); the oracle brute-forces the same predicate. */
   private def d2(s: SparkSession, d: String): DataFrame = {
     val g = Tables.events(s, d).select(

@@ -194,30 +194,51 @@ object CatalogPlaces {
   }
 
   /** D4/D5 merge scoring, distributed form: per closed place, the best
-    * match tier within its tile2 group and the chosen candidate
-    * (last-wins on tier ties, as in the reference's scan loop); the
-    * nameless tier only applies to single-candidate groups and only when
-    * the group has a single closed place. */
+    * match tier among its candidates and the chosen one (last-wins on
+    * tier ties, as in the reference's scan loop). Candidates are bounded
+    * to the reference's 100 m merge radius (MergePlaceBot.java:40,169-182)
+    * and generated by the band-bucketed [[graft.geo.GeoJoins.pairsWithin]]
+    * — never a bare-tile closed×active join, whose pair count is
+    * |closed|×|active| per 20° cell (quadratic on a planetary corpus; one
+    * tile2 holds a subcontinent). The nameless tier only applies when the
+    * closed place has exactly one candidate in radius and that candidate
+    * has no other closed place in radius. */
   private def pl4(s: SparkSession, d: String): DataFrame = {
-    // cache: four consumers (closed, active, 2x group stats) would each
-    // re-run the OLC tile encodes and struct assembly otherwise. Lazy on
-    // purpose: the four stages race to populate it (4x the compute), but
-    // with idle cores the races overlap and forcing materialization first
-    // (p.count()) only adds a serial pass — measured wall-neutral-to-worse
-    // here; flip on a contended cluster (see Dedup.ngramJaccardPairs).
+    // cache: several consumers would each re-run the OLC tile encodes and
+    // struct assembly otherwise. Lazy on purpose: the stages race to
+    // populate it, but with idle cores the races overlap and forcing
+    // materialization first (p.count()) only adds a serial pass — measured
+    // wall-neutral-to-worse here; flip on a contended cluster (see
+    // Dedup.ngramJaccardPairs).
+    val k0 = col("key") - when(col("closed"), 100000L).otherwise(0L)
     val p = placesTable(s, d)
       .withColumn("simple_name", lower(regexp_replace(col("name"), "[ -]", "")))
+      .withColumn("lat", Synth.lat(k0))
+      .withColumn("lon", Synth.lon(k0))
       .cache()
+    val radiusM = 100.0
+    val edges = graft.geo.GeoJoins.pairsWithin(
+      p.select(col("key").as("k"), col("lat"), col("lon")),
+      "k", "lat", "lon", radiusM)
+    // orient the unordered pairs closed→active; the other orientation and
+    // same-status pairs drop out of the two key-equi-joins
+    val both = edges.select(col("a_key").as("x"), col("b_key").as("y"))
+      .unionByName(edges.select(col("b_key").as("x"), col("a_key").as("y")))
     val closed = p.where(col("closed")).select(
-      col("key").as("c_key"), col("tile2"), col("name").as("c_name"),
+      col("key").as("c_key"), col("name").as("c_name"),
       col("simple_name").as("c_simple"), col("wikidata").as("c_wiki"))
     val active = p.where(!col("closed")).select(
-      col("key").as("a_key"), col("tile2"), col("name").as("a_name"),
+      col("key").as("a_key"), col("name").as("a_name"),
       col("simple_name").as("a_simple"), col("wikidata").as("a_wiki"))
-    val groupStats = closed.groupBy("tile2")
-      .agg(count(lit(1)).as("n_closed"))
-      .join(active.groupBy("tile2").agg(count(lit(1)).as("n_active")), "tile2")
-    val pairs = closed.join(active, "tile2").join(broadcast(groupStats), "tile2")
+    val cand = both
+      .join(closed, both("x") === closed("c_key"))
+      .join(active, both("y") === active("a_key"))
+    // neighborhood stats over the candidate set itself: how many active
+    // places this closed one could merge into, and how many closed places
+    // compete for that active one
+    val pairs = cand
+      .withColumn("n_active", count(lit(1)).over(Window.partitionBy("c_key")))
+      .withColumn("n_closed", count(lit(1)).over(Window.partitionBy("a_key")))
       .withColumn("tier",
         when(col("c_name").isNotNull && col("c_name") === col("a_name"), 0)
           .when(col("c_wiki").isNotNull && col("c_wiki") === col("a_wiki"), 1)
@@ -279,13 +300,19 @@ object CatalogPlaces {
     Q("pl4_merge_scoring", pl4,
       Some(s"""WITH p AS ($placesSql),
               |q AS (SELECT *, lower(regexp_replace(name, '[ -]', '', 'g')) AS simple_name FROM p),
-              |c AS (SELECT key AS c_key, tile2, name AS c_name, simple_name AS c_simple,
-              |             wikidata AS c_wiki FROM q WHERE closed),
-              |a AS (SELECT key AS a_key, tile2, name AS a_name, simple_name AS a_simple,
-              |             wikidata AS a_wiki FROM q WHERE NOT closed),
-              |gs AS (SELECT c.tile2, count(DISTINCT c_key) AS n_closed,
-              |              count(DISTINCT a_key) AS n_active
-              |       FROM c JOIN a USING (tile2) GROUP BY c.tile2),
+              |c AS (SELECT key AS c_key, name AS c_name, simple_name AS c_simple,
+              |             wikidata AS c_wiki, lat, lon FROM q WHERE closed),
+              |a AS (SELECT key AS a_key, name AS a_name, simple_name AS a_simple,
+              |             wikidata AS a_wiki, lat, lon FROM q WHERE NOT closed),
+              |cand AS (
+              |  SELECT c_key, a_key, c_name, a_name, c_simple, a_simple,
+              |         c_wiki, a_wiki
+              |  FROM c JOIN a
+              |    ON ${Synth.havSql("c.lat", "c.lon", "a.lat", "a.lon")} < 100.0),
+              |st AS (
+              |  SELECT *, count(*) OVER (PARTITION BY c_key) AS n_active,
+              |            count(*) OVER (PARTITION BY a_key) AS n_closed
+              |  FROM cand),
               |pairs AS (
               |  SELECT c_key, a_key,
               |    CASE WHEN c_name IS NOT NULL AND c_name = a_name THEN 0
@@ -293,7 +320,7 @@ object CatalogPlaces {
               |         WHEN c_name IS NOT NULL AND c_simple = a_simple THEN 2
               |         WHEN c_name IS NULL AND n_active = 1 AND n_closed = 1 THEN 3
               |    END AS tier
-              |  FROM c JOIN a USING (tile2) JOIN gs USING (tile2)),
+              |  FROM st),
               |t AS (SELECT *, min(tier) OVER (PARTITION BY c_key) AS best_tier
               |      FROM pairs WHERE tier IS NOT NULL)
               |SELECT c_key, CAST(best_tier AS INT) AS best_tier,

@@ -41,6 +41,69 @@ object CatalogSources {
       .orderBy("id")
   }
 
+  /** A2 augmented-diff CDC (OsmParser.java:85-102,133-155 into
+    * DiffEntity.java:3-43): render each row as a create/modify/delete
+    * `<action>` block (create uses the bare-entity form), stream-parse the
+    * diff document back, then classify each action the way the sync MERGE
+    * does (OsmSyncBot.java:730-752; C4/C6 dispatch) with a C1-style tag
+    * diff deciding edited-vs-unchanged. The parse + classification is the
+    * system under test; the oracle computes the same fields directly. */
+  private def a2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = col("c_custkey")
+    val rows = Tables.customer(s, d).select(
+        k.as("id"), Synth.lat(k).as("lat"), Synth.lon(k).as("lon"),
+        lower(col("c_mktsegment")).as("seg"))
+      .as[(Long, Double, Double, String)]
+    val parsed = rows.mapPartitions { it =>
+      val xml = new StringBuilder("<osm>")
+      it.foreach { case (id, lat, lon, seg) =>
+        val name = s"Shop ${id % 100}"
+        def ent(ver: String, nm: String) = OsmXml.OsmEntity("node", id,
+          Some(lat), Some(lon), Map("amenity" -> seg, "name" -> nm),
+          Nil, Nil, Some(ver), Some("2021-06-01T00:00:00Z"), None)
+        (id % 3) match {
+          case 0 => // create: bare entity inside the action block
+            xml ++= "<action type=\"create\">"
+            xml ++= OsmXml.renderEntity(ent("1", name))
+            xml ++= "</action>"
+          case 1 =>
+            val newName = if (id % 2 == 0) name else name + " B"
+            xml ++= "<action type=\"modify\"><old>"
+            xml ++= OsmXml.renderEntity(ent("2", name))
+            xml ++= "</old><new>"
+            xml ++= OsmXml.renderEntity(ent("3", newName))
+            xml ++= "</new></action>"
+          case _ =>
+            xml ++= "<action type=\"delete\"><old>"
+            xml ++= OsmXml.renderEntity(ent("2", name))
+            xml ++= "</old></action>"
+        }
+      }
+      xml ++= "</osm>"
+      OsmXml.parseDiffs(xml.toString).iterator
+    }
+    val nameB = element_at(col("before.tags"), "name")
+    val nameA = element_at(col("after.tags"), "name")
+    val segB = element_at(col("before.tags"), "amenity")
+    val segA = element_at(col("after.tags"), "amenity")
+    val changed = !(nameB <=> nameA) || !(segB <=> segA)
+    parsed.select(
+        coalesce(col("after.id"), col("before.id")).as("id"),
+        col("action"),
+        when(col("action") === "create", "created")
+          .when(col("action") === "delete", "tombstoned")
+          .otherwise(when(changed, "edited").otherwise("unchanged"))
+          .as("decision"),
+        col("before.version").as("old_version"),
+        col("after.version").as("new_version"),
+        nameA.as("name_after"),
+        when(col("action") === "modify",
+            (!(nameB <=> nameA)).cast("int") + (!(segB <=> segA)).cast("int"))
+          .otherwise(0).as("n_tag_changes"))
+      .orderBy("id")
+  }
+
   /** C9 legacy-id migration (MigrateOldOsmPlaceIdsBot.java:40-70): move
     * `source.old-osm-ids[]` into `source.osm[]` as tombstoned sources and
     * emit the append ops. */
@@ -69,6 +132,22 @@ object CatalogSources {
               |  'Shop ' || (c_custkey % 100) AS name,
               |  '3' AS version, '2021-06-01T00:00:00Z' AS osm_ts
               |FROM customer ORDER BY id""".stripMargin)),
+    Q("a2_diff_fold", a2,
+      Some("""SELECT c_custkey AS id,
+             |  CASE c_custkey % 3 WHEN 0 THEN 'create' WHEN 1 THEN 'modify'
+             |       ELSE 'delete' END AS action,
+             |  CASE WHEN c_custkey % 3 = 0 THEN 'created'
+             |       WHEN c_custkey % 3 = 2 THEN 'tombstoned'
+             |       WHEN c_custkey % 6 = 1 THEN 'edited'
+             |       ELSE 'unchanged' END AS decision,
+             |  CASE WHEN c_custkey % 3 <> 0 THEN '2' END AS old_version,
+             |  CASE c_custkey % 3 WHEN 0 THEN '1' WHEN 1 THEN '3' END AS new_version,
+             |  CASE WHEN c_custkey % 3 = 0 THEN 'Shop ' || (c_custkey % 100)
+             |       WHEN c_custkey % 3 = 1 THEN 'Shop ' || (c_custkey % 100) ||
+             |            CASE WHEN c_custkey % 2 = 1 THEN ' B' ELSE '' END
+             |  END AS name_after,
+             |  CASE WHEN c_custkey % 6 = 1 THEN 1 ELSE 0 END AS n_tag_changes
+             |FROM customer ORDER BY id""".stripMargin)),
     Q("c9_legacy_migration", c9,
       Some("""SELECT c_custkey AS key, 2 AS n_osm_after,
              |  'source.osm=append:node/' || (c_custkey + 5000000) || '@2021-06-01'

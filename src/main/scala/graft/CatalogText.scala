@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.TextFunctions
 
 /** String / similarity functions from SURVEY §2 F + the D5 tiered name
   * match, exercised over part names and documents. */
@@ -107,19 +106,15 @@ object CatalogText {
   private def d5(s: SparkSession, d: String): DataFrame = {
     // With tag maps of shape {name, wikidata}, matchTier reduces exactly to
     // NAME_MATCH else OTHER_TAGS_MATCH (OTHER_NAME re-checks the same name;
-    // EMPTY never fires on non-empty part names). The name vocabulary is
-    // tiny relative to the table (dozens of distinct names for 20k parts),
-    // so the fuzzy name-pair decision is evaluated once per distinct pair
-    // on the driver and broadcast — the big brand-blocked join then runs
-    // entirely in codegen (broadcast hash join + equality), no UDF.
-    val distinctNames = Tables.part(s, d).select("p_name").distinct()
-      .collect().map(_.getString(0))
-    val matching = for {
-      a <- distinctNames; b <- distinctNames
-      if TextFunctions.checkNames(a, b)
-    } yield (a, b)
-    import s.implicits._
-    val nm = broadcast(matching.toSeq.toDF("nm_a", "nm_b"))
+    // EMPTY never fires on non-empty part names). The fuzzy name-pair
+    // relation is generated DISTRIBUTEDLY by SimilarityJoin.namePairs
+    // (segment-pigeonhole block-then-verify — no driver collect, no O(V²)
+    // loop; at 10⁸ real place names the old driver loop would be 10¹⁶
+    // comparisons). It stays vocabulary-sized, so the big brand-blocked
+    // join still runs entirely in codegen through a broadcast of it.
+    val names = Tables.part(s, d).select(col("p_name").as("nm")).distinct()
+    val nm = broadcast(
+      graft.text.SimilarityJoin.namePairs(names).select("nm_a", "nm_b"))
     val p = Tables.part(s, d).select(
         col("p_partkey"), col("p_brand"), col("p_name"),
         when(col("p_partkey") % 7 === 0, concat(lit("Q"), col("p_partkey") % 100)).as("wiki"))

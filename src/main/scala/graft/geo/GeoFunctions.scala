@@ -24,8 +24,15 @@ object GeoFunctions {
     * builtin-composed Column, but a single compact node that
     * graft.plans.HaversineJoinRule can pattern-match in join conditions. */
   def haversineM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
-    graft.functions.HaversineM.register(
-      org.apache.spark.sql.SparkSession.active)
+    // Best-effort convenience registration only — never throws when no
+    // session is active (Column construction needs none), and operators
+    // that own a DataFrame register on ITS session (e.g. GeoJoins), which
+    // is the one that analyzes the plan in multi-session apps. Sessions
+    // built with spark.sql.extensions=graft.GraftExtensions always have
+    // the function regardless.
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.functions.HaversineM.register)
     call_function("haversine_m", lat1.cast("double"), lon1.cast("double"),
       lat2.cast("double"), lon2.cast("double"))
   }
@@ -48,8 +55,10 @@ object GeoFunctions {
     * Column expanded to a multi-KB tree per call site, and predicate
     * pushdown duplicated it into single-task scan filters. */
   def olcEncode(lat: Column, lon: Column, codeLength: Int = 6): Column = {
-    graft.functions.OlcEncodeExpr.register(
-      org.apache.spark.sql.SparkSession.active)
+    // same session-resolution policy as haversineM above
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.functions.OlcEncodeExpr.register)
     call_function("olc_encode",
       lat.cast("double"), lon.cast("double"), lit(codeLength))
   }

@@ -67,9 +67,15 @@ object Dedup {
     *
     * Scale note: this replaces a within-bucket quadratic join with one
     * keyed by (bucket, prefix-gram) — candidate volume tracks actual gram
-    * sharing, not bucket size. At extreme scale the remaining skew lever
-    * is ordering grams by ascending global corpus frequency (rarest-first
-    * prefixes); hash order approximates it for near-uniform vocabularies. */
+    * sharing, not bucket size. Prefixes are RAREST-FIRST (the canonical
+    * AllPairs/PPJoin ordering): the global gram order for the prefix slice
+    * is (ascending corpus frequency, hash tiebreak), so prefix grams are
+    * the least-shared ones and candidate volume stays bounded under
+    * skewed vocabularies — a stop-word-heavy corpus would otherwise put
+    * the same ubiquitous gram in millions of prefixes. The VERIFY arrays
+    * stay hash-sorted (the merge-walk kernel needs value order); PPJoin's
+    * exactness only needs the prefix order to be some fixed global order,
+    * independent of the verify order. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         bucketCol: String, n: Int, minSim: Double): DataFrame = {
     // sorted grams → the pair similarity is a codegen'd merge walk
@@ -116,13 +122,26 @@ object Dedup {
     // single-file parquet scan task and run it serially (measured 18s of a
     // 26s job at sf0.1)
     val g = g0.where(col("sz") > 0)
+    // rarest-first reorder: per-gram corpus frequency, then each doc's
+    // grams re-sorted by (freq, gram). Two extra gram-stream shuffles buy
+    // prefixes made of the least-shared grams; the verify side still joins
+    // the untouched hash-sorted arrays from g.
+    val freq = g.select(explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("f"))
+    val byFreq = g.select(col("id"), col("bucket"), col("sz"),
+        explode(col("grams")).as("gram"))
+      .join(freq, "gram")
+      .groupBy("id", "bucket", "sz")
+      .agg(transform(
+        array_sort(collect_list(struct(col("f"), col("gram")))),
+        x => x.getField("gram")).as("fgrams"))
     // prefix length sz - floor(t*sz - eps) + 1 >= sz - ceil(t*sz) + 1: at
     // most one gram longer than the tight bound, immune to float edges on
     // either side of an integer t*sz
     val prefLen = (col("sz") - floor(col("sz").cast("double") * lit(minSim) - lit(1e-9)) + 1)
       .cast("int")
-    val pref = g.select(col("id"), col("bucket"), col("sz"),
-      posexplode(slice(col("grams"), lit(1), prefLen)))
+    val pref = byFreq.select(col("id"), col("bucket"), col("sz"),
+      posexplode(slice(col("fgrams"), lit(1), prefLen)))
       .toDF("id", "bucket", "sz", "pos", "gram")
     // positional filter (PPJoin): a shared gram at 0-based sorted positions
     // (i, j) bounds the overlap by min(i,j) + 1 + min(|A|-i-1, |B|-j-1)

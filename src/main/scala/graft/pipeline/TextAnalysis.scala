@@ -113,7 +113,12 @@ object TextAnalysis {
                        topK: Int = 50, alpha: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val Unk = "unk"
+    // OOV sentinel: the EMPTY STRING cannot be a real token (words()
+    // drops empties on both engines), so in-vocab occurrences can never
+    // merge with OOV counts — and it is bit-identical to the oracle's
+    // sentinel. Any literal word (or control-prefixed word) here risks
+    // colliding with a corpus that happens to contain it.
+    val Unk = ""
     val docs = df.repartition(par)
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       .repartition(par, col("doc_id"))

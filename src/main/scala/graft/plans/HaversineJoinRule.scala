@@ -5,11 +5,11 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{HaversineM, OlcEncodeExpr, OlcRing}
+import graft.functions.{GeoBandKey, GeoBandKeys, HaversineM}
 
-/** Rewrites naive distance joins into tile-bucketed equi-joins.
+/** Rewrites naive distance joins into band-bucketed equi-joins.
   *
   * A join whose condition contains the conjunct
   * `haversine_m(aLat, aLon, bLat, bLon) < r` (or `<=`, or the flipped
@@ -20,32 +20,32 @@ import graft.functions.{HaversineM, OlcEncodeExpr, OlcRing}
   * work splitting (OsmSyncBot.java:503-535).
   *
   * This rule turns that join into the shape [[graft.geo.GeoJoins]] builds
-  * by hand: the side the stats estimate as smaller is exploded to its 3×3
-  * OLC-cell neighbor ring × 3 adjacent latitude bands (27 keys — the 27×
-  * amplification belongs on the cheaper side), the other side keeps its
-  * single (cell, band), and the join becomes a hash/sort-merge equi-join on
-  * those keys with the original haversine predicate kept as the exact
-  * post-filter. Coverage argument (same as GeoJoins.pairsWithin):
-  * d < r ⇒ Δlat ≤ r/111,000 m/° = one band, and for r ≤ 190 km the
-  * neighbor ring of a 20° OLC cell covers the longitude span at any
-  * |lat| ≤ 90 — so every qualifying pair shares at least one synthesized
-  * key. Each right row carries exactly one (cell, band) and the 27 left
-  * keys are pairwise distinct, so no duplicate output rows appear.
-  * Null coordinates produce a null cell key and drop out of the
-  * equi-join — identical to the original condition, where a null
-  * haversine comparison is not true.
+  * by hand: the side the stats estimate as smaller is exploded to its
+  * ≤9-key [[graft.geo.GeoBands]] cover set (the amplification belongs on
+  * the cheaper side), the other side keys on its single packed band key,
+  * and the join becomes a hash/sort-merge equi-join on that key with the
+  * original haversine predicate kept as the exact post-filter. Coverage —
+  * at EVERY latitude including the poles, and across the antimeridian —
+  * is proved in the [[graft.geo.GeoBands]] scaladoc: for any pair with
+  * d < r the build key is among the probe keys. The probe keys are
+  * pairwise distinct and each build row carries exactly one key, so no
+  * duplicate output rows appear. Null coordinates produce a null key and
+  * drop out of the equi-join — identical to the original condition, where
+  * a null haversine comparison is not true.
   *
   * Scope: Inner/Cross joins with deterministic point expressions whose
   * condition has NO equi-join conjunct — the joins that would otherwise
   * plan as nested loops. A join that already has an equality key (a
   * hand-bucketed GeoJoins plan, or `a.country = b.country AND
   * haversine < r`) already hash-partitions; re-exploding it would only
-  * add work. The radius must be foldable and ≤
-  * [[graft.geo.GeoJoins.MaxRadiusM]]; larger radii keep the nested-loop
-  * plan (correct, and a 190 km+ radius join is closer to a cross join
-  * anyway). Fires once per join — the synthesized `__graft_geo_*` keys
-  * in the rewritten condition are themselves equi-conjuncts, so the
-  * guard also holds across fixed-point optimizer iterations.
+  * add work. The radius must be foldable, ≥
+  * [[graft.geo.GeoBands.MinRadiusM]] (key packing bound) and ≤
+  * [[graft.geo.GeoJoins.MaxRadiusM]] — the latter a POLICY bound, not an
+  * exactness one: a 190 km+ radius join is closer to a cross join, where
+  * the 9× explode buys little selectivity. Fires once per join — the
+  * synthesized `__graft_geo_*` key in the rewritten condition is itself
+  * an equi-conjunct, so the guard also holds across fixed-point optimizer
+  * iterations.
   */
 object HaversineJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -85,7 +85,8 @@ object HaversineJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     def radius(r: Expression): Option[Double] =
       if (r.foldable && r.dataType == DoubleType)
         Option(r.eval()).map(_.asInstanceOf[Double])
-          .filter(d => d > 0 && d <= graft.geo.GeoJoins.MaxRadiusM)
+          .filter(d => d >= graft.geo.GeoBands.MinRadiusM &&
+            d <= graft.geo.GeoJoins.MaxRadiusM)
       else None
     val hit = e match {
       case LessThan(h: HaversineM, r)           => radius(r).map((h, _))
@@ -108,56 +109,41 @@ object HaversineJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewrite(j: Join, m: RadiusMatch): LogicalPlan = {
-    val bandDeg = m.radiusM / 111000.0 // ≥ true Δlat bound r/111,221 — safe
-    def cellOf(lat: Expression, lon: Expression) =
-      OlcEncodeExpr(Cast(lat, DoubleType), Cast(lon, DoubleType), Literal(2))
-    def bandOf(lat: Expression) =
-      Floor(Divide(Cast(lat, DoubleType), Literal(bandDeg)))
-
-    // Explode the side the stats estimate as SMALLER: the ring × band
-    // explode is a 27× row amplification, and 27×|small| beats 27×|big| —
+    val r = Literal(m.radiusM)
+    // Explode the side the stats estimate as SMALLER: the cover-set
+    // explode is a ≤9× row amplification, and 9×|small| beats 9×|big| —
     // at cluster scale exploding a 100 TB probe against a 1 GB build would
     // be the wrong plan by five orders of magnitude. Coverage is symmetric
-    // (if |a.band - b.band| ≤ 1 then b's window contains a's home band and
-    // vice versa), so correctness doesn't depend on the choice. Ties (or
-    // missing stats, which surface as equal defaults) explode the left,
-    // matching the hand-built GeoJoins shape.
+    // (the GeoBands probe set of either row of a qualifying pair contains
+    // the other row's build key), so correctness doesn't depend on the
+    // choice. Ties (or missing stats, which surface as equal defaults)
+    // explode the left, matching the hand-built GeoJoins shape.
     val explodeLeft = j.left.stats.sizeInBytes <= j.right.stats.sizeInBytes
     val (probe, probeLat, probeLon) =
       if (explodeLeft) (j.left, m.latL, m.lonL) else (j.right, m.latR, m.lonR)
     val (build, buildLat, buildLon) =
       if (explodeLeft) (j.right, m.latR, m.lonR) else (j.left, m.latL, m.lonL)
 
-    // probe: project the home cell/band, explode ring × band window
-    val cell0 = Alias(cellOf(probeLat, probeLon), Prefix + "cell0")()
-    val band0 = Alias(bandOf(probeLat), Prefix + "band0")()
-    val projP = Project(probe.output :+ cell0 :+ band0, probe)
-
-    val ringGen = Explode(OlcRing(cell0.toAttribute))
-    val cellA = attrFor(ringGen, Prefix + "cell")
-    // cell0 is consumed by the generator; don't carry it further
-    val genCell = Generate(ringGen,
-      Seq(projP.output.indexWhere(_.exprId == cell0.exprId)),
-      outer = false, None, Seq(cellA), projP)
-
-    val b0 = band0.toAttribute
-    val bandGen = Explode(CreateArray(Seq(
-      Subtract(b0, Literal(1L)), b0, Add(b0, Literal(1L)))))
-    val bandA = attrFor(bandGen, Prefix + "band")
-    val genBand = Generate(bandGen,
-      Seq(genCell.output.indexWhere(_.exprId == band0.exprId)),
-      outer = false, None, Seq(bandA), genCell)
+    // probe: project the cover-set array, explode it into the join key
+    val keys0 = Alias(GeoBandKeys(Cast(probeLat, DoubleType),
+      Cast(probeLon, DoubleType), r), Prefix + "keys")()
+    val projP = Project(probe.output :+ keys0, probe)
+    val keyGen = Explode(keys0.toAttribute)
+    val keyA = attrFor(keyGen, Prefix + "key")
+    // keys0 is consumed by the generator; don't carry it further
+    val genKeys = Generate(keyGen,
+      Seq(projP.output.indexWhere(_.exprId == keys0.exprId)),
+      outer = false, None, Seq(keyA), projP)
 
     // build: single home key per row
-    val cellB = Alias(cellOf(buildLat, buildLon), Prefix + "cellR")()
-    val bandB = Alias(bandOf(buildLat), Prefix + "bandR")()
-    val projB = Project(build.output :+ cellB :+ bandB, build)
+    val keyB = Alias(GeoBandKey(Cast(buildLat, DoubleType),
+      Cast(buildLon, DoubleType), r), Prefix + "keyR")()
+    val projB = Project(build.output :+ keyB, build)
 
-    // equi keys in front (ExtractEquiJoinKeys finds them), original
+    // equi key in front (ExtractEquiJoinKeys finds it), original
     // condition — including the haversine conjunct — kept verbatim
-    val newCond = And(And(EqualTo(cellA, cellB.toAttribute),
-      EqualTo(bandA, bandB.toAttribute)), j.condition.get)
-    val (newL, newR) = if (explodeLeft) (genBand, projB) else (projB, genBand)
+    val newCond = And(EqualTo(keyA, keyB.toAttribute), j.condition.get)
+    val (newL, newR) = if (explodeLeft) (genKeys, projB) else (projB, genKeys)
     Project(j.output, Join(newL, newR, Inner, Some(newCond), j.hint))
   }
 

@@ -1,0 +1,184 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed, exact generation of the `checkNames` name-pair relation
+  * (MergeUtil.java:166-195) — the fuzzy-match table the merge pipeline
+  * joins through. Replaces a driver-side O(V²) loop over the collected
+  * name vocabulary: at planetary scale (10⁸ place names) that loop is
+  * 10¹⁶ comparisons on one machine; this formulation is block-then-verify
+  * dataflow end to end, so the candidate volume tracks how much the
+  * vocabulary actually shares, and the verify UDF only sees survivors.
+  *
+  * Exactness (ASCII-lowercased input — the same assumption the DuckDB
+  * oracle formulation documents): a pair passing ANY `checkNames` clause
+  * shares at least one of the blocking keys:
+  *   - clause 1 (collator equality) + clause 2 (whitespace-stripped
+  *     equality): both imply equal `nospace` keys;
+  *   - clause 3 (sorted token lists equal): equal `bag` keys;
+  *   - clause 4 (pair-counting sub-collection, MergeUtil.java:254-284):
+  *     reaching |sub| matched word pairs requires at least ONE word pair
+  *     (wm, ws) with lev(wm, ws) ≤ budget ≤ 4 — and any such word pair is
+  *     produced by the segment join below.
+  *
+  * Word-pair blocking is the PassJoin pigeonhole (Li et al., "PASS-JOIN:
+  * a partition-based method for similarity joins", VLDB 2012, public
+  * algorithm): partition the shorter word u into budget(|u|)+1 even
+  * segments; lev(u,v) ≤ budget forces v to contain one segment verbatim.
+  * The index side emits u's segments; the probe side emits v's substrings
+  * of every segment length a qualifying shorter partner could have
+  * (bounded: ≤ 9 partner lengths × ≤ 2 lengths × |v| substrings). Keys
+  * are plain segment strings — a superset of positional PassJoin
+  * candidates, still exact, and verification is the builtin banded
+  * `levenshtein(u, v, 4)` against the reference's adaptive budget
+  * (MergeUtil.getMaxLevenshteinDistance), fully codegen.
+  */
+object SimilarityJoin {
+
+  /** Even partition of `w` into `n` segments (first `len % n` segments one
+    * char longer — any fixed scheme works for the pigeonhole). */
+  private[text] def segments(w: String, n: Int): Seq[String] = {
+    val L = w.length
+    if (L == 0 || n <= 0) Seq.empty
+    else {
+      val base = L / n; val extra = L % n
+      val out = Seq.newBuilder[String]
+      var pos = 0
+      var i = 0
+      while (i < n && pos < L) {
+        val len = base + (if (i < extra) 1 else 0)
+        if (len > 0) { out += w.substring(pos, pos + len); pos += len }
+        i += 1
+      }
+      out.result()
+    }
+  }
+
+  private def budget(len: Int): Int =
+    if (len <= 4) 1 else if (len <= 6) 2 else if (len <= 8) 3 else 4
+
+  /** The pigeonhole needs budget+1 NON-EMPTY segments; a word shorter than
+    * that (in practice only single chars: L=1, budget=1) can be rewritten
+    * entirely within budget, so it blocks on a dedicated short-word key
+    * instead. Segment keys get a `g` namespace so the two domains cannot
+    * collide. */
+  private val ShortKey = "#"
+
+  /** Index-side keys: the word's own pigeonhole segments (it plays the
+    * SHORTER role of a pair). */
+  private[text] def indexKeys(w: String): Seq[String] = {
+    val b = budget(w.length)
+    if (w.length <= b) Seq(ShortKey)
+    else segments(w, b + 1).distinct.map("g" + _)
+  }
+
+  /** Probe-side keys: all substrings of `w` whose length matches a segment
+    * length of any qualifying shorter-or-equal partner — plus the
+    * short-word key when such a partner is below its pigeonhole bound. */
+  private[text] def probeKeys(w: String): Seq[String] = {
+    val L = w.length
+    val lens = scala.collection.mutable.Set[Int]()
+    var short = false
+    var lu = math.max(1, L - 4)
+    while (lu <= L) {
+      val b = budget(lu)
+      if (L - lu <= b) {
+        if (lu <= b) short = true
+        else {
+          val n = b + 1
+          lens += lu / n
+          if (lu % n != 0) lens += lu / n + 1
+        }
+      }
+      lu += 1
+    }
+    lens -= 0
+    val out = scala.collection.mutable.Set[String]()
+    for (len <- lens; i <- 0 to L - len) out += "g" + w.substring(i, i + len)
+    if (short) out += ShortKey
+    out.toSeq
+  }
+
+  private val indexKeysUdf = udf((w: String) => indexKeys(w))
+  private val probeKeysUdf = udf((w: String) => probeKeys(w))
+
+  /** All ordered word pairs (w1 shorter-or-equal side) with
+    * lev ≤ adaptive budget, from a distinct-word relation `words(w)`.
+    * Includes the diagonal (w, w). */
+  def similarWordPairs(words: DataFrame): DataFrame = {
+    val idx = words.select(col("w").as("w1"),
+      explode(indexKeysUdf(col("w"))).as("seg"))
+    val prb = words.select(col("w").as("w2"),
+      explode(probeKeysUdf(col("w"))).as("seg"))
+    idx.join(prb, "seg")
+      .where(length(col("w1")) <= length(col("w2")))
+      .select("w1", "w2").distinct()
+      // banded builtin levenshtein early-exits past 4 (returns -1)
+      .withColumn("lev", levenshtein(col("w1"), col("w2"), 4))
+      .where(col("lev") >= 0 && col("lev") <=
+        when(length(col("w1")) <= 4, 1)
+          .when(length(col("w1")) <= 6, 2)
+          .when(length(col("w1")) <= 8, 3).otherwise(4))
+      .select("w1", "w2")
+  }
+
+  private val checkNamesPreUdf = udf(
+    (aLow: String, aNospace: String, aToks: Seq[String],
+     bLow: String, bNospace: String, bToks: Seq[String]) =>
+      TextFunctions.checkNamesPre(aLow, aNospace, aToks, bLow, bNospace, bToks))
+
+  /** The full `checkNames` pair relation over a distinct-name relation
+    * `names(nm)`: every ORDERED pair (nm_a, nm_b) — diagonal included —
+    * with checkNames(nm_a, nm_b). Block-then-verify; zero driver-side
+    * materialization. */
+  def namePairs(names: DataFrame): DataFrame = {
+    val norm = names.select(col("nm"),
+        lower(col("nm")).as("low"))
+      .withColumn("nospace", regexp_replace(col("low"), "\\s+", ""))
+      .withColumn("toks", array_sort(filter(
+        transform(split(col("low"), " "),
+          w => regexp_replace(trim(w), "^\\p{Punct}+|\\p{Punct}+$", "")),
+        w => w =!= "")))
+      .where(col("low") =!= "")
+      .cache()
+
+    def side(p: String) = norm.select(col("nm").as(s"${p}_nm"),
+      col("low").as(s"${p}_low"), col("nospace").as(s"${p}_nospace"),
+      col("toks").as(s"${p}_toks"))
+    val a = side("a"); val b = side("b")
+
+    // candidate legs — each an equi-join on a key both members of a
+    // matching pair provably share
+    val byNospace = a.join(b, col("a_nospace") === col("b_nospace") &&
+      col("a_nm") < col("b_nm")).select("a_nm", "b_nm")
+    val byBag = a.join(b, col("a_toks") === col("b_toks") &&
+      col("a_nm") < col("b_nm")).select("a_nm", "b_nm")
+    val words = norm.select(explode(col("toks")).as("w")).distinct()
+    val wp = similarWordPairs(words)
+    // a name's token hits either side of the ordered word pair
+    val tokRel = norm.select(col("nm"), explode(col("toks")).as("w"))
+    val byWord = tokRel.select(col("nm").as("a_nm"), col("w").as("w1"))
+      .join(wp, "w1")
+      .join(tokRel.select(col("nm").as("b_nm"), col("w").as("w2")), "w2")
+      .where(col("a_nm") < col("b_nm"))
+      .select("a_nm", "b_nm")
+      .unionByName(
+        tokRel.select(col("nm").as("b_nm"), col("w").as("w1"))
+          .join(wp, "w1")
+          .join(tokRel.select(col("nm").as("a_nm"), col("w").as("w2")), "w2")
+          .where(col("a_nm") < col("b_nm"))
+          .select("a_nm", "b_nm"))
+
+    val cand = byNospace.unionByName(byBag).unionByName(byWord).distinct()
+    val verified = cand
+      .join(a, "a_nm").join(b, "b_nm")
+      .where(checkNamesPreUdf(col("a_low"), col("a_nospace"), col("a_toks"),
+        col("b_low"), col("b_nospace"), col("b_toks")))
+      .select("a_nm", "b_nm")
+    // ordered relation: diagonal + both orientations
+    norm.select(col("nm").as("nm_a"), col("nm").as("nm_b"))
+      .unionByName(verified.select(col("a_nm").as("nm_a"), col("b_nm").as("nm_b")))
+      .unionByName(verified.select(col("b_nm").as("nm_a"), col("a_nm").as("nm_b")))
+  }
+}

@@ -32,6 +32,40 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("no catalog query joins on a bare 20° tile key") {
+    // A 2-char OLC cell is 20°×20° — one cell holds a subcontinent, so a
+    // join keyed on tile2 ALONE between row-level relations is
+    // |left|×|right| per cell: quadratic on a planetary corpus even though
+    // it passes at test SF. Distance-bounded candidate generation
+    // (GeoJoins.pairsWithin / HaversineJoinRule) is the required shape.
+    // Tile-AGGREGATE rollup joins (e.g. tile6 counts × tile2 counts, i3)
+    // are exempt: their per-cell cardinality is bounded by the tile
+    // hierarchy fan-out (≤160k tile6 cells per tile2), not by data volume.
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("plan-audit-tile2")
+      .getOrCreate()
+    try {
+      val sf = "/root/testdata/sf0.001"
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+      def aggregated(p: LogicalPlan): Boolean =
+        p.collectFirst { case a: Aggregate => a }.isDefined
+      val offenders = QueryCatalog.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val joins = fn(spark, sf).queryExecution.optimizedPlan.collect {
+            case j: Join if j.condition.exists(c =>
+                c.references.nonEmpty && c.references.forall(_.name == "tile2")) &&
+              !(aggregated(j.left) || aggregated(j.right)) => j
+          }
+          if (joins.nonEmpty) Some(name) else None
+      }
+      assert(offenders.isEmpty, s"joins keyed on tile2 alone in: $offenders")
+    } finally spark.stop()
+  }
+
   test("selective scans push filters; key-only scan prunes columns; dim joins broadcast") {
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -36,7 +36,13 @@ class HaversineJoinRuleSpec extends AnyFunSuite {
       (502L, Some(-3.0), Some(179.5)), (503L, Some(-3.2), Some(-179.7)))
     val polar = Seq(
       (600L, Some(84.6), Some(10.0)), (601L, Some(84.7), Some(11.0)),
-      (602L, Some(-84.9), Some(-170.0)))
+      (602L, Some(-84.9), Some(-170.0)),
+      // beyond the old OLC-ring coverage bound (|lat| > 85): pairs here
+      // sit many 20° cells apart in longitude yet well within the radius
+      (603L, Some(86.0), Some(-40.0)), (604L, Some(86.1), Some(-12.0)),
+      (605L, Some(89.5), Some(-120.0)), (606L, Some(89.5), Some(-70.0)),
+      (607L, Some(89.9), Some(100.0)), (608L, Some(-89.8), Some(0.0)),
+      (609L, Some(-89.85), Some(179.0)), (610L, Some(90.0), Some(55.0)))
     val nulls = Seq((700L, None: Option[Double], Some(5.0)),
       (701L, Some(5.0), None: Option[Double]))
     scatter ++ anti ++ polar ++ nulls
@@ -126,7 +132,7 @@ class HaversineJoinRuleSpec extends AnyFunSuite {
     assert(got1 === expect && got2 === expect)
   }
 
-  test("radius beyond the single-ring bound is left alone") {
+  test("radius beyond the policy bound is left alone") {
     import spark.implicits._
     val pts = points.toDF("k", "lat", "lon")
     val joined = pts.as("a").join(pts.as("b"),
