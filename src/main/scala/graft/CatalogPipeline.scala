@@ -269,11 +269,24 @@ object CatalogPipeline {
 
   // ---- multimodal ----------------------------------------------------------
 
-  private def p12(s: SparkSession, d: String): DataFrame =
-    Multimodal.extractFeatures(
-        Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text"))
-      .withColumn("frame_mean", round(col("frame_mean"), 6))
-      .orderBy("doc_id")
+  /** Multimodal decode end-to-end with REAL pure-JVM codecs: even docs
+    * carry a synthesized RIFF/WAVE PCM asset, odd docs a grayscale PNG
+    * (ImageIO); assets are encoded executor-side, decoded back by the real
+    * chunk-walker / ImageIO codec, and reduced to exact integer features.
+    * The oracle recomputes the features from the synthesis formulas —
+    * valid because both codecs are lossless. */
+  private def p12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .map { id =>
+        if (id % 2 == 0) Multimodal.MediaRow(id, "audio/wav", Multimodal.synthWavAsset(id))
+        else Multimodal.MediaRow(id, "image/png", Multimodal.synthPngAsset(id))
+      }
+      .toDF()
+    Multimodal.extractFeatures(media).orderBy("doc_id")
+  }
 
   val entries: Seq[Q] = Seq(
     Q("p1_exact_dedup", p1,
@@ -533,19 +546,42 @@ object CatalogPipeline {
              |    list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin)),
     Q("p12_multimodal", p12,
-      Some("""WITH b AS (
-             |  SELECT doc_id, 'text/plain' AS media_type, length(text) AS byte_len,
-             |    list_sum(list_transform(range(length(text)),
-             |      i -> ascii(substr(text, i + 1, 1)))) AS checksum,
-             |    ascii(substr(text, 1, 1)) AS head_byte,
-             |    list_transform(range(0, length(text), 32),
-             |      i -> ascii(substr(text, i + 1, 1))) AS frames
-             |  FROM documents)
-             |SELECT doc_id, media_type, CAST(byte_len AS BIGINT) AS byte_len,
-             |  CAST(checksum AS BIGINT) AS checksum, CAST(head_byte AS INT) AS head_byte,
-             |  round(list_sum(frames)::DOUBLE / len(frames), 6) AS frame_mean,
-             |  CAST(len(frames) AS INT) AS n_frames
-             |FROM b ORDER BY doc_id""".stripMargin)),
+      // Features recomputed from the synthesis formulas (the codecs are
+      // lossless, so decoded samples equal synthesized ones): wav rows =
+      // energy sum + peak over s_i = (id*31 + i^2*7) % 20001 - 10000;
+      // png rows = gray sum over (id*7 + x*13 + y*29) % 256 plus the 8x8
+      // nearest-neighbor downsample's sum.
+      Some("""WITH wav AS (
+             |  SELECT doc_id, CAST(200 + doc_id % 100 AS INT) AS n
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |wavf AS (
+             |  SELECT doc_id, 'audio/wav' AS media_type,
+             |    CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+             |    8000 AS sample_rate, CAST(n AS BIGINT) AS n_units,
+             |    CAST(list_sum(list_transform(range(n), i ->
+             |      ((doc_id*31 + i*i*7) % 20001 - 10000)
+             |      * ((doc_id*31 + i*i*7) % 20001 - 10000))) AS BIGINT) AS sum_feat,
+             |    CAST(list_max(list_transform(range(n), i ->
+             |      abs((doc_id*31 + i*i*7) % 20001 - 10000))) AS BIGINT) AS peak_feat
+             |  FROM wav),
+             |png AS (
+             |  SELECT doc_id, CAST(16 + doc_id % 8 AS INT) AS w,
+             |         CAST(12 + doc_id % 5 AS INT) AS h
+             |  FROM documents WHERE doc_id % 2 = 1),
+             |pngf AS (
+             |  SELECT doc_id, 'image/png' AS media_type,
+             |    w AS width, h AS height, CAST(NULL AS INT) AS sample_rate,
+             |    CAST(w AS BIGINT) * h AS n_units,
+             |    CAST(list_sum(flatten(list_transform(range(w), x ->
+             |      list_transform(range(h), y ->
+             |        (doc_id*7 + x*13 + y*29) % 256)))) AS BIGINT) AS sum_feat,
+             |    CAST(list_sum(flatten(list_transform(range(8), xx ->
+             |      list_transform(range(8), yy ->
+             |        (doc_id*7 + ((xx*w)//8)*13 + ((yy*h)//8)*29) % 256)))) AS BIGINT)
+             |      AS peak_feat
+             |  FROM png)
+             |SELECT * FROM wavf UNION ALL SELECT * FROM pngf
+             |ORDER BY doc_id""".stripMargin)),
     Q("p14_stratified_sample", p14,
       Some("""WITH sizes AS (SELECT lang, count(*) AS stratum_n
              |               FROM documents GROUP BY lang),

@@ -1,69 +1,205 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media payloads travel as opaque `binary`
   * columns next to a typed metadata struct; decode / feature-extraction /
   * frame-sampling run per-partition so one task amortizes decoder setup
-  * over its whole batch (the Spark-side plumbing — schema, partitioning,
-  * batch shape — is real; the codec itself is STUBBED, see decodeStub).
+  * over its whole batch. The codecs are REAL pure-JVM decoders — a RIFF/
+  * WAVE PCM chunk-walker and PNG via javax.imageio — no external libs.
   *
   * Scale notes (100 TB): payload bytes never shuffle — features are
   * extracted map-side and the binary column is dropped before any wide
   * operation. Partition sizing is the reader's maxPartitionBytes concern,
-  * not this operator's.
+  * not this operator's. Integer features (sums of squares, pixel sums) are
+  * exact, so results are partitioning- and platform-independent.
   */
 object Multimodal {
 
   /** One media asset: opaque payload + typed metadata. */
-  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte],
-                      lang: String, declared_chars: Long)
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted features (deterministic byte math, stands in for decoded
-    * image/audio features). */
-  case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Long,
-                           checksum: Long, head_byte: Int,
-                           frame_mean: Double, n_frames: Int)
+  /** Decoded per-asset features. Audio rows carry sample_rate; image rows
+    * carry width/height; `n_units` is samples or pixels; `sum_feat` is the
+    * energy sum (Σ s², audio) or gray-value sum (image); `peak_feat` is
+    * the peak |sample| (audio) or the 8×8 nearest-neighbor downsample's
+    * pixel sum (image). Integer math end to end — exact at any scale. */
+  case class MediaFeatures(doc_id: Long, media_type: String,
+                           width: Option[Int], height: Option[Int],
+                           sample_rate: Option[Int], n_units: Long,
+                           sum_feat: Long, peak_feat: Long)
 
-  /** STUB decoder: a real implementation would decode image/audio here
-    * (libs not present in this environment). The stand-in is deterministic
-    * byte arithmetic with the same shape: whole-payload stats + a sampled
-    * "frame" sequence (every `frameStep`-th byte). */
-  def decodeStub(payload: Array[Byte], frameStep: Int): (Long, Int, Double, Int) = {
-    var checksum = 0L
+  // ---- WAV (RIFF/WAVE, PCM16LE mono) --------------------------------------
+
+  private def putIntLE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+  private def putShortLE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+  }
+  private def intLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def shortLE(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)).toShort.toInt
+
+  /** Encode PCM16 mono samples as a standard 44-byte-header WAV file. */
+  def encodeWav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = new Array[Byte](44 + dataLen)
+    "RIFF".getBytes("US-ASCII").copyToArray(b, 0)
+    putIntLE(b, 4, 36 + dataLen)
+    "WAVE".getBytes("US-ASCII").copyToArray(b, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(b, 12)
+    putIntLE(b, 16, 16) // PCM fmt chunk size
+    putShortLE(b, 20, 1) // PCM
+    putShortLE(b, 22, 1) // mono
+    putIntLE(b, 24, sampleRate)
+    putIntLE(b, 28, sampleRate * 2) // byte rate
+    putShortLE(b, 32, 2) // block align
+    putShortLE(b, 34, 16) // bits
+    "data".getBytes("US-ASCII").copyToArray(b, 36)
+    putIntLE(b, 40, dataLen)
     var i = 0
-    while (i < payload.length) { checksum += payload(i) & 0xff; i += 1 }
-    var frameSum = 0L
-    var n = 0
-    i = 0
-    while (i < payload.length) { frameSum += payload(i) & 0xff; n += 1; i += frameStep }
-    val mean = if (n > 0) frameSum.toDouble / n else 0.0
-    val head = if (payload.nonEmpty) payload(0) & 0xff else -1
-    (checksum, head, mean, n)
+    while (i < samples.length) { putShortLE(b, 44 + 2 * i, samples(i)); i += 1 }
+    b
   }
 
-  /** Wrap a text corpus as a media table (payload = utf-8 bytes) — the
-    * test-scale stand-in for a real binary asset source. */
-  def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
-      lit("text/plain").as("media_type"),
-      encode(col(textCol), "UTF-8").as("payload"),
-      col("lang"), col("n_chars").cast("long").as("declared_chars"))
+  /** Real WAV decode: walk the RIFF chunk list (tolerating extra chunks
+    * before `data`), check PCM16 mono, return (sampleRate, samples). */
+  def decodeWav(payload: Array[Byte]): (Int, Array[Int]) = {
+    require(payload.length >= 44 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE file")
+    var off = 12
+    var sampleRate = -1
+    var samples: Array[Int] = null
+    while (off + 8 <= payload.length && (sampleRate < 0 || samples == null)) {
+      val id = new String(payload, off, 4, "US-ASCII")
+      val len = intLE(payload, off + 4)
+      id match {
+        case "fmt " =>
+          require(shortLE(payload, off + 8) == 1, "not PCM")
+          require(shortLE(payload, off + 10) == 1, "not mono")
+          require(shortLE(payload, off + 22) == 16, "not 16-bit")
+          sampleRate = intLE(payload, off + 12)
+        case "data" =>
+          val n = len / 2
+          samples = new Array[Int](n)
+          var i = 0
+          while (i < n) { samples(i) = shortLE(payload, off + 8 + 2 * i); i += 1 }
+        case _ => () // skip unknown chunk
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+    (sampleRate, samples)
+  }
 
-  /** Per-partition feature extraction: decoder state is initialized once
-    * per partition (the expensive part for a real codec), then streamed
-    * over the batch. */
-  def extractFeatures(media: DataFrame, frameStep: Int = 32): DataFrame = {
+  // ---- PNG (grayscale, javax.imageio) -------------------------------------
+
+  /** Encode an 8-bit grayscale pixel function as a PNG (lossless). */
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false) // no temp-file cache inside executor tasks
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real PNG decode via the JDK ImageIO codec; returns the raw gray
+    * raster. PNG is lossless, so decoded samples equal the encoded ones. */
+  def decodePng(payload: Array[Byte]): BufferedImage = {
+    ImageIO.setUseCache(false)
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    img
+  }
+
+  // ---- deterministic synthesized assets -----------------------------------
+
+  /** Synthesized PCM asset for doc `id`: 8 kHz mono, 200 + id%100 samples,
+    * s_i = ((id*31 + i²*7) mod 20001) - 10000 — integer math the oracle
+    * reproduces without any codec. */
+  def synthWavAsset(id: Long): Array[Byte] = {
+    val n = (200 + id % 100).toInt
+    val s = Array.tabulate(n)(i => (((id * 31 + i.toLong * i * 7) % 20001) - 10000).toInt)
+    encodeWav(s, 8000)
+  }
+
+  /** Synthesized grayscale asset for doc `id`: (16 + id%8) × (12 + id%5),
+    * pixel(x,y) = (id*7 + x*13 + y*29) mod 256. */
+  def synthPngAsset(id: Long): Array[Byte] =
+    encodePng((16 + id % 8).toInt, (12 + id % 5).toInt,
+      (x, y) => ((id * 7 + x * 13 + y * 29) % 256).toInt)
+
+  // ---- feature extraction ---------------------------------------------------
+
+  /** Per-partition decode + feature extraction: the decoders and any codec
+    * state initialize once per partition and stream over the batch; only
+    * the small integer feature rows leave the task — payloads never
+    * shuffle. Dispatch on media_type. */
+  def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val ds: Dataset[MediaRow] = media.as[MediaRow]
+    val ds: Dataset[MediaRow] = media.select("doc_id", "media_type", "payload")
+      .as[MediaRow]
     ds.mapPartitions { rows =>
-      // real codec: open decoder handle here, once per partition
       rows.map { r =>
-        val (checksum, head, mean, n) = decodeStub(r.payload, frameStep)
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
-          checksum, head, mean, n)
+        r.media_type match {
+          case "audio/wav" =>
+            val (rate, s) = decodeWav(r.payload)
+            var sumSq = 0L; var peak = 0L
+            var i = 0
+            while (i < s.length) {
+              val v = s(i).toLong
+              sumSq += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              i += 1
+            }
+            MediaFeatures(r.doc_id, r.media_type, None, None, Some(rate),
+              s.length.toLong, sumSq, peak)
+          case "image/png" =>
+            val img = decodePng(r.payload)
+            val raster = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            // 8×8 nearest-neighbor thumbnail, then its pixel sum — a
+            // deterministic stand-in for learned-embedding pooling
+            var ds8 = 0L
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                ds8 += raster.getSample(xx * w / 8, yy * h / 8, 0)
+                xx += 1
+              }
+              yy += 1
+            }
+            MediaFeatures(r.doc_id, r.media_type, Some(w), Some(h), None,
+              w.toLong * h, sum, ds8)
+          case other =>
+            throw new IllegalArgumentException(s"no decoder for $other")
+        }
       }
     }.toDF()
   }

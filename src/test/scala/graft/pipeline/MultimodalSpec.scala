@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-JVM media codecs behind the multimodal pipeline: WAV encode →
+  * decode must be the identity on PCM16 samples (including chunk-walking
+  * past extra RIFF chunks), and PNG encode → decode the identity on gray
+  * rasters — the property the p12 oracle's formula-based check relies on. */
+class MultimodalSpec extends AnyFunSuite {
+
+  test("WAV roundtrip is the identity; extra RIFF chunks are skipped") {
+    val samples = Array.tabulate(333)(i => ((i * 7919) % 65536) - 32768)
+    val clamped = samples.map(s => s.toShort.toInt)
+    val bytes = Multimodal.encodeWav(clamped, 8000)
+    val (rate, got) = Multimodal.decodeWav(bytes)
+    assert(rate == 8000)
+    assert(got.sameElements(clamped))
+
+    // splice a LIST chunk between fmt and data — decoders must walk past
+    val head = bytes.slice(0, 36)
+    val tail = bytes.slice(36, bytes.length)
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    val spliced = head ++ junk ++ tail
+    val (rate2, got2) = Multimodal.decodeWav(spliced)
+    assert(rate2 == 8000 && got2.sameElements(clamped))
+  }
+
+  test("PNG roundtrip is the identity on the gray raster") {
+    val (w, h) = (23, 17)
+    def pix(x: Int, y: Int): Int = (x * 13 + y * 29 + 5) % 256
+    val bytes = Multimodal.encodePng(w, h, pix)
+    val img = Multimodal.decodePng(bytes)
+    assert(img.getWidth == w && img.getHeight == h)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      assert(raster.getSample(x, y, 0) == pix(x, y), s"pixel ($x,$y)")
+  }
+
+  test("synthesized assets decode to the formula features") {
+    val id = 42L
+    val (rate, s) = Multimodal.decodeWav(Multimodal.synthWavAsset(id))
+    assert(rate == 8000 && s.length == (200 + id % 100).toInt)
+    assert(s.zipWithIndex.forall { case (v, i) =>
+      v == ((id * 31 + i.toLong * i * 7) % 20001 - 10000).toInt })
+
+    val img = Multimodal.decodePng(Multimodal.synthPngAsset(43L))
+    assert(img.getWidth == (16 + 43 % 8) && img.getHeight == (12 + 43 % 5))
+    assert(img.getRaster.getSample(3, 2, 0) == ((43L * 7 + 3 * 13 + 2 * 29) % 256).toInt)
+  }
+}
