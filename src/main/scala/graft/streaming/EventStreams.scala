@@ -86,6 +86,66 @@ object EventStreams {
       }
   }
 
+  /** Per-tile incremental materialized view — the streaming form of the
+    * reference's tile-targeted cache invalidation
+    * (BaseOprPlaceDataProvider.java:352-392; history caches
+    * OprHistoryChangesProvider.java:114-128): each micro-batch of place
+    * ops (columns key, tile4, version, closed) last-wins-upserts a
+    * tile4-partitioned place-state table, then rebuilds the per-tile
+    * summary rows for ONLY the tiles the batch touched — the exact
+    * invalidate-and-recompute the reference does per dirty tile, as
+    * dynamic partition overwrite.
+    *
+    * Scale shape: a batch's cost is proportional to the state living in
+    * its touched tiles, never the whole table; untouched tile partitions
+    * are not read or rewritten. Replaying a batch rewrites the same
+    * partitions to the same bytes (idempotent), so checkpoint recovery is
+    * safe. The touched-tile list is the only driver-side artifact and is
+    * bounded by the batch's distinct tiles. */
+  def tileSummaryStream(ops: DataFrame, stateDir: String, summaryDir: String,
+                        checkpointDir: String) = {
+    ops.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(col("version").desc)
+        val deduped = batch
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).drop("rn")
+          .cache() // two consumers: touched-tile list + merge
+        // ≤ the batch's distinct tiles — a driver-side list, never the data
+        val touched = deduped.select("tile4").distinct()
+          .collect().map(_.getString(0))
+        val existing = try {
+          spark.read.parquet(stateDir).where(col("tile4").isin(touched: _*))
+        } catch { case _: Throwable => spark.emptyDataFrame }
+        val merged = (if (existing.isEmpty) deduped
+          else existing.unionByName(deduped, allowMissingColumns = true)
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1).drop("rn"))
+          // materialize BEFORE the write: the plan reads stateDir and
+          // Spark refuses to overwrite a path it is reading from
+          .localCheckpoint(true)
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("tile4").parquet(stateDir)
+        // invalidate-and-rebuild: summaries of exactly the touched tiles,
+        // recomputed from the merged (complete) state of those tiles
+        merged.groupBy("tile4")
+          .agg(count(lit(1)).as("n_places"),
+            sum(col("closed").cast("long")).as("n_closed"),
+            max("version").as("max_version"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("tile4").parquet(summaryDir)
+        deduped.unpersist(false)
+        ()
+      }
+      .start()
+  }
+
   /** Micro-batch op application: fold each batch of edits into a
     * persistent state table via foreachBatch — the streaming form of the
     * C3/C4 write path with MERGE idempotence.

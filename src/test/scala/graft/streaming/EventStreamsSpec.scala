@@ -84,6 +84,62 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("tileSummaryStream: per-tile incremental MV equals batch recompute; untouched tiles survive") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("tile-mv").toFile
+      val stateDir = new java.io.File(tmp, "state").getAbsolutePath
+      val summaryDir = new java.io.File(tmp, "summary").getAbsolutePath
+      val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
+      case class Op(key: Long, tile4: String, version: Long, closed: Boolean)
+      val mem = MemoryStream[(Long, String, Long, Boolean)]
+      val q = EventStreams.tileSummaryStream(
+        mem.toDF().toDF("key", "tile4", "version", "closed"),
+        stateDir, summaryDir, ckpt)
+      def summary(): Map[String, (Long, Long, Long)] =
+        spark.read.parquet(summaryDir).collect().map(r =>
+          r.getAs[String]("tile4") ->
+            ((r.getAs[Long]("n_places"), r.getAs[Long]("n_closed"),
+              r.getAs[Long]("max_version")))).toMap
+      try {
+        // batch 1: two tiles
+        mem.addData((1L, "8FVC", 1L, false), (2L, "8FVC", 1L, true),
+          (3L, "9GXX", 1L, false))
+        q.processAllAvailable()
+        assert(summary() == Map(
+          "8FVC" -> ((2L, 1L, 1L)), "9GXX" -> ((1L, 0L, 1L))))
+        // batch 2 touches ONLY 8FVC: new place + reopening of key 2 at a
+        // newer version. 9GXX's summary partition must survive untouched.
+        mem.addData((2L, "8FVC", 5L, false), (4L, "8FVC", 2L, false))
+        q.processAllAvailable()
+        assert(summary() == Map(
+          "8FVC" -> ((3L, 0L, 5L)), "9GXX" -> ((1L, 0L, 1L))))
+        // parity: incremental result equals a one-shot batch rebuild over
+        // the full op log (last-wins per key, then per-tile aggregate)
+        val log = Seq((1L, "8FVC", 1L, false), (2L, "8FVC", 1L, true),
+          (3L, "9GXX", 1L, false), (2L, "8FVC", 5L, false),
+          (4L, "8FVC", 2L, false)).toDF("key", "tile4", "version", "closed")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("key")
+          .orderBy(org.apache.spark.sql.functions.col("version").desc)
+        import org.apache.spark.sql.functions._
+        val batchSummary = log.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy("tile4")
+          .agg(count(lit(1)).as("n_places"),
+            sum(col("closed").cast("long")).as("n_closed"),
+            max("version").as("max_version"))
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        assert(summary() == batchSummary)
+        // the MV stays tile-partitioned on disk (pruned reads at scale)
+        assert(new java.io.File(summaryDir).listFiles()
+          .exists(_.getName.startsWith("tile4=")))
+      } finally q.stop()
+    }
+  }
+
   test("applyOpsStream: bucketed last-wins upsert, incremental across batches") {
     withSpark { spark =>
       import spark.implicits._
