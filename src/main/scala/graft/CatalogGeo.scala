@@ -178,7 +178,104 @@ object CatalogGeo {
   private val custLatSql = synthLatSql.format("c_custkey")
   private val custLonSql = synthLonSql.format("c_custkey")
 
+  /** Deterministic .poly region files for the region-assignment job —
+    * exercised through the REAL PolyFile parser (A12). `delta` overlaps
+    * `beta` (list order decides priority) and `gamma` carries a hole. */
+  private val polyTexts: Seq[String] = Seq(
+    """alpha
+      |1
+      |  -170.0 -50.0
+      |  -170.0 10.0
+      |  -120.0 25.0
+      |  -70.0 10.0
+      |  -70.0 -50.0
+      |END
+      |END""".stripMargin,
+    """beta
+      |1
+      |  20.0 20.0
+      |  20.0 70.0
+      |  120.0 70.0
+      |  120.0 20.0
+      |END
+      |END""".stripMargin,
+    """gamma
+      |1
+      |  60.0 -75.0
+      |  100.0 -25.0
+      |  140.0 -75.0
+      |END
+      |!hole
+      |  90.0 -65.0
+      |  100.0 -45.0
+      |  110.0 -65.0
+      |END
+      |END""".stripMargin,
+    """delta
+      |1
+      |  80.0 30.0
+      |  80.0 60.0
+      |  160.0 60.0
+      |  160.0 30.0
+      |END
+      |END""".stripMargin)
+
+  /** G4/A12 composed as the region-assignment job the reference's
+    * BorderSyncBot sketches: parse .poly regions, tag every point with its
+    * first containing region (bbox prefilter + exact ray cast), map-side
+    * through a broadcast region set — no shuffle at any point count. */
+  private def g14(s: SparkSession, d: String): DataFrame = {
+    val regions = polyTexts.map { t =>
+      val lines = t.split("\n")
+      graft.geo.PolyFile.parse(lines.iterator, lines.head.trim)
+    }
+    graft.geo.RegionAssign.assign(
+        customerGeo(s, d).repartition(s.sparkContext.defaultParallelism),
+        "lat", "lon", regions)
+      .select("c_custkey", "region")
+      .orderBy("c_custkey")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("g14_region_assign", g14,
+      // same edge-by-edge ray cast as g4's oracle, generalized to several
+      // regions and rings; holes subtract, min rid = list-order priority
+      Some(s"""WITH pts AS (SELECT c_custkey, ($custLatSql) AS lat,
+              |                    ($custLonSql) AS lon FROM customer),
+              |v(rid, ring, hole, i, n, plat, plon) AS (SELECT * FROM (VALUES
+              |  (0, 0, false, 0, 5, -50.0, -170.0), (0, 0, false, 1, 5, 10.0, -170.0),
+              |  (0, 0, false, 2, 5, 25.0, -120.0), (0, 0, false, 3, 5, 10.0, -70.0),
+              |  (0, 0, false, 4, 5, -50.0, -70.0),
+              |  (1, 0, false, 0, 4, 20.0, 20.0), (1, 0, false, 1, 4, 70.0, 20.0),
+              |  (1, 0, false, 2, 4, 70.0, 120.0), (1, 0, false, 3, 4, 20.0, 120.0),
+              |  (2, 0, false, 0, 3, -75.0, 60.0), (2, 0, false, 1, 3, -25.0, 100.0),
+              |  (2, 0, false, 2, 3, -75.0, 140.0),
+              |  (2, 1, true, 0, 3, -65.0, 90.0), (2, 1, true, 1, 3, -45.0, 100.0),
+              |  (2, 1, true, 2, 3, -65.0, 110.0),
+              |  (3, 0, false, 0, 4, 30.0, 80.0), (3, 0, false, 1, 4, 60.0, 80.0),
+              |  (3, 0, false, 2, 4, 60.0, 160.0), (3, 0, false, 3, 4, 30.0, 160.0)) t),
+              |e AS (SELECT a.rid, a.ring, a.hole, a.plat AS ilat, a.plon AS ilon,
+              |             b.plat AS jlat, b.plon AS jlon
+              |      FROM v a JOIN v b ON a.rid = b.rid AND a.ring = b.ring
+              |        AND b.i = (a.i + a.n - 1) % a.n),
+              |cr AS (SELECT p.c_custkey, e.rid, e.ring, e.hole,
+              |         count(*) FILTER ((e.ilat > p.lat) <> (e.jlat > p.lat)
+              |           AND p.lon < e.ilon + (p.lat - e.ilat) / (e.jlat - e.ilat)
+              |                        * (e.jlon - e.ilon)) AS crossings
+              |       FROM pts p CROSS JOIN e GROUP BY 1, 2, 3, 4),
+              |reg AS (SELECT c_custkey, rid,
+              |          coalesce(bool_or(crossings % 2 = 1) FILTER (WHERE NOT hole),
+              |                   false) AS in_outer,
+              |          coalesce(bool_or(crossings % 2 = 1) FILTER (WHERE hole),
+              |                   false) AS in_hole
+              |        FROM cr GROUP BY 1, 2),
+              |m AS (SELECT c_custkey, min(rid) AS rid FROM reg
+              |      WHERE in_outer AND NOT in_hole GROUP BY 1)
+              |SELECT p.c_custkey,
+              |  CASE m.rid WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+              |             WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' END AS region
+              |FROM pts p LEFT JOIN m USING (c_custkey)
+              |ORDER BY c_custkey""".stripMargin)),
     Q("g1_haversine", g1,
       Some(s"""SELECT c_custkey,
               |  round(${havSql(custLatSql, custLonSql, "48.15", "17.12")}, 1) AS dist_m

@@ -123,6 +123,31 @@ object CatalogSources {
       .orderBy("key")
   }
 
+  /** C2-family source enrichment from an external rating feed — the
+    * reference's TripAdvisor bot (TripAdvisorBot.java:46-92): for places
+    * carrying a `source.tripadvisor` entry, compare the feed's half-star
+    * rating and review count against the place's current tags and emit
+    * set-ops for whichever changed (the reference's own implementation is
+    * mostly TODO; the op shapes follow its C2 builders). Integer half-star
+    * units keep both engines' string rendering identical. */
+  private def c11(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    Tables.customer(s, d).where(k % 2 === 0).select(k.as("key"),
+        when(k % 3 =!= 0, k % 50).as("stars_cur"),
+        when(k % 3 =!= 0, k % 1000).as("reviews_cur"),
+        ((k + 7) % 50).as("stars_new"),
+        ((k * 3) % 1000).as("reviews_new"))
+      .withColumn("ops", concat_ws(";",
+        when(col("stars_cur").isNull || col("stars_cur") =!= col("stars_new"),
+          concat(lit("tags.stars=set:"), col("stars_new").cast("string"))),
+        when(col("reviews_cur").isNull || col("reviews_cur") =!= col("reviews_new"),
+          concat(lit("tags.reviews=set:"), col("reviews_new").cast("string")))))
+      .where(col("ops") =!= "")
+      .select(col("key"), col("ops"),
+        size(split(col("ops"), ";")).as("n_ops"))
+      .orderBy("key")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("a1_osm_xml_scan", a1,
       Some(s"""SELECT 'node' AS etype, c_custkey AS id,
@@ -148,6 +173,21 @@ object CatalogSources {
              |  END AS name_after,
              |  CASE WHEN c_custkey % 6 = 1 THEN 1 ELSE 0 END AS n_tag_changes
              |FROM customer ORDER BY id""".stripMargin)),
+    Q("c11_tripadvisor_ops", c11,
+      Some("""WITH t AS (SELECT c_custkey AS key,
+             |    CASE WHEN c_custkey % 3 <> 0 THEN c_custkey % 50 END AS stars_cur,
+             |    CASE WHEN c_custkey % 3 <> 0 THEN c_custkey % 1000 END AS reviews_cur,
+             |    (c_custkey + 7) % 50 AS stars_new,
+             |    (c_custkey * 3) % 1000 AS reviews_new
+             |  FROM customer WHERE c_custkey % 2 = 0),
+             |o AS (SELECT key, concat_ws(';',
+             |    CASE WHEN stars_cur IS NULL OR stars_cur <> stars_new
+             |         THEN 'tags.stars=set:' || stars_new END,
+             |    CASE WHEN reviews_cur IS NULL OR reviews_cur <> reviews_new
+             |         THEN 'tags.reviews=set:' || reviews_new END) AS ops
+             |  FROM t)
+             |SELECT key, ops, CAST(len(string_split(ops, ';')) AS INT) AS n_ops
+             |FROM o WHERE ops <> '' ORDER BY key""".stripMargin)),
     Q("c9_legacy_migration", c9,
       Some("""SELECT c_custkey AS key, 2 AS n_osm_after,
              |  'source.osm=append:node/' || (c_custkey + 5000000) || '@2021-06-01'
