@@ -236,9 +236,11 @@ object CatalogPlaces {
     // neighborhood stats over the candidate set itself: how many active
     // places this closed one could merge into, and how many closed places
     // compete for that active one
+    // a_key window FIRST, then both c_key windows (n_active here, best_tier
+    // below) back to back — adjacent same-key windows share one exchange
     val pairs = cand
-      .withColumn("n_active", count(lit(1)).over(Window.partitionBy("c_key")))
       .withColumn("n_closed", count(lit(1)).over(Window.partitionBy("a_key")))
+      .withColumn("n_active", count(lit(1)).over(Window.partitionBy("c_key")))
       .withColumn("tier",
         when(col("c_name").isNotNull && col("c_name") === col("a_name"), 0)
           .when(col("c_wiki").isNotNull && col("c_wiki") === col("a_wiki"), 1)
