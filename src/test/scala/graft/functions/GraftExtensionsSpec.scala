@@ -20,11 +20,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val row = spark.sql(
         """SELECT olc_encode(52.52, 13.405, 6) AS tile,
           |       cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cs,
-          |       sorted_intersect_size(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS isz
+          |       sorted_intersect_size(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS isz,
+          |       haversine_m(52.52, 13.405, 52.52, 13.405) AS hv,
+          |       ngram_hashes(array('a', 'b', 'c'), 2) AS nh,
+          |       geo_band_key(52.52, 13.405, 150.0) AS gbk,
+          |       geo_band_keys(52.52, 13.405, 150.0) AS gbks
           |""".stripMargin).head()
       assert(row.getString(0) == graft.geo.Olc.encode(52.52, 13.405, 6))
       assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
       assert(row.getInt(2) == 2)
+      assert(row.getDouble(3) == 0.0)
+      assert(row.getSeq[Long](4).nonEmpty)
+      assert(row.getLong(5) == graft.geo.GeoBands.buildKey(52.52, 13.405, 150.0))
+      assert(row.getSeq[Long](6).toArray.sameElements(
+        graft.geo.GeoBands.probeKeys(52.52, 13.405, 150.0)))
     } finally spark.stop()
   }
 }
