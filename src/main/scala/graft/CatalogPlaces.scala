@@ -178,7 +178,7 @@ object CatalogPlaces {
     // reference's regime (150 m clusters of a handful of places). A fixed
     // radius percolates at higher SF into one giant high-diameter
     // component and clustering cost explodes quadratically.
-    val n = Tables.events(s, d).count()
+    val n = Tables.eventCount(s, d) // memoized — no extra scan per query
     val radiusM = math.min(100000.0 * math.sqrt(10000.0 / n),
       graft.geo.GeoJoins.MaxRadiusM)
     val edges = graft.geo.GeoJoins.pairsWithin(pts, "k", "lat", "lon", radiusM)

@@ -62,4 +62,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Row count of `events`, memoized per (session, dir): adaptive
+    * parameters (pl3's density-scaled radius) need the count BEFORE the
+    * plan is built, and without the memo every such query pays an extra
+    * full scan per invocation. The testdata is immutable for a session's
+    * lifetime, so a driver-side long is safe; a changing source would
+    * instead read the count from its own metadata. */
+  private val eventCounts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  def eventCount(s: SparkSession, d: String): Long =
+    eventCounts.computeIfAbsent((s, d), _ => events(s, d).count())
 }
