@@ -11,14 +11,11 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** The 3×3 neighbor ring of an OLC cell — the cell's own code plus its up
   * to 8 same-length neighbors (deduplicated; polar cells repeat codes and
-  * drop the ring rows beyond the pole). This is the explode key of every
-  * tile-bucketed distance join (reference semantics: the 150 m / 100 m
-  * proximity groupings of OprHistoryChangesProvider.java:185-209 and
-  * MergePlaceBot.java:169-182 must see across cell borders).
-  *
-  * A native expression (not a UDF) so [[graft.plans.HaversineJoinRule]]
-  * can synthesize it inside a logical plan without a deserialization
-  * round-trip per row.
+  * drop the ring rows beyond the pole). Part of the SQL surface for
+  * user-written tile adjacency queries (`olc_ring` via GraftExtensions).
+  * The engine's own distance joins no longer key on it — they use the
+  * latitude-adaptive [[GeoBandKeys]] cover set, which stays exact above
+  * |lat| 85 where a fixed cell ring stops covering the radius.
   */
 case class OlcRing(child: Expression) extends UnaryExpression {
 
