@@ -123,6 +123,38 @@ object CatalogSources {
       .orderBy("key")
   }
 
+  /** A11 bootstrap JSON source (OpenPlaceReviewsDbBoot.java:86-93;
+    * bootstrap/opr-osm.json): the reference seeds its chain from JSON
+    * ARRAYS of op documents. Here each partition renders its rows as one
+    * such array document and the Spark JSON source parses them back
+    * (root-level arrays explode to one row per element — the bootstrap
+    * file shape exactly), with an explicit schema so the read is
+    * single-pass. The parse is the system under test; the oracle computes
+    * the same fields directly. */
+  private def a11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = col("c_custkey")
+    val docs = Tables.customer(s, d).select(
+        k.as("id"), lower(col("c_mktsegment")).as("segment"), (k % 100).as("rnk"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val sb = new StringBuilder("[")
+        var first = true
+        it.foreach { case (id, seg, r) =>
+          if (!first) sb += ','
+          first = false
+          sb ++= s"""{"type":"opr.place","create":{"id":$id,"segment":"$seg","rank":$r}}"""
+        }
+        sb += ']'
+        if (first) Iterator.empty else Iterator(sb.toString)
+      }
+    val schema = "type STRING, create STRUCT<id: BIGINT, segment: STRING, rank: BIGINT>"
+    s.read.schema(schema).json(docs)
+      .select(col("type").as("op_type"), col("create.id").as("id"),
+        col("create.segment").as("segment"), col("create.rank").as("rnk"))
+      .orderBy("id")
+  }
+
   /** C2-family source enrichment from an external rating feed — the
     * reference's TripAdvisor bot (TripAdvisorBot.java:46-92): for places
     * carrying a `source.tripadvisor` entry, compare the feed's half-star
@@ -172,6 +204,10 @@ object CatalogSources {
              |            CASE WHEN c_custkey % 2 = 1 THEN ' B' ELSE '' END
              |  END AS name_after,
              |  CASE WHEN c_custkey % 6 = 1 THEN 1 ELSE 0 END AS n_tag_changes
+             |FROM customer ORDER BY id""".stripMargin)),
+    Q("a11_bootstrap_json", a11,
+      Some("""SELECT 'opr.place' AS op_type, c_custkey AS id,
+             |  lower(c_mktsegment) AS segment, c_custkey % 100 AS rnk
              |FROM customer ORDER BY id""".stripMargin)),
     Q("c11_tripadvisor_ops", c11,
       Some("""WITH t AS (SELECT c_custkey AS key,
