@@ -117,8 +117,16 @@ class OsmXmlSpec extends AnyFunSuite {
         |<node id="2" lat="10.001" lon="20.0"/></osm>""".stripMargin)
     java.nio.file.Files.writeString(new java.io.File(dir, "c2.osm").toPath,
       """<osm><way id="9"><nd ref="1"/><nd ref="2"/></way></osm>""".stripMargin)
+    // a gzipped chunk, the reference's overpass_cache file shape (A4) —
+    // Spark's text source decompresses by extension, so .osm.gz needs no
+    // separate code path
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "c3.osm.gz")))
+    gz.write("""<osm><node id="3" lat="11.0" lon="21.0"/></osm>""".getBytes("UTF-8"))
+    gz.close()
     val ents = OsmXml.entities(spark, dir.getAbsolutePath).cache()
-    assert(ents.count() == 3)
+    assert(ents.count() == 4)
+    assert(ents.filter($"id" === 3L && $"etype" === "node").count() == 1)
     // D8: resolve way nd refs to node coords with an explode + equi-join
     val nodes = ents.where($"etype" === "node")
       .select($"id".as("ref"), $"lat", $"lon")
