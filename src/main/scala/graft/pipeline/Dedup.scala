@@ -266,9 +266,17 @@ object Dedup {
     * document. Emits per doc: span count, dropped count, and the md5 of
     * the scrubbed text (spans rejoined in document order).
     *
-    * Scale: only (doc_id, span_idx, 32-char span hash) rows shuffle to the
-    * frequency aggregation and back — never full documents; the rebuild
-    * groups by doc_id, whose group size is bounded by document length.
+    * Scale: span TEXT never keys a shuffle — only (doc_id, span_idx,
+    * 64-bit span hash) rows reach the frequency aggregation and the
+    * duplicate semi-join, and the scrubbed text is rebuilt from each
+    * doc's own spans array (one row per doc, partitioned by doc_id from
+    * the start) by joining back just the small per-doc dropped-index
+    * list. No corpus-wide broadcast: the earlier formulation broadcast
+    * EVERY distinct span hash to the rebuild join — unboundable at
+    * 100 TB — where the dropped-index side here is bounded by the
+    * duplicated subset. Span identity is the 64-bit xxhash64, exact
+    * w.h.p. (a collision needs two distinct spans with equal hashes in
+    * the same corpus — same trade as ngramJaccardPairs' gram hashes).
     * Intra-document repeats are NOT dropped (n_docs counts distinct docs)
     * — that's the reference rule's semantics, not an accident. */
   def spanScrub(df: DataFrame, idCol: String, textCol: String,
@@ -277,6 +285,9 @@ object Dedup {
     // same two load-bearing exchanges as ngramJaccardPairs: spread the
     // per-row lambdas off the tiny scan, then a barrier so CollapseProject
     // can't inline `words` into every slice()
+    // cache: d (one row per doc) feeds the hash stream and the rebuild —
+    // cheaper to hold than the exploded per-span rows, and the rebuild
+    // reuses its doc_id partitioning (no second text shuffle)
     val d = df.repartition(par)
       .select(col(idCol).as("doc_id"),
         filter(split(col(textCol), " "), w => w =!= "").as("words"))
@@ -287,28 +298,32 @@ object Dedup {
             sequence(lit(0), ((size(col("words")) - 1) / lit(spanWords)).cast("int")),
             i => array_join(slice(col("words"), i * spanWords + 1, lit(spanWords)), " ")))
           .as("spans"))
-    // cache: spans feeds the frequency aggregation AND the join-back, and
-    // without it the whole shingle pipeline runs twice. No stampede risk
-    // here (unlike ngramJaccardPairs): the freq side ends in a broadcast,
-    // which must complete before the probe stage starts, so the two
-    // consumers are serialized anyway and the second reads the cache.
-    val spans = d.select(col("doc_id"), posexplode(col("spans")))
-      .toDF("doc_id", "span_idx", "span")
-      .withColumn("span_hash", md5(col("span")))
       .cache()
-    val freq = spans.groupBy("span_hash")
+    // hashes-only from here to the dropped-index list
+    val spanHashes = d.select(col("doc_id"), posexplode(col("spans")))
+      .toDF("doc_id", "span_idx", "span")
+      .select(col("doc_id"), col("span_idx"), xxhash64(col("span")).as("span_hash"))
+    val dupHashes = spanHashes.groupBy("span_hash")
       .agg(countDistinct("doc_id").as("n_docs"))
-    spans.join(freq, "span_hash")
+      .where(col("n_docs") > 1)
+      .select("span_hash")
+    // ≤ one row per doc that HAS duplicated spans; the sorted index array
+    // is bounded by document length
+    val dropped = spanHashes.join(dupHashes, Seq("span_hash"), "left_semi")
       .groupBy("doc_id")
-      .agg(
-        count(lit(1)).cast("int").as("n_spans"),
-        sum(when(col("n_docs") > 1, 1).otherwise(0)).cast("int").as("n_dropped"),
-        // collect_list skips the nulls the `when` leaves for dropped spans;
-        // the struct sort restores document order before the rejoin
-        md5(array_join(transform(
-          array_sort(collect_list(
-            when(col("n_docs") === 1, struct(col("span_idx"), col("span"))))),
-          s => s.getField("span")), " ")).as("clean_hash"))
+      .agg(array_sort(collect_list(col("span_idx"))).as("dropped_idx"))
+    // rebuild map-side per doc: d is already hash-partitioned by doc_id, so
+    // only the small dropped table moves; zero-span docs drop out (the
+    // rule's domain is docs with at least one span)
+    d.join(dropped, Seq("doc_id"), "left")
+      .where(size(col("spans")) > 0)
+      .select(col("doc_id"),
+        size(col("spans")).as("n_spans"),
+        coalesce(size(col("dropped_idx")), lit(0)).as("n_dropped"),
+        md5(array_join(filter(col("spans"),
+          (_, i) => !array_contains(
+            coalesce(col("dropped_idx"), array().cast("array<int>")), i)), " "))
+          .as("clean_hash"))
   }
 
   /** Benchmark-contamination screen (the n-gram-overlap decontamination
