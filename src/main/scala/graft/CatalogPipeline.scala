@@ -288,6 +288,31 @@ object CatalogPipeline {
     Multimodal.extractFeatures(media).orderBy("doc_id")
   }
 
+  /** p23: the whole curation funnel ([[graft.api.CurationPipeline]]) on a
+    * corpus with known positives for every stage: documents ∪ near copies
+    * (nearCorpus) ∪ exact copies of the doc_id % 31 slice. Benchmark set =
+    * the doc_id % 97 slice (self-decontamination, as p21). The oracle
+    * recomputes every stage in SQL — md5 exact groups, the p3 minhash
+    * bands + Jaccard verify, recursive-CTE connected components, the p21
+    * contamination join, the p8 language CASE and p10 quality formula —
+    * and the same first-failing-stage precedence. */
+  private def p23(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+    val corpus = nearCorpus(s, d).unionByName(
+      docs.where(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 2 * IdOffset).as("doc_id"),
+          col("text"), col("lang")))
+    graft.api.CurationPipeline.curate(corpus,
+        docs.where(col("doc_id") % 97 === 0), "doc_id", "text",
+        graft.api.CurationPipeline.Config(ngram = 2, numHashes = 64,
+          bandRows = 4, minSim = 0.8, decontamNgram = 5,
+          maxContamFrac = 0.3, lang = "en", minQuality = 0.3))
+      // 'kept' instead of a null reason: keeps the oracle hash-compare off
+      // null-vs-NaN normalization entirely
+      .withColumn("drop_reason", coalesce(col("drop_reason"), lit("kept")))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("p1_exact_dedup", p1,
       Some(s"""WITH corpus AS ($exactCorpusSql),
@@ -767,5 +792,129 @@ object CatalogPipeline {
              |  FROM g)
              |SELECT doc_id, array_to_string(fps, '-') AS fingerprint
              |FROM fp ORDER BY doc_id""".stripMargin)),
+    Q("p23_curation_funnel", p23,
+      Some(s"""WITH corpus AS (
+              |  $nearCorpusSql
+              |  UNION ALL
+              |  SELECT doc_id + 2000000, text, lang FROM documents
+              |  WHERE doc_id % 31 = 0),
+              |ex AS (SELECT doc_id, md5(text) AS h FROM corpus),
+              |exg AS (SELECT doc_id,
+              |          count(*) OVER (PARTITION BY h) AS gs,
+              |          min(doc_id) OVER (PARTITION BY h) AS canon
+              |        FROM ex),
+              |kc AS (SELECT c.doc_id, c.text
+              |       FROM corpus c JOIN exg USING (doc_id)
+              |       WHERE NOT (exg.gs > 1 AND c.doc_id <> exg.canon)),
+              |g AS (SELECT doc_id,
+              |        list_distinct(list_transform(range(len(w) - 1),
+              |          i -> w[i+1] || ' ' || w[i+2])) AS grams
+              |      FROM (SELECT doc_id,
+              |              list_filter(string_split(text, ' '), x -> x <> '') AS w
+              |            FROM kc)),
+              |hh AS (SELECT doc_id, grams,
+              |        list_transform(grams, s ->
+              |          list_reduce(list_prepend(0::BIGINT,
+              |            list_transform(range(length(s)),
+              |              c -> ascii(substr(s, CAST(c + 1 AS INT), 1))::BIGINT)),
+              |            (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+              |       FROM g WHERE len(grams) > 0),
+              |sig AS (SELECT doc_id,
+              |         list_transform(range(64), i -> list_min(list_transform(hs, h ->
+              |           ((((2*i+1) * 1103515245) % 1000000007) * h
+              |            + (((i+1) * 12345) % 1000000007)) % 1000000007))) AS sig
+              |        FROM hh),
+              |banded AS (SELECT doc_id,
+              |            unnest(list_transform(range(16), t ->
+              |              list_reduce(list_prepend((t+1)::BIGINT, sig[t*4+1 : t*4+4]),
+              |                (acc, x) -> (acc * 31 + x) % 1000000007))) AS band_key
+              |           FROM sig),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |         FROM banded a JOIN banded b
+              |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+              |j AS (SELECT c.a_id, c.b_id,
+              |        round(len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+              |              (len(ga.grams) + len(gb.grams)
+              |               - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
+              |      FROM cand c JOIN hh ga ON ga.doc_id = c.a_id
+              |                  JOIN hh gb ON gb.doc_id = c.b_id),
+              |edges AS (SELECT a_id AS a, b_id AS b FROM j WHERE jaccard >= 0.8
+              |          UNION SELECT b_id, a_id FROM j WHERE jaccard >= 0.8),
+              |reach AS (
+              |  WITH RECURSIVE r(s, t) AS (
+              |    SELECT doc_id, doc_id FROM kc
+              |    UNION
+              |    SELECT r.s, e.b FROM r JOIN edges e ON r.t = e.a)
+              |  SELECT * FROM r),
+              |comp AS (SELECT s AS doc_id, min(t) AS comp FROM reach GROUP BY s),
+              |w2 AS (SELECT doc_id, text,
+              |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              |       FROM corpus),
+              |lq AS (SELECT doc_id,
+              |  round(CASE WHEN len(ws) > 0 THEN
+              |    len(list_filter(ws, x -> x IN ('the','a','of','to','and','in','is')))::DOUBLE / len(ws)
+              |    ELSE 0 END, 6) AS en_ratio,
+              |  round(CASE WHEN len(ws) > 0 THEN
+              |    len(list_filter(ws, x -> x IN ('der','die','das','und','ist')))::DOUBLE / len(ws)
+              |    ELSE 0 END, 6) AS de_ratio,
+              |  round(CASE WHEN len(ws) > 0 THEN
+              |    len(list_filter(ws, x -> x IN ('le','la','les','et','est')))::DOUBLE / len(ws)
+              |    ELSE 0 END, 6) AS fr_ratio,
+              |  len(ws) AS n_words, length(text) AS n_chars,
+              |  len(list_filter(ws, x -> x IN ('the','a','of','to','and','in','is'))) AS stop_hits,
+              |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS punct_hits,
+              |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_tokens
+              |  FROM w2),
+              |sigs AS (SELECT doc_id, n_tokens,
+              |  CASE WHEN greatest(en_ratio, de_ratio, fr_ratio) >= 0.02 THEN
+              |    CASE WHEN fr_ratio >= greatest(en_ratio, de_ratio) THEN 'fr'
+              |         WHEN en_ratio >= de_ratio THEN 'en' ELSE 'de' END
+              |  ELSE 'und' END AS lang,
+              |  round(greatest(0.0, least(1.0,
+              |    least(n_words / 100.0, 1.0) * 0.4
+              |    + least((CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0 END) * 5.0, 1.0) * 0.3
+              |    + least((CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1))::DOUBLE / n_words ELSE 0 END) / 8.0, 1.0) * 0.3
+              |    - (CASE WHEN n_chars > 0 THEN punct_hits::DOUBLE / n_chars ELSE 0 END))), 6) AS quality_score
+              |  FROM lq),
+              |cgr AS (SELECT doc_id,
+              |        CASE WHEN len(ws) >= 5 THEN
+              |          list_distinct(list_transform(range(len(ws) - 4),
+              |            i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+              |                 || ' ' || ws[i+4] || ' ' || ws[i+5]))
+              |        ELSE []::VARCHAR[] END AS grams
+              |      FROM w2),
+              |bset AS (SELECT DISTINCT unnest(CASE WHEN len(bw) >= 5 THEN
+              |          list_transform(range(len(bw) - 4),
+              |            i -> bw[i+1] || ' ' || bw[i+2] || ' ' || bw[i+3]
+              |                 || ' ' || bw[i+4] || ' ' || bw[i+5])
+              |          ELSE []::VARCHAR[] END) AS gram
+              |        FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS bw
+              |              FROM documents WHERE doc_id % 97 = 0)),
+              |cg2 AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM cgr),
+              |hits AS (SELECT cg2.doc_id, cg2.n_grams, count(b.gram) AS n_contaminated
+              |         FROM cg2 LEFT JOIN bset b USING (gram)
+              |         GROUP BY cg2.doc_id, cg2.n_grams),
+              |contam AS (SELECT c.doc_id,
+              |  coalesce(CASE WHEN h.n_grams > 0 THEN
+              |    round(h.n_contaminated::DOUBLE / h.n_grams, 6) END, 0.0)
+              |    AS contaminated_frac
+              |  FROM corpus c LEFT JOIN hits h USING (doc_id)),
+              |fin AS (SELECT c.doc_id,
+              |  CASE WHEN m.comp IS NULL THEN c.doc_id ELSE m.comp END AS cluster_id,
+              |  ct.contaminated_frac, s2.lang, s2.n_tokens, s2.quality_score,
+              |  CASE WHEN e2.gs > 1 AND c.doc_id <> e2.canon THEN 'exact_duplicate'
+              |       WHEN m.comp IS NOT NULL AND m.comp <> c.doc_id THEN 'near_duplicate'
+              |       WHEN ct.contaminated_frac >= 0.3 THEN 'contaminated'
+              |       WHEN s2.lang <> 'en' THEN 'wrong_language'
+              |       WHEN s2.quality_score < 0.3 THEN 'low_quality'
+              |       ELSE 'kept' END AS drop_reason
+              |  FROM corpus c
+              |  JOIN exg e2 USING (doc_id)
+              |  LEFT JOIN comp m USING (doc_id)
+              |  JOIN contam ct USING (doc_id)
+              |  JOIN sigs s2 USING (doc_id))
+              |SELECT doc_id, cluster_id, contaminated_frac, lang, n_tokens,
+              |       quality_score, drop_reason, drop_reason = 'kept' AS keep
+              |FROM fin ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -1,0 +1,122 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** End-to-end corpus curation: composes the `graft.pipeline` operators in
+  * the order a production pretraining-data pipeline applies them, as ONE
+  * DataFrame program per document set. The individual operators each have
+  * their own oracle-checked catalog query; this facade is the "a user of
+  * the engine runs the whole funnel" surface, the corpus-side analogue of
+  * [[PlacesEngine]] for the places side.
+  *
+  * Funnel order (first failing stage names the drop reason — the standard
+  * ordering: dedup before expensive signals so duplicates don't pay for
+  * scoring, contamination before quality so eval leakage is never
+  * explained away as "low quality"):
+  *
+  *   1. exact dedup       — md5 groups, non-canonical members drop
+  *                          ([[Dedup.exactDuplicates]])
+  *   2. near-dup resolve  — MinHash+LSH pairs → connected components →
+  *                          per-cluster canonical keep
+  *                          ([[Dedup.minhashLshPairs]],
+  *                          [[Dedup.resolveByComponents]])
+  *   3. decontamination   — n-gram overlap against the benchmark set
+  *                          ([[Dedup.contaminationFlags]])
+  *   4. language filter   — n-gram-heuristic language ID
+  *                          ([[TextAnalysis.langId]])
+  *   5. quality filter    — composite quality score
+  *                          ([[TextAnalysis.qualityFeatures]])
+  *
+  * Scale shape (100 TB): every signal is computed map-side from the text
+  * and then joined back by `doc_id` — the joins shuffle (doc_id, signal)
+  * rows, never text. The dedup stages inherit their operators' shapes
+  * (hash-only shuffles, band-key joins, broadcast benchmark grams). The
+  * near-dup keep-list and exact-dup membership are the only shuffled
+  * artifacts proportional to the duplicated subset. Downstream, `keep`
+  * survivors flow to [[graft.pipeline.Sampling.stratifiedBalance]] /
+  * [[graft.pipeline.Sampling.packSequences]] keyed on the emitted
+  * `lang` / `n_tokens` columns.
+  */
+object CurationPipeline {
+
+  /** Funnel thresholds. Defaults mirror the catalog queries' parameters.
+    *
+    * @param ngram        shingle width for near-dup signatures
+    * @param numHashes    MinHash signature length (bands = numHashes/bandRows)
+    * @param bandRows     rows per LSH band
+    * @param minSim       exact-Jaccard verify threshold for near-dup pairs
+    * @param decontamNgram benchmark-overlap gram width
+    * @param maxContamFrac contaminated-fraction threshold (≥ drops)
+    * @param lang         required language id, or null to keep all
+    * @param minQuality   minimum composite quality score
+    */
+  final case class Config(
+      ngram: Int = 2,
+      numHashes: Int = 32,
+      bandRows: Int = 4,
+      minSim: Double = 0.8,
+      decontamNgram: Int = 3,
+      maxContamFrac: Double = 0.5,
+      lang: String = "en",
+      minQuality: Double = 0.3)
+
+  /** Per-document curation verdict over `corpus(idCol, textCol)`:
+    * every signal that fed the decision (cluster id, contaminated
+    * fraction, lang, quality score, token count), `drop_reason` = the
+    * FIRST failing stage in funnel order (null when kept), and
+    * `keep = drop_reason IS NULL`. One row per input document. */
+  def curate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+             textCol: String, cfg: Config = Config()): DataFrame = {
+    val base = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // benchmark must share the normalized (doc_id, text) shape — its idCol/
+    // textCol are read with the same names as the corpus's
+    val bench = benchmark.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+    // 1. exact duplicates: only non-canonical members of >1 groups
+    val exactDrop = Dedup.exactDuplicates(base, "doc_id", "text")
+      .where(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), lit(true).as("exact_dup"))
+
+    // 2. near-dup clusters over the exact-canonical survivors (running it
+    // on the full set would re-find every exact group as a near cluster)
+    val exactKept = base.join(exactDrop, Seq("doc_id"), "left_anti")
+    val resolved = Dedup.resolveByComponents(exactKept, "doc_id",
+        Dedup.minhashLshPairs(exactKept, "doc_id", "text",
+          cfg.ngram, cfg.numHashes, cfg.bandRows, cfg.minSim)
+          .select(col("a_id"), col("b_id")))
+      .select(col("doc_id"), col("cluster_id"), col("keep").as("near_keep"))
+
+    // 3-5. map-side signals
+    val contam = Dedup.contaminationFlags(base, bench, "doc_id", "text",
+        cfg.decontamNgram, cfg.maxContamFrac)
+      .select(col("doc_id"), col("contaminated_frac"),
+        col("flagged").as("contaminated"))
+    val signals = base.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens"))
+    val quality = TextAnalysis.qualityFeatures(base, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+
+    base.select("doc_id")
+      .join(exactDrop, Seq("doc_id"), "left")
+      .join(resolved, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(signals, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"), "left")
+      .withColumn("drop_reason",
+        when(coalesce(col("exact_dup"), lit(false)), "exact_duplicate")
+          .when(!coalesce(col("near_keep"), lit(true)), "near_duplicate")
+          .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+          .when(Option(cfg.lang).map(col("lang") =!= _).getOrElse(lit(false)),
+            "wrong_language")
+          .when(col("quality_score") < cfg.minQuality, "low_quality"))
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("contaminated_frac"), lit(0.0)).as("contaminated_frac"),
+        col("lang"), col("n_tokens"), col("quality_score"),
+        col("drop_reason"), col("drop_reason").isNull.as("keep"))
+  }
+}
