@@ -108,13 +108,14 @@ object CatalogText {
     // NAME_MATCH else OTHER_TAGS_MATCH (OTHER_NAME re-checks the same name;
     // EMPTY never fires on non-empty part names). The fuzzy name-pair
     // relation is generated DISTRIBUTEDLY by SimilarityJoin.namePairs
-    // (segment-pigeonhole block-then-verify — no driver collect, no O(V²)
-    // loop; at 10⁸ real place names the old driver loop would be 10¹⁶
-    // comparisons). It stays vocabulary-sized, so the big brand-blocked
-    // join still runs entirely in codegen through a broadcast of it.
+    // (positional segment-pigeonhole block-then-verify — no driver collect,
+    // no O(V²) loop; at 10⁸ real place names the old driver loop would be
+    // 10¹⁶ comparisons). No broadcast hint: the pair relation is
+    // vocabulary-sized and thus UNBOUNDED at planetary scale — AQE picks
+    // broadcast when the runtime size allows and falls back to a shuffled
+    // hash join when it doesn't, which is the only safe default.
     val names = Tables.part(s, d).select(col("p_name").as("nm")).distinct()
-    val nm = broadcast(
-      graft.text.SimilarityJoin.namePairs(names).select("nm_a", "nm_b"))
+    val nm = graft.text.SimilarityJoin.namePairs(names).select("nm_a", "nm_b")
     val p = Tables.part(s, d).select(
         col("p_partkey"), col("p_brand"), col("p_name"),
         when(col("p_partkey") % 7 === 0, concat(lit("Q"), col("p_partkey") % 100)).as("wiki"))

@@ -26,11 +26,17 @@ import org.apache.spark.sql.functions._
   * a partition-based method for similarity joins", VLDB 2012, public
   * algorithm): partition the shorter word u into budget(|u|)+1 even
   * segments; lev(u,v) ≤ budget forces v to contain one segment verbatim.
-  * The index side emits u's segments; the probe side emits v's substrings
-  * of every segment length a qualifying shorter partner could have
-  * (bounded: ≤ 9 partner lengths × ≤ 2 lengths × |v| substrings). Keys
-  * are plain segment strings — a superset of positional PassJoin
-  * candidates, still exact, and verification is the builtin banded
+  * Keys are POSITIONAL — (partner length |u|, segment index i, segment
+  * text) — with the paper's position-aware substring window on the probe
+  * side: if segment i of u (start p) matches v at start q, the edits
+  * spent before the segment are ≥ |q-p| and after it ≥ |(q-p)-Δ|
+  * (Δ = |v|-|u|), so |q-p| + |(q-p)-Δ| ≤ τ bounds q to a window of at
+  * most τ+1 starts per (segment, partner length). That keeps both the
+  * key fan-out and the per-key match set small: a bare 1-2-char segment
+  * string is shared by thousands of words under a real vocabulary, but
+  * (length, index, position-window) keys track only genuine PassJoin
+  * candidates. Still exact (the window condition is necessary for any
+  * alignment within budget), and verification is the builtin banded
   * `levenshtein(u, v, 4)` against the reference's adaptive budget
   * (MergeUtil.getMaxLevenshteinDistance), fully codegen.
   */
@@ -61,41 +67,57 @@ object SimilarityJoin {
   /** The pigeonhole needs budget+1 NON-EMPTY segments; a word shorter than
     * that (in practice only single chars: L=1, budget=1) can be rewritten
     * entirely within budget, so it blocks on a dedicated short-word key
-    * instead. Segment keys get a `g` namespace so the two domains cannot
-    * collide. */
+    * instead. Positional keys start with a digit (the partner length), so
+    * the two domains cannot collide. */
   private val ShortKey = "#"
 
-  /** Index-side keys: the word's own pigeonhole segments (it plays the
-    * SHORTER role of a pair). */
+  /** Index-side keys: the word's own pigeonhole segments, keyed
+    * positionally as `|u|:i:segment` (it plays the SHORTER role of a
+    * pair). */
   private[text] def indexKeys(w: String): Seq[String] = {
     val b = budget(w.length)
     if (w.length <= b) Seq(ShortKey)
-    else segments(w, b + 1).distinct.map("g" + _)
+    else segments(w, b + 1).zipWithIndex
+      .map { case (seg, i) => s"${w.length}:$i:$seg" }
   }
 
-  /** Probe-side keys: all substrings of `w` whose length matches a segment
-    * length of any qualifying shorter-or-equal partner — plus the
-    * short-word key when such a partner is below its pigeonhole bound. */
+  /** Probe-side keys: for every qualifying shorter-or-equal partner length
+    * `lu`, the substrings of `w` that could be segment `i` of a length-lu
+    * partner, restricted to the position-aware window
+    * |q-p| + |(q-p)-Δ| ≤ τ (see object doc) — plus the short-word key
+    * when such a partner is below its pigeonhole bound. */
   private[text] def probeKeys(w: String): Seq[String] = {
     val L = w.length
-    val lens = scala.collection.mutable.Set[Int]()
+    val out = scala.collection.mutable.Set[String]()
     var short = false
     var lu = math.max(1, L - 4)
     while (lu <= L) {
-      val b = budget(lu)
-      if (L - lu <= b) {
-        if (lu <= b) short = true
+      val tau = budget(lu)
+      val delta = L - lu
+      if (delta <= tau) {
+        if (lu <= tau) short = true
         else {
-          val n = b + 1
-          lens += lu / n
-          if (lu % n != 0) lens += lu / n + 1
+          val n = tau + 1
+          val base = lu / n; val extra = lu % n
+          var i = 0; var p = 0
+          while (i < n) {
+            val segLen = base + (if (i < extra) 1 else 0)
+            // shift s = q - p must satisfy |s| + |s - delta| <= tau:
+            // s in [ceil((delta-tau)/2), floor((delta+tau)/2)]
+            val lo = math.max(0, p + math.ceil((delta - tau) / 2.0).toInt)
+            val hi = math.min(L - segLen, p + (delta + tau) / 2)
+            var q = lo
+            while (q <= hi) {
+              out += s"$lu:$i:${w.substring(q, q + segLen)}"
+              q += 1
+            }
+            p += segLen
+            i += 1
+          }
         }
       }
       lu += 1
     }
-    lens -= 0
-    val out = scala.collection.mutable.Set[String]()
-    for (len <- lens; i <- 0 to L - len) out += "g" + w.substring(i, i + len)
     if (short) out += ShortKey
     out.toSeq
   }
