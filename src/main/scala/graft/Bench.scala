@@ -29,39 +29,42 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       dt
     }
-    // two timed executions per query: the first lands whole-stage-codegen
-    // compilation (the reported headline, comparable with earlier rounds),
-    // the second is the steady-state cost a resident service would pay —
-    // the regime the reference (a long-running HTTP service) runs in
+    // three timed executions per query, headline = MEDIAN: single-shot
+    // timings swung 3-5x between rounds with no code change (GC pauses,
+    // codegen-compile landing on one query), so regressions could not be
+    // attributed. Run 1 is cold (whole-stage-codegen compilation), runs
+    // 2-3 are warm; the median discards the one-off outlier whichever
+    // side it lands on while staying comparable round-over-round.
     // dev loop: SPARK_GRAFT_ONLY=p3_minhash_lsh,p17_dedup_resolve limits the
     // run; absent (the driver's invocation) everything runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val cold = timed(name, fn)
-      val warm = timed(name, fn)
-      (name, cold, warm)
+      val runs = Seq.fill(3)(timed(name, fn))
+      (name, runs.sorted.apply(1), runs)
     }
     // ONE compact JSON line: the driver captures only a bounded tail of
     // stdout, and r01/r02 proved a full-precision cold+warm dump (~6 KB)
     // gets front-truncated past parseability ("parsed": null). Three
-    // decimals × one map keeps the line ~2 KB; the full cold/warm detail
+    // decimals × one map keeps the line ~2 KB; the full per-run detail
     // goes to a file for local iteration instead.
     def r3(v: Double) = math.rint(v * 1000) / 1000
     def toJson(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val qs = toJson(results.map(r => (r._1, r._2)))
-    val qsWarm = toJson(results.map(r => (r._1, r._3)))
+    val qsAll = results.map { case (k, _, runs) =>
+      s"\"" + k + "\":[" + runs.map(r3).mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    val totalWarm = r3(results.map(_._3).sum)
+    val totalCold = r3(results.map(_._3.head).sum)
     // sf as a strict JSON number, or the quoted raw dir name when the
     // pattern doesn't match — "sf1." would otherwise emit an invalid JSON
     // token and break the very harness parse this field serves
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir.replace("\"", "") + "\"")
-    val detail = s"""{"value_warm":$totalWarm,"queries_warm":$qsWarm,""" +
-      s""""queries_cold":$qs,"sf_dir":"$sfDir"}"""
+    val detail = s"""{"value_cold":$totalCold,"runs":$qsAll,""" +
+      s""""queries_median":$qs,"sf_dir":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_detail.json"),
         detail.getBytes("UTF-8"))
