@@ -847,9 +847,12 @@ object CatalogPipeline {
               |    SELECT r.s, e.b FROM r JOIN edges e ON r.t = e.a)
               |  SELECT * FROM r),
               |comp AS (SELECT s AS doc_id, min(t) AS comp FROM reach GROUP BY s),
+              |surv AS (SELECT kc.doc_id, kc.text
+              |         FROM kc JOIN comp m ON kc.doc_id = m.doc_id
+              |         WHERE m.comp = kc.doc_id),
               |w2 AS (SELECT doc_id, text,
               |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
-              |       FROM corpus),
+              |       FROM surv),
               |lq AS (SELECT doc_id,
               |  round(CASE WHEN len(ws) > 0 THEN
               |    len(list_filter(ws, x -> x IN ('the','a','of','to','and','in','is')))::DOUBLE / len(ws)
@@ -898,7 +901,7 @@ object CatalogPipeline {
               |  coalesce(CASE WHEN h.n_grams > 0 THEN
               |    round(h.n_contaminated::DOUBLE / h.n_grams, 6) END, 0.0)
               |    AS contaminated_frac
-              |  FROM corpus c LEFT JOIN hits h USING (doc_id)),
+              |  FROM surv c LEFT JOIN hits h USING (doc_id)),
               |fin AS (SELECT c.doc_id,
               |  CASE WHEN m.comp IS NULL THEN c.doc_id ELSE m.comp END AS cluster_id,
               |  ct.contaminated_frac, s2.lang, s2.n_tokens, s2.quality_score,
@@ -911,8 +914,8 @@ object CatalogPipeline {
               |  FROM corpus c
               |  JOIN exg e2 USING (doc_id)
               |  LEFT JOIN comp m USING (doc_id)
-              |  JOIN contam ct USING (doc_id)
-              |  JOIN sigs s2 USING (doc_id))
+              |  LEFT JOIN contam ct USING (doc_id)
+              |  LEFT JOIN sigs s2 USING (doc_id))
               |SELECT doc_id, cluster_id, contaminated_frac, lang, n_tokens,
               |       quality_score, drop_reason, drop_reason = 'kept' AS keep
               |FROM fin ORDER BY doc_id""".stripMargin)),

@@ -12,9 +12,12 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and convert
-    * to a proper micro-precision TimestampType column. */
+  /** events.parquet has stored `ts` as parquet TIMESTAMP(NANOS) (read
+    * nanos-as-long + convert) and, in newer testdata generations, as
+    * TIMESTAMP without timezone adjustment (Spark reads TIMESTAMP_NTZ,
+    * which unix_millis/unix_seconds and watermarks reject). Normalize
+    * every generation to a micro-precision session-TZ TimestampType
+    * column — the session runs UTC, so the NTZ cast is deterministic. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
@@ -23,6 +26,9 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
@@ -53,6 +59,15 @@ object Tables {
           .withColumn("ts",
             org.apache.spark.sql.functions.timestamp_micros(
               org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // filter in the column's own type so the predicate still pushes
+        // down to the scan, THEN normalize (UTC session → same instants)
+        raw.where(org.apache.spark.sql.functions.col("ts") >=
+            org.apache.spark.sql.functions.lit(fromIso).cast("timestamp_ntz") &&
+          org.apache.spark.sql.functions.col("ts") <
+            org.apache.spark.sql.functions.lit(toIso).cast("timestamp_ntz"))
+          .withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ =>
         raw.where(org.apache.spark.sql.functions.col("ts") >=
             org.apache.spark.sql.functions.lit(fromIso).cast("timestamp") &&

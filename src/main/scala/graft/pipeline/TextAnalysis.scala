@@ -46,6 +46,24 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
 
+  /** The composite quality score in [0,1] as a plain Column, so callers
+    * can fold it into an existing map-side projection (one pass) instead
+    * of a separate [[qualityFeatures]] scan + join. */
+  def qualityScore(t: Column): Column = {
+    val ws = words(t)
+    val nWords = size(ws).cast("double")
+    val nChars = length(t).cast("double")
+    val avgWordLen = when(nWords > 0, (nChars - (nWords - 1)) / nWords).otherwise(0.0)
+    val stopRatio = profileRatio(t, stopwordProfiles("en"))
+    val punctRatio = when(nChars > 0,
+      size(regexp_extract_all(t, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double") / nChars)
+      .otherwise(0.0)
+    val lengthScore = least(nWords / 100.0, lit(1.0))
+    round(greatest(lit(0.0), least(lit(1.0),
+      lengthScore * 0.4 + least(stopRatio * 5.0, lit(1.0)) * 0.3 +
+        least(avgWordLen / 8.0, lit(1.0)) * 0.3 - punctRatio)), 6)
+  }
+
   /** Quality features + a composite score in [0,1]: rewards mid-length
     * docs, long-ish words, stopword presence; penalizes symbol soup. */
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -58,17 +76,13 @@ object TextAnalysis {
     val punctRatio = when(nChars > 0,
       size(regexp_extract_all(t, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double") / nChars)
       .otherwise(0.0)
-    val lengthScore = least(nWords / 100.0, lit(1.0))
-    val score = greatest(lit(0.0), least(lit(1.0),
-      lengthScore * 0.4 + least(stopRatio * 5.0, lit(1.0)) * 0.3 +
-        least(avgWordLen / 8.0, lit(1.0)) * 0.3 - punctRatio))
     df.select(col(idCol).as("doc_id"),
       size(ws).as("n_words"),
       length(t).as("n_chars"),
       round(avgWordLen, 6).as("avg_word_len"),
       round(stopRatio, 6).as("stopword_ratio"),
       round(punctRatio, 6).as("punct_ratio"),
-      round(score, 6).as("quality_score"))
+      qualityScore(t).as("quality_score"))
   }
 
   /** Content-defined fingerprint: md5 of the sorted distinct word set —

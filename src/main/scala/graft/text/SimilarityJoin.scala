@@ -153,7 +153,21 @@ object SimilarityJoin {
   /** The full `checkNames` pair relation over a distinct-name relation
     * `names(nm)`: every ORDERED pair (nm_a, nm_b) — diagonal included —
     * with checkNames(nm_a, nm_b). Block-then-verify; zero driver-side
-    * materialization. */
+    * materialization.
+    *
+    * Every relation below is referenced exactly ONCE in the final plan
+    * (orientation doubling goes through a single `explode`, not a union of
+    * two references) — Spark does not share common subtrees, so a
+    * twice-referenced candidate/verify pipeline would execute twice.
+    *
+    * The word leg blocks on each name's globally RAREST token: if clause 4
+    * holds in direction x→y (every token of x matched in y), then in
+    * particular x's rarest token matched some token of y — so joining
+    * (rarest(x), any token of y) over the symmetric similar-word relation,
+    * with both names taking the x role, is exact, and caps the quantified
+    * side's fan-out at ONE key per name (the frequency-sorted prefix
+    * filter of PPJoin, Xiao et al., WWW 2008, at prefix length 1 — valid
+    * here because clause 4 quantifies over ALL tokens of one side). */
   def namePairs(names: DataFrame): DataFrame = {
     val norm = names.select(col("nm"),
         lower(col("nm")).as("low"))
@@ -170,37 +184,48 @@ object SimilarityJoin {
       col("toks").as(s"${p}_toks"))
     val a = side("a"); val b = side("b")
 
-    // candidate legs — each an equi-join on a key both members of a
-    // matching pair provably share
-    val byNospace = a.join(b, col("a_nospace") === col("b_nospace") &&
-      col("a_nm") < col("b_nm")).select("a_nm", "b_nm")
-    val byBag = a.join(b, col("a_toks") === col("b_toks") &&
-      col("a_nm") < col("b_nm")).select("a_nm", "b_nm")
+    // equality legs (nospace / sorted-bag) as ONE self-join on a tagged
+    // composite key — both are keys every matching pair provably shares
+    val kRel = norm.select(col("nm"), explode(array(
+      concat(lit("n:"), col("nospace")),
+      concat(lit("b:"), array_join(col("toks"), " ")))).as("k"))
+    val byKey = kRel.join(kRel.select(col("nm").as("t_nm"), col("k")), "k")
+      .where(col("nm") < col("t_nm"))
+      .select(col("nm").as("a_nm"), col("t_nm").as("b_nm"))
     val words = norm.select(explode(col("toks")).as("w")).distinct()
     val wp = similarWordPairs(words)
-    // a name's token hits either side of the ordered word pair
+    // symmetric closure of the (shorter, longer)-ordered word pairs, so one
+    // probe join covers both roles; shuffle-free (conditional explode)
+    val wpSym = wp.select(explode(when(col("w1") === col("w2"),
+        array(struct(col("w1").as("wm"), col("w2").as("ws"))))
+      .otherwise(array(
+        struct(col("w1").as("wm"), col("w2").as("ws")),
+        struct(col("w2").as("wm"), col("w1").as("ws"))))).as("pr"))
+      .select(col("pr.wm").as("wm"), col("pr.ws").as("ws"))
     val tokRel = norm.select(col("nm"), explode(col("toks")).as("w"))
-    val byWord = tokRel.select(col("nm").as("a_nm"), col("w").as("w1"))
-      .join(wp, "w1")
-      .join(tokRel.select(col("nm").as("b_nm"), col("w").as("w2")), "w2")
-      .where(col("a_nm") < col("b_nm"))
-      .select("a_nm", "b_nm")
-      .unionByName(
-        tokRel.select(col("nm").as("b_nm"), col("w").as("w1"))
-          .join(wp, "w1")
-          .join(tokRel.select(col("nm").as("a_nm"), col("w").as("w2")), "w2")
-          .where(col("a_nm") < col("b_nm"))
-          .select("a_nm", "b_nm"))
+    val freq = tokRel.groupBy("w").agg(count(lit(1)).as("freq"))
+    val rarest = tokRel.join(freq, "w")
+      .groupBy("nm").agg(min(struct(col("freq"), col("w"))).getField("w").as("wm"))
+    val byWord = rarest
+      .join(wpSym, "wm")
+      .join(tokRel.select(col("nm").as("t_nm"), col("w").as("ws")), "ws")
+      .where(col("nm") =!= col("t_nm"))
+      .select(least(col("nm"), col("t_nm")).as("a_nm"),
+        greatest(col("nm"), col("t_nm")).as("b_nm"))
 
-    val cand = byNospace.unionByName(byBag).unionByName(byWord).distinct()
+    val cand = byKey.unionByName(byWord).distinct()
     val verified = cand
       .join(a, "a_nm").join(b, "b_nm")
       .where(checkNamesPreUdf(col("a_low"), col("a_nospace"), col("a_toks"),
         col("b_low"), col("b_nospace"), col("b_toks")))
       .select("a_nm", "b_nm")
-    // ordered relation: diagonal + both orientations
+    // ordered relation: diagonal + both orientations of the (single!)
+    // verified stream
     norm.select(col("nm").as("nm_a"), col("nm").as("nm_b"))
-      .unionByName(verified.select(col("a_nm").as("nm_a"), col("b_nm").as("nm_b")))
-      .unionByName(verified.select(col("b_nm").as("nm_a"), col("a_nm").as("nm_b")))
+      .unionByName(verified
+        .select(explode(array(
+          struct(col("a_nm").as("nm_a"), col("b_nm").as("nm_b")),
+          struct(col("b_nm").as("nm_a"), col("a_nm").as("nm_b")))).as("pr"))
+        .select(col("pr.nm_a").as("nm_a"), col("pr.nm_b").as("nm_b")))
   }
 }
