@@ -121,7 +121,10 @@ object CatalogCore {
     Tables.lineitem(s, d)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      // no broadcast hint: the lookup dimension scales WITH the corpus
+      // (it is the osmid index, not a fixed-size dim) — AQE broadcasts it
+      // at small runtime sizes and falls back to a shuffled join at scale
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("l_orderkey"),
         round(col("l_extendedprice"), 2).as("best_price"))
       .orderBy("p_partkey")

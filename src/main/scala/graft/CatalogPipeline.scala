@@ -164,7 +164,13 @@ object CatalogPipeline {
       .orderBy("doc_id")
 
   /** Dedup resolution end-to-end: near-dup pairs (p2's generator) →
-    * duplicate clusters (connected components) → canonical keep-list. */
+    * duplicate clusters (connected components) → canonical keep-list.
+    *
+    * The pair generator runs exactly ONCE here even though the CC loop
+    * iterates: [[graft.geo.ConnectedComponents.label]] contracts the edge
+    * relation into a localCheckpoint at entry, so every round reads the
+    * materialized forest, never the generator's lineage. Measured at
+    * sf0.1: p17 ≈ p2 + ~1-2 s CC/labeling marginal, run for run. */
   private def p17(s: SparkSession, d: String): DataFrame =
     Dedup.resolveByComponents(nearCorpus(s, d), "doc_id",
         Dedup.ngramJaccardPairs(nearCorpus(s, d), "doc_id", "text",

@@ -49,11 +49,15 @@ object CatalogText {
     * max word-edit budget, and keeps the output selective. */
   private def f3(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
-    // spread the probe side: the build side broadcasts, so without this the
-    // whole brand-blocked pair enumeration + levenshtein runs inside the
-    // single-file scan task (measured 13s serial at sf0.1)
+    // spread the probe side: when the build side broadcasts, without this
+    // the whole brand-blocked pair enumeration + levenshtein runs inside
+    // the single-file scan task (measured 13s serial at sf0.1). No
+    // broadcast HINT on the build side though: the relation is the full
+    // part table — unbounded at scale — so AQE must stay free to fall
+    // back to a shuffled join on p_brand (it still broadcasts at small
+    // runtime sizes, keeping this plan at bench scale).
     p.repartition(s.sparkContext.defaultParallelism).as("a")
-      .join(broadcast(p).as("b"),
+      .join(p.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
         col("a.p_partkey") < col("b.p_partkey"))
       // 3-arg levenshtein early-exits past the threshold (returns -1)
@@ -124,7 +128,7 @@ object CatalogText {
     // Candidates come from the match keys themselves, never from brand
     // blocking alone: a brand-blocked all-pairs join is quadratic in brand
     // size (8M pair evaluations here; unbounded at 100 TB). Name tier =
-    // equi-join through the broadcast name-pair table on (brand, both
+    // equi-join through the distributed name-pair table on (brand, both
     // names); tag tier = equi-join on (brand, wikidata). A pair matching
     // both tiers takes the better one (min priority), as the reference's
     // cascade does.
