@@ -86,7 +86,11 @@ object CurationPipeline {
     // Both id-frames are referenced twice below (survivor filter + final
     // assembly); they carry ids and flags only — never text — so caching
     // them is bounded by the dup subset, not the corpus.
-    val exactKept = base.join(exactDrop, Seq("doc_id"), "left_anti")
+    // exactKept feeds three consumers (pair generation, the CC node
+    // universe, the survivor filter) — cache it like `survivors` below:
+    // both are the materialized stage outputs a production funnel
+    // checkpoints anyway
+    val exactKept = base.join(exactDrop, Seq("doc_id"), "left_anti").cache()
     val resolved = Dedup.resolveByComponents(exactKept, "doc_id",
         Dedup.minhashLshPairs(exactKept, "doc_id", "text",
           cfg.ngram, cfg.numHashes, cfg.bandRows, cfg.minSim)

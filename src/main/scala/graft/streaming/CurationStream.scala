@@ -40,10 +40,11 @@ import graft.pipeline.{Dedup, PortableHash, TextAnalysis}
   */
 object CurationStream {
 
-  /** Start the curation stream: per-batch verdict rows (the exact
-    * [[CurationPipeline.curate]] schema) append to `outDir`, kept docs'
-    * index rows append to `stateRoot/{hash,band,doc}_idx`. `benchmark`
-    * is a static relation (the eval set). */
+  /** Start the curation stream: per-batch verdict rows (the
+    * [[CurationPipeline.curate]] schema + `batch_id`) land in `outDir`
+    * as batch_id-partitioned dynamic overwrites (replay-idempotent),
+    * kept docs' index rows append to `stateRoot/{hash,band,doc}_idx`.
+    * `benchmark` is a static relation (the eval set). */
   def curationStream(docs: DataFrame, benchmark: DataFrame,
                      stateRoot: String, outDir: String, checkpointDir: String,
                      cfg: CurationPipeline.Config = CurationPipeline.Config(),
@@ -56,8 +57,8 @@ object CurationStream {
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        curateBatch(batch, benchmark, stateRoot, outDir, cfg, numBuckets)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(batch, benchmark, stateRoot, outDir, cfg, numBuckets, batchId)
       }
       .start()
   }
@@ -66,7 +67,7 @@ object CurationStream {
     * backfills. `batch0` columns: doc_id, text. */
   def curateBatch(batch0: DataFrame, benchmark: DataFrame, stateRoot: String,
                   outDir: String, cfg: CurationPipeline.Config,
-                  numBuckets: Int): Unit = {
+                  numBuckets: Int, batchId: Long = 0L): Unit = {
     val spark = batch0.sparkSession
     val B = numBuckets.toLong
     graft.functions.NgramHashes.register(spark)
@@ -104,10 +105,15 @@ object CurationStream {
     val stateHash = readPruned(hashIdx, hb,
       "bucket BIGINT, text_hash STRING, doc_id BIGINT")
     val wHash = org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
+    // self-matches (state entry with the doc's OWN id) are excluded so a
+    // checkpoint replay — whose kept docs are already in the indexes —
+    // reclassifies every doc identically instead of dropping each kept
+    // doc as a duplicate of itself
     val exact = prep.select("doc_id", "text_hash")
-      .join(stateHash.groupBy("text_hash")
-          .agg(min("doc_id").as("state_id")),
+      .join(stateHash.select(col("text_hash"), col("doc_id").as("s_id")),
         Seq("text_hash"), "left")
+      .groupBy("doc_id", "text_hash")
+      .agg(min(when(col("s_id") =!= col("doc_id"), col("s_id"))).as("state_id"))
       .withColumn("batch_min", min("doc_id").over(wHash))
       // any state hit drops the WHOLE batch group; otherwise the batch min
       // is the canonical and survives
@@ -130,6 +136,9 @@ object CurationStream {
       .select(col("doc_id").as("a_id"), col("b_id")).distinct()
     val cross = bandRel
       .join(stateBands.select(col("band_key"), col("doc_id").as("a_id")), "band_key")
+      // drop self-probes before the verify join pays for them (CC would
+      // discard the resulting self-loop edges anyway — replay case)
+      .where(col("a_id") =!= col("doc_id"))
       .select(col("a_id"), col("doc_id").as("b_id")).distinct()
     val db = cross.select(pmod(col("a_id"), lit(B)).as("bucket"))
       .distinct().collect().map(_.getLong(0))
@@ -207,7 +216,15 @@ object CurationStream {
     kept.select(pmod(col("doc_id"), lit(B)).as("bucket"),
         col("doc_id"), col("hgrams"), col("sz"))
       .write.mode("append").partitionBy("bucket").parquet(docIdx)
-    verdict.write.mode("append").parquet(outDir)
+    // verdicts are batch_id-partitioned and dynamically OVERWRITTEN, so a
+    // checkpoint replay rewrites its own partition instead of appending
+    // duplicate verdict rows (the index appends above are dup-tolerant —
+    // duplicate index rows only create duplicate candidates, absorbed by
+    // the distinct — but the verdict table is the user-facing output)
+    verdict.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
 
     survivors.unpersist(false)
     resolved.unpersist(false)

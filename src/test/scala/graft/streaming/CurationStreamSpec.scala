@@ -90,4 +90,26 @@ class CurationStreamSpec extends AnyFunSuite {
         .exists(_.getName.startsWith("bucket=")))
     }
   }
+
+  test("replaying a batch is idempotent on the verdict table") {
+    withSpark { spark =>
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("curation-replay").toFile
+      val state = new java.io.File(tmp, "state").getAbsolutePath
+      val out = new java.io.File(tmp, "out").getAbsolutePath
+      val bench = Seq(100L -> benchText).toDF("doc_id", "text")
+      val cfg = CurationPipeline.Config()
+      val batch = corpus.filter(_._1 <= 3).toDF("doc_id", "text")
+
+      CurationStream.curateBatch(batch, bench, state, out, cfg, 64, batchId = 0L)
+      val first = spark.read.parquet(out).orderBy("doc_id").collect().toSeq
+      // checkpoint recovery re-delivers the same batch: the batch_id
+      // partition is dynamically overwritten, not appended (the dedup
+      // indexes tolerate their duplicate rows; the verdict table must not)
+      CurationStream.curateBatch(batch, bench, state, out, cfg, 64, batchId = 0L)
+      val second = spark.read.parquet(out).orderBy("doc_id").collect().toSeq
+      assert(second.length === first.length)
+      assert(second === first)
+    }
+  }
 }
