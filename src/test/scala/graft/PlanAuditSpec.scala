@@ -66,6 +66,50 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("broadcast hints over raw corpus-scaled relations are pinned to known-bounded cases") {
+    // An unconditional broadcast() hint materializes its relation on the
+    // driver regardless of runtime size. That is fine for relations
+    // bounded by something other than data volume (fixed dims like
+    // nation/region, aggregates over bounded key spaces, explicit query
+    // sets) and a scale-killer for anything that grows with the corpus
+    // (the round-5 d5 defect: a hinted vocabulary-sized pair relation).
+    // Guard: every broadcast hint whose subtree reaches a RAW scan of a
+    // corpus-scaled table with no intervening Aggregate must be on this
+    // allowlist, each entry bounded BY CONSTRUCTION:
+    //   p5/p6/p13 — the ANN query set, a literal-bounded id slice the
+    //   caller chooses (queries are small by the operator's contract).
+    // Anything new fails until deliberately added here.
+    val allowed = Set("p5_cosine_topk", "p6_ann_lsh", "p13_ann_ivf")
+    val corpusTables =
+      "(part|lineitem|orders|customer|supplier|documents|embeddings|events)\\.parquet".r
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("plan-audit-broadcast")
+      .getOrCreate()
+    try {
+      val sf = "/root/testdata/sf0.001"
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+      val offenders = QueryCatalog.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val hints = fn(spark, sf).queryExecution.analyzed.collect {
+            case h: ResolvedHint if h.hints.strategy.exists(
+                _.toString.contains("BROADCAST")) => h
+          }
+          val rawCorpusHint = hints.exists { h =>
+            h.child.collectFirst { case a: Aggregate => a }.isEmpty &&
+              h.child.collectLeaves()
+                .exists(l => corpusTables.findFirstIn(l.toString).isDefined)
+          }
+          if (rawCorpusHint && !allowed(name)) Some(name) else None
+      }
+      assert(offenders.isEmpty,
+        s"unbounded broadcast hints (raw corpus scan, no aggregate) in: $offenders")
+    } finally spark.stop()
+  }
+
   test("selective scans push filters; key-only scan prunes columns; dim joins broadcast") {
     val spark = SparkSession.builder()
       .master("local[4]")
