@@ -25,8 +25,10 @@ object Bench {
       // Queries may cache intermediates; nothing unpersists them once the
       // result is counted. Drop them so 70+ queries in one session don't
       // accumulate storage-memory pressure that skews later measurements.
+      // BLOCKING on purpose: async unpersist overlaps block eviction with
+      // the next timed run and charges it the cleanup cost.
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       dt
     }
     // three timed executions per query, headline = MEDIAN: single-shot

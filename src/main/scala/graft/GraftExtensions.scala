@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
-import graft.functions.{CosineSim, GeoBandKeyExprs, HaversineM, NgramHashes, OlcEncodeExpr, OlcRing, SortedIntersectSize}
+import graft.functions.{CosineSim, GeoBandKeyExprs, HaversineM, NgramHashes, OlcEncodeExpr, OlcRing, PassJoinIndexKeys, PassJoinKeys, PassJoinProbeKeys, SortedIntersectSize}
 import graft.plans.HaversineJoinRule
 
 /** Session-extension injector for the engine's native SQL functions, so a
@@ -45,6 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ngram_hashes"), NgramHashes.info,
       (exprs: Seq[Expression]) => NgramHashes(exprs.head,
         Cast(exprs(1), IntegerType))))
+    ext.injectFunction((
+      FunctionIdentifier("passjoin_index_keys"), PassJoinKeys.indexInfo,
+      (exprs: Seq[Expression]) => PassJoinIndexKeys(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("passjoin_probe_keys"), PassJoinKeys.probeInfo,
+      (exprs: Seq[Expression]) => PassJoinProbeKeys(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("geo_band_key"), GeoBandKeyExprs.keyInfo,
       GeoBandKeyExprs.keyBuilder))

@@ -42,97 +42,25 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityJoin {
 
-  /** Even partition of `w` into `n` segments (first `len % n` segments one
-    * char longer — any fixed scheme works for the pigeonhole). */
-  private[text] def segments(w: String, n: Int): Seq[String] = {
-    val L = w.length
-    if (L == 0 || n <= 0) Seq.empty
-    else {
-      val base = L / n; val extra = L % n
-      val out = Seq.newBuilder[String]
-      var pos = 0
-      var i = 0
-      while (i < n && pos < L) {
-        val len = base + (if (i < extra) 1 else 0)
-        if (len > 0) { out += w.substring(pos, pos + len); pos += len }
-        i += 1
-      }
-      out.result()
-    }
-  }
-
-  private def budget(len: Int): Int =
-    if (len <= 4) 1 else if (len <= 6) 2 else if (len <= 8) 3 else 4
-
-  /** The pigeonhole needs budget+1 NON-EMPTY segments; a word shorter than
-    * that (in practice only single chars: L=1, budget=1) can be rewritten
-    * entirely within budget, so it blocks on a dedicated short-word key
-    * instead. Positional keys start with a digit (the partner length), so
-    * the two domains cannot collide. */
-  private val ShortKey = "#"
-
-  /** Index-side keys: the word's own pigeonhole segments, keyed
-    * positionally as `|u|:i:segment` (it plays the SHORTER role of a
-    * pair). */
-  private[text] def indexKeys(w: String): Seq[String] = {
-    val b = budget(w.length)
-    if (w.length <= b) Seq(ShortKey)
-    else segments(w, b + 1).zipWithIndex
-      .map { case (seg, i) => s"${w.length}:$i:$seg" }
-  }
-
-  /** Probe-side keys: for every qualifying shorter-or-equal partner length
-    * `lu`, the substrings of `w` that could be segment `i` of a length-lu
-    * partner, restricted to the position-aware window
-    * |q-p| + |(q-p)-Δ| ≤ τ (see object doc) — plus the short-word key
-    * when such a partner is below its pigeonhole bound. */
-  private[text] def probeKeys(w: String): Seq[String] = {
-    val L = w.length
-    val out = scala.collection.mutable.Set[String]()
-    var short = false
-    var lu = math.max(1, L - 4)
-    while (lu <= L) {
-      val tau = budget(lu)
-      val delta = L - lu
-      if (delta <= tau) {
-        if (lu <= tau) short = true
-        else {
-          val n = tau + 1
-          val base = lu / n; val extra = lu % n
-          var i = 0; var p = 0
-          while (i < n) {
-            val segLen = base + (if (i < extra) 1 else 0)
-            // shift s = q - p must satisfy |s| + |s - delta| <= tau:
-            // s in [ceil((delta-tau)/2), floor((delta+tau)/2)]
-            val lo = math.max(0, p + math.ceil((delta - tau) / 2.0).toInt)
-            val hi = math.min(L - segLen, p + (delta + tau) / 2)
-            var q = lo
-            while (q <= hi) {
-              out += s"$lu:$i:${w.substring(q, q + segLen)}"
-              q += 1
-            }
-            p += segLen
-            i += 1
-          }
-        }
-      }
-      lu += 1
-    }
-    if (short) out += ShortKey
-    out.toSeq
-  }
-
-  private val indexKeysUdf = udf((w: String) => indexKeys(w))
-  private val probeKeysUdf = udf((w: String) => probeKeys(w))
+  // the key-generation kernels live in functions.PassJoinKeys (native
+  // codegen expressions — the candidate stage runs no interpreted UDF);
+  // these delegations keep the text-package surface for specs/callers
+  private[text] def segments(w: String, n: Int): Seq[String] =
+    graft.functions.PassJoinKeys.segments(w, n)
+  private[text] def indexKeys(w: String): Seq[String] =
+    graft.functions.PassJoinKeys.indexKeys(w)
+  private[text] def probeKeys(w: String): Seq[String] =
+    graft.functions.PassJoinKeys.probeKeys(w)
 
   /** All ordered word pairs (w1 shorter-or-equal side) with
     * lev ≤ adaptive budget, from a distinct-word relation `words(w)`.
     * Includes the diagonal (w, w). */
   def similarWordPairs(words: DataFrame): DataFrame = {
+    graft.functions.PassJoinKeys.register(words.sparkSession)
     val idx = words.select(col("w").as("w1"),
-      explode(indexKeysUdf(col("w"))).as("seg"))
+      explode(call_function("passjoin_index_keys", col("w"))).as("seg"))
     val prb = words.select(col("w").as("w2"),
-      explode(probeKeysUdf(col("w"))).as("seg"))
+      explode(call_function("passjoin_probe_keys", col("w"))).as("seg"))
     idx.join(prb, "seg")
       .where(length(col("w1")) <= length(col("w2")))
       .select("w1", "w2").distinct()

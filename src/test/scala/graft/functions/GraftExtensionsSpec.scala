@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("spark.sql.extensions=graft.GraftExtensions exposes all native functions") {
+    // spark.sql.extensions is read from the SparkContext's conf at session
+    // creation: a context leaked by another suite's shared session would
+    // make getOrCreate return a session WITHOUT the injected functions.
+    // Stop it — the next suite's lazy getOrCreate builds a fresh one.
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
@@ -24,7 +32,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       haversine_m(52.52, 13.405, 52.52, 13.405) AS hv,
           |       ngram_hashes(array('a', 'b', 'c'), 2) AS nh,
           |       geo_band_key(52.52, 13.405, 150.0) AS gbk,
-          |       geo_band_keys(52.52, 13.405, 150.0) AS gbks
+          |       geo_band_keys(52.52, 13.405, 150.0) AS gbks,
+          |       passjoin_index_keys('market') AS pik,
+          |       passjoin_probe_keys('market') AS ppk
           |""".stripMargin).head()
       assert(row.getString(0) == graft.geo.Olc.encode(52.52, 13.405, 6))
       assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
@@ -34,6 +44,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getLong(5) == graft.geo.GeoBands.buildKey(52.52, 13.405, 150.0))
       assert(row.getSeq[Long](6).toArray.sameElements(
         graft.geo.GeoBands.probeKeys(52.52, 13.405, 150.0)))
+      assert(row.getSeq[String](7) == PassJoinKeys.indexKeys("market"))
+      assert(row.getSeq[String](8).sorted == PassJoinKeys.probeKeys("market").sorted)
     } finally spark.stop()
   }
 }
