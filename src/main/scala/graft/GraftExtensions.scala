@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
-import graft.functions.{CosineSim, GeoBandKeyExprs, HaversineM, NgramHashes, OlcEncodeExpr, OlcRing, PassJoinIndexKeys, PassJoinKeys, PassJoinProbeKeys, SortedIntersectSize}
+import graft.functions.{CosineSim, GeoBandKeyExprs, HaversineM, MinhashBandKeys, NgramHashes, OlcEncodeExpr, OlcRing, PassJoinIndexKeys, PassJoinKeys, PassJoinProbeKeys, SortedIntersectSize}
 import graft.plans.HaversineJoinRule
 
 /** Session-extension injector for the engine's native SQL functions, so a
@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ngram_hashes"), NgramHashes.info,
       (exprs: Seq[Expression]) => NgramHashes(exprs.head,
         Cast(exprs(1), IntegerType))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_band_keys"), MinhashBandKeys.info,
+      (exprs: Seq[Expression]) => MinhashBandKeys(exprs.head,
+        Cast(exprs(1), IntegerType), Cast(exprs(2), IntegerType),
+        Cast(exprs(3), IntegerType))))
     ext.injectFunction((
       FunctionIdentifier("passjoin_index_keys"), PassJoinKeys.indexInfo,
       (exprs: Seq[Expression]) => PassJoinIndexKeys(exprs.head)))

@@ -185,37 +185,36 @@ object Dedup {
                       n: Int, numHashes: Int, bandRows: Int,
                       minSim: Double): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
-    val sigUdf = udf((grams: Seq[String]) =>
-      PortableHash.bandKeys(
-        PortableHash.minhashSignature(grams, numHashes).toSeq, bandRows))
     // barrier + cache: g feeds signature generation and both verify joins;
     // see ngramJaccardPairs for why both exchanges are load-bearing
     val par2 = df.sparkSession.sparkContext.defaultParallelism
-    // grams kept as strings for the portable signature UDF; the verify
-    // intersection runs on sorted 64-bit hashes instead (codegen'd merge
-    // walk, ~10x cheaper than interpreted string array_intersect; distinct
-    // counts unchanged w.h.p. — same trade as ngramJaccardPairs)
+    // both per-document arrays come from native kernels over the words
+    // array — no gram string is ever materialized, no interpreted UDF:
+    // band keys from minhash_band_keys (bit-identical to the former
+    // string-gram + ScalaUDF path, reproduced by the DuckDB oracle),
+    // verify intersections on ngram_hashes' sorted 64-bit hashes
+    // (codegen'd merge walk; distinct counts unchanged w.h.p. — same
+    // trade as ngramJaccardPairs)
     graft.functions.SortedIntersectSize.register(df.sparkSession)
     graft.functions.NgramHashes.register(df.sparkSession)
+    graft.functions.MinhashBandKeys.register(df.sparkSession)
     val g0 = df.repartition(par2)
       .select(col(idCol).as("id"),
         filter(split(col(textCol), " "), w => w =!= "").as("words"))
       .repartition(par2, col("id"))
-      // string grams feed the portable signature UDF (the oracle
-      // reproduces those hashes); the verify-side sorted hash arrays come
-      // from the native kernel (only intersect SIZES matter there)
-      .select(col("id"), ngramsOfWords(col("words"), n).as("grams"),
-        call_function("ngram_hashes", col("words"), lit(n)).as("hgrams"))
-      .withColumn("sz", size(col("grams")))
+      .select(col("id"),
+        call_function("ngram_hashes", col("words"), lit(n)).as("hgrams"),
+        call_function("minhash_band_keys", col("words"),
+          lit(n), lit(numHashes), lit(bandRows)).as("bands"))
+      .withColumn("sz", size(col("hgrams")))
       .cache()
     // lazy on purpose — see the cache-stampede note in ngramJaccardPairs
     // gram-less docs can never pair. The guard sits ABOVE the cache barrier:
-    // pushed below it, the size(grams) filter re-derives the interpreted
-    // shingling pipeline inside the single-file parquet scan and runs it
-    // serially (measured 14 s of p3's 21 s at sf0.1 — same trap as
-    // ngramJaccardPairs' sz guard).
-    val g = g0.where(size(col("grams")) > 0)
-    val banded = g.select(col("id"), explode(sigUdf(col("grams"))).as("band_key"))
+    // pushed below it, the size filter re-derives the shingling pipeline
+    // inside the single-file parquet scan and runs it serially (measured
+    // 14 s of p3's 21 s at sf0.1 — same trap as ngramJaccardPairs' guard).
+    val g = g0.where(size(col("hgrams")) > 0)
+    val banded = g.select(col("id"), explode(col("bands")).as("band_key"))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))

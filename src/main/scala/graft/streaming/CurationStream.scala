@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.CurationPipeline
 import graft.geo.ConnectedComponents
-import graft.pipeline.{Dedup, PortableHash, TextAnalysis}
+import graft.pipeline.{Dedup, TextAnalysis}
 
 /** Incremental form of [[graft.api.CurationPipeline]]: new documents
   * arrive as a stream and each micro-batch is curated against the
@@ -54,6 +54,7 @@ object CurationStream {
     // registration would not reach the micro-batch analyzer
     graft.functions.NgramHashes.register(docs.sparkSession)
     graft.functions.SortedIntersectSize.register(docs.sparkSession)
+    graft.functions.MinhashBandKeys.register(docs.sparkSession)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -83,20 +84,16 @@ object CurationStream {
           org.apache.spark.sql.types.StructType.fromDDL(schema))
       }
 
-    val sigUdf = udf((grams: Seq[String]) =>
-      if (grams.isEmpty) Seq.empty[Long]
-      else PortableHash.bandKeys(
-        PortableHash.minhashSignature(grams, cfg.numHashes).toSeq, cfg.bandRows))
-
+    graft.functions.MinhashBandKeys.register(spark)
     val prep = batch0.select(col("doc_id"), col("text"))
       .withColumn("text_hash", md5(col("text")))
       .withColumn("words", filter(split(col("text"), " "), w => w =!= ""))
-      .withColumn("grams", Dedup.ngramsOfWords(col("words"), cfg.ngram))
       .withColumn("hgrams",
         call_function("ngram_hashes", col("words"), lit(cfg.ngram)))
-      .withColumn("sz", size(col("grams")))
-      .withColumn("bands", sigUdf(col("grams")))
-      .drop("words", "grams")
+      .withColumn("sz", size(col("hgrams")))
+      .withColumn("bands", call_function("minhash_band_keys", col("words"),
+        lit(cfg.ngram), lit(cfg.numHashes), lit(cfg.bandRows)))
+      .drop("words")
       .cache()
 
     // ---- stage 1: exact dedup vs state ∪ within-batch ----

@@ -34,7 +34,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       geo_band_key(52.52, 13.405, 150.0) AS gbk,
           |       geo_band_keys(52.52, 13.405, 150.0) AS gbks,
           |       passjoin_index_keys('market') AS pik,
-          |       passjoin_probe_keys('market') AS ppk
+          |       passjoin_probe_keys('market') AS ppk,
+          |       minhash_band_keys(array('a', 'b', 'c'), 2, 8, 2) AS mbk
           |""".stripMargin).head()
       assert(row.getString(0) == graft.geo.Olc.encode(52.52, 13.405, 6))
       assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
@@ -46,6 +47,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         graft.geo.GeoBands.probeKeys(52.52, 13.405, 150.0)))
       assert(row.getSeq[String](7) == PassJoinKeys.indexKeys("market"))
       assert(row.getSeq[String](8).sorted == PassJoinKeys.probeKeys("market").sorted)
+      assert(row.getSeq[Long](9) == graft.pipeline.PortableHash.bandKeys(
+        graft.pipeline.PortableHash.minhashSignature(Seq("a b", "b c"), 8).toSeq, 2))
     } finally spark.stop()
   }
 }
