@@ -39,6 +39,18 @@ object Bench {
     // side it lands on while staying comparable round-over-round.
     // dev loop: SPARK_GRAFT_ONLY=p3_minhash_lsh,p17_dedup_resolve limits the
     // run; absent (the driver's invocation) everything runs
+    // fixed synthetic probe, data-independent: the host is intermittently
+    // contended (identical runs observed 31 s vs 143 s minutes apart), so
+    // each bench self-reports its noise floor. calib >> ~baseline means
+    // the absolute numbers of THAT run are inflated by the environment,
+    // not by a code change.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS x").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibBefore = Seq.fill(3)(calibrate())
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -58,6 +70,8 @@ object Bench {
     val qsAll = results.map { case (k, _, runs) =>
       s"\"" + k + "\":[" + runs.map(r3).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val calibAfter = Seq.fill(3)(calibrate())
+    val calib = r3((calibBefore ++ calibAfter).sorted.apply(2))
     val total = r3(results.map(_._2).sum)
     val totalCold = r3(results.map(_._3.head).sum)
     // sf as a strict JSON number, or the quoted raw dir name when the
@@ -66,12 +80,14 @@ object Bench {
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir.replace("\"", "") + "\"")
     val detail = s"""{"value_cold":$totalCold,"runs":$qsAll,""" +
+      s""""calib_before":[${calibBefore.map(r3).mkString(",")}],""" +
+      s""""calib_after":[${calibAfter.map(r3).mkString(",")}],""" +
       s""""queries_median":$qs,"sf_dir":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_detail.json"),
         detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }
