@@ -249,6 +249,12 @@ object CatalogPipeline {
         Tables.documents(s, d), "doc_id", "text", ns = Seq(2, 3))
       .orderBy("doc_id")
 
+  /** Tokenizer vocabulary induction under a 500-word budget over the raw
+    * documents table ([[graft.pipeline.TextAnalysis.vocabTopK]]). */
+  private def p24(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TextAnalysis.vocabTopK(Tables.documents(s, d), "text", 500)
+      .orderBy("rank")
+
   // ---- corpus shaping ------------------------------------------------------
 
   /** Deterministic stratified rebalance: every language down-sampled to the
@@ -681,6 +687,21 @@ object CatalogPipeline {
               |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
               |    '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS clean_hash
               |FROM corpus ORDER BY doc_id""".stripMargin)),
+    Q("p24_vocab_induction", p24,
+      Some("""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
+             |                 x -> x <> '')) AS word FROM documents),
+             |wc AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+             |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM wc),
+             |top AS (SELECT word, freq FROM wc
+             |        ORDER BY freq DESC, word LIMIT 500),
+             |r AS (SELECT word, freq,
+             |        CAST(row_number() OVER
+             |          (ORDER BY freq DESC, word) AS INT) AS rank,
+             |        CAST(sum(freq) OVER (ORDER BY freq DESC, word
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |      FROM top)
+             |SELECT rank, word, freq, round(cum * 1.0 / total, 6) AS cum_coverage
+             |FROM r, tot ORDER BY rank""".stripMargin)),
     Q("p22_perplexity", p22,
       Some("""WITH w AS (SELECT doc_id,
              |            list_filter(string_split(text, ' '), x -> x <> '') AS ws

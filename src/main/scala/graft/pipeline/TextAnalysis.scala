@@ -191,6 +191,36 @@ object TextAnalysis {
       md5(clean).as("clean_hash"))
   }
 
+  /** Tokenizer vocabulary induction under a fixed budget: the `k` most
+    * frequent corpus words — ties broken lexically, the deterministic
+    * convention — each with its frequency, rank, and the cumulative
+    * fraction of all token occurrences the vocabulary prefix up to it
+    * covers (the curve a tokenizer team reads to pick the budget).
+    *
+    * Distributed shape: word counts are one hash aggregation (only
+    * (word, count) shuffles); the top-k is a TakeOrdered (per-partition
+    * heaps + driver merge of k rows — no global sort of the vocabulary);
+    * the single-partition window for rank/cumsum runs on k rows only (the
+    * budget, thousands, not the vocabulary); the corpus-total denominator
+    * joins in as a broadcast 1-row aggregate. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val wc = df.repartition(par)
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val total = wc.agg(sum("freq").as("total"))
+    val byRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("word"))
+    wc.orderBy(col("freq").desc, col("word")).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(byRank))
+      .withColumn("cum_coverage", round(
+        sum("freq").over(byRank.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          / col("total"), 6))
+      .select(col("rank"), col("word"), col("freq"), col("cum_coverage"))
+  }
+
   /** Within-document repetition signals (the Gopher/MassiveText quality
     * rules, Rae et al. 2021 §A1.1): for each n in `ns`, the fraction of
     * characters contained in word n-grams that occur more than once in the
