@@ -23,9 +23,16 @@ object RunOne {
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
           val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+          val tm = si.taskMetrics
           if (ms > 500)
             System.err.println(f"[stage ${si.stageId}%4d] ${ms / 1000.0}%7.1fs " +
-              f"tasks=${si.numTasks}%3d ${si.name.takeWhile(_ != '\n').take(90)}")
+              f"tasks=${si.numTasks}%3d cpu=${tm.executorCpuTime / 1e9}%6.1fs " +
+              f"run=${tm.executorRunTime / 1e3}%6.1fs " +
+              f"deser=${tm.executorDeserializeTime / 1e3}%5.1fs " +
+              f"gc=${tm.jvmGCTime / 1e3}%5.1fs " +
+              f"sRead=${tm.shuffleReadMetrics.recordsRead}%8d " +
+              f"sWrite=${tm.shuffleWriteMetrics.recordsWritten}%8d " +
+              f"in=${tm.inputMetrics.recordsRead}%8d")
         }
       })
     }

@@ -122,19 +122,39 @@ object Dedup {
     // single-file parquet scan task and run it serially (measured 18s of a
     // 26s job at sf0.1)
     val g = g0.where(col("sz") > 0)
-    // rarest-first reorder: per-gram corpus frequency, then each doc's
-    // grams re-sorted by (freq, gram). Two extra gram-stream shuffles buy
-    // prefixes made of the least-shared grams; the verify side still joins
-    // the untouched hash-sorted arrays from g.
+    // rarest-first reorder via HEAVY HITTERS only. The PPJoin prefix
+    // filter needs SOME consistent total gram order that pushes frequent
+    // grams out of prefixes — it does not need every gram's exact rank
+    // (exactness lives in the verify step). Order: non-heavy grams first
+    // in hash order, then heavy grams ascending by (f, gram). That keeps
+    // the selectivity win (prefixes avoid hot join keys) while replacing
+    // the previous vocabulary-wide join-back + full collect_list re-sort
+    // with:
+    //  - one broadcast of the heavy table, bounded BY CONSTRUCTION:
+    //    f0 > total/cap means |{gram : f >= f0}| <= cap (~1M) no matter
+    //    the corpus size, and the 64 floor keeps tiny corpora from
+    //    declaring everything heavy;
+    //  - a doc-id co-partitioned join of per-doc heavy lists — only heavy
+    //    OCCURRENCES shuffle (the Zipf head), never the whole gram stream.
+    val cap = 1L << 20
     val freq = g.select(explode(col("grams")).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("f"))
-    val byFreq = g.select(col("id"), col("bucket"), col("sz"),
-        explode(col("grams")).as("gram"))
-      .join(freq, "gram")
-      .groupBy("id", "bucket", "sz")
-      .agg(transform(
-        array_sort(collect_list(struct(col("f"), col("gram")))),
-        x => x.getField("gram")).as("fgrams"))
+    val tot = g.agg(sum(col("sz").cast("long")).as("tot"))
+    val heavy = freq.crossJoin(broadcast(tot))
+      .where(col("f") >= greatest(lit(64L), (col("tot") / lit(cap)) + lit(1L)))
+      .select(col("gram"), col("f"))
+    val docHeavy = g.select(col("id"), explode(col("grams")).as("gram"))
+      .join(broadcast(heavy), "gram")
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("f"), col("gram")))),
+        x => x.getField("gram")).as("hv"))
+    // array_except keeps the left array's (hash-sorted) order, so the
+    // concatenation is the global (non-heavy by hash, heavy by rank) order
+    val byFreq = g.join(docHeavy, Seq("id"), "left")
+      .select(col("id"), col("bucket"), col("sz"),
+        when(col("hv").isNull, col("grams"))
+          .otherwise(concat(array_except(col("grams"), col("hv")), col("hv")))
+          .as("fgrams"))
     // prefix length sz - floor(t*sz - eps) + 1 >= sz - ceil(t*sz) + 1: at
     // most one gram longer than the tight bound, immune to float edges on
     // either side of an integer t*sz

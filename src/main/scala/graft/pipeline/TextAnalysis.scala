@@ -208,7 +208,11 @@ object TextAnalysis {
     val wc = df.repartition(par)
       .select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    val total = wc.agg(sum("freq").as("total"))
+    // corpus-total tokens = sum of per-doc word counts: map-side size()
+    // per row then one scalar agg — NOT wc.agg(sum(freq)), which would
+    // re-execute the whole explode + vocabulary-wide hash aggregate
+    // (Spark shares no common subtrees between the two consumers)
+    val total = df.select(sum(size(words(col(textCol)))).as("total"))
     val byRank = org.apache.spark.sql.expressions.Window
       .orderBy(col("freq").desc, col("word"))
     wc.orderBy(col("freq").desc, col("word")).limit(k)
