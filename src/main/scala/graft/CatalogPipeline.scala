@@ -136,6 +136,20 @@ object CatalogPipeline {
       .orderBy("a_id", "b_id")
   }
 
+  /** Semantic dedup (SemDeDup) over corpus ∪ perturbed copy: each
+    * vector's nudged twin quantizes into the same cell with cosine ~1, so
+    * every cell has known positives; unrelated random vectors stay far
+    * below the 0.99 bar. */
+  private def p25(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val perturbed = e.select((col("vec_id") + IdOffset).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    Similarity.semanticDedup(e.unionByName(perturbed), "vec_id", "embedding",
+        nlist = 16, minSim = 0.99)
+      .orderBy("vec_id")
+  }
+
   // ---- text analysis -------------------------------------------------------
 
   private def p8(s: SparkSession, d: String): DataFrame = {
@@ -509,6 +523,56 @@ object CatalogPipeline {
               |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
               |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+    Q("p25_semantic_dedup", p25,
+      // Reuses p13's proven quantizer CTE (sample 256 lowest-id, seeds =
+      // first 16, one Lloyd step, unrounded cosScalar argmax) over the
+      // perturbed union, then p17's recursive-CTE connected components
+      // over the within-cell cosine pairs.
+      Some(s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+              |UNION ALL
+              |SELECT vec_id + 1000000,
+              |       list_transform(embedding, (x, i) ->
+              |         CASE WHEN i = 1 THEN x + 0.01::REAL ELSE x END)
+              |FROM embeddings),
+              |samp AS (SELECT vec_id, embedding FROM u ORDER BY vec_id LIMIT 256),
+              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+              |                 list_transform(embedding, x -> x::DOUBLE) AS c
+              |          FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 16)),
+              |sassign AS (SELECT s.vec_id, s.embedding,
+              |              (SELECT cell FROM (
+              |                 SELECT sd.cell, ${cosFoldSql("s.embedding", "sd.c")} AS sim FROM seeds sd)
+              |               ORDER BY sim DESC, cell LIMIT 1) AS cell
+              |            FROM samp s),
+              |cmean AS (SELECT cell, cnt,
+              |            list_transform(range(d), i ->
+              |              list_sum(list_transform(vals, v -> v[i+1]::DOUBLE)) / cnt) AS c
+              |          FROM (SELECT cell, list(embedding ORDER BY vec_id) AS vals,
+              |                       count(*) AS cnt, len(first(embedding)) AS d
+              |                FROM sassign GROUP BY cell)),
+              |cents AS (SELECT s.cell, coalesce(m.c, s.c) AS c
+              |          FROM seeds s LEFT JOIN cmean m USING (cell)),
+              |corp AS (SELECT u.vec_id, u.embedding,
+              |           (SELECT cell FROM (
+              |              SELECT cn.cell, ${cosFoldSql("u.embedding", "cn.c")} AS sim FROM cents cn)
+              |            ORDER BY sim DESC, cell LIMIT 1) AS cell
+              |         FROM u),
+              |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              |          FROM corp a JOIN corp b
+              |            ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |          WHERE round(list_cosine_similarity(
+              |                  a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99),
+              |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+              |          UNION SELECT b_id, a_id FROM pairs),
+              |reach AS (
+              |  WITH RECURSIVE r(s, t) AS (
+              |    SELECT vec_id, vec_id FROM corp
+              |    UNION
+              |    SELECT r.s, e.b FROM r JOIN edges e ON r.t = e.a)
+              |  SELECT * FROM r),
+              |lab AS (SELECT s AS vec_id, min(t) AS cluster_id FROM reach GROUP BY s)
+              |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, l.cluster_id,
+              |       c.vec_id = l.cluster_id AS keep
+              |FROM corp c JOIN lab l USING (vec_id) ORDER BY c.vec_id""".stripMargin)),
     Q("p7_embed_neardup", p7,
       Some(s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
               |UNION ALL

@@ -111,12 +111,15 @@ object Dedup {
         call_function("ngram_hashes", col("words"), lit(n)).as("grams"))
       .withColumn("sz", size(col("grams")))
       .cache()
-    // NB the lazy cache stampedes: the prefix leg and both verify-join
-    // legs submit stages concurrently and each shingles the corpus before
-    // any partition lands in cache. With idle cores (this bench) the
-    // races overlap and an eager g0.count() only ADDS a serial pass
-    // (measured +0.9 s warm at sf0.1); on a contended cluster flip this
-    // trade and force materialization first.
+    // Materialize the shingle cache BEFORE fan-out: the prefix leg, the
+    // heavy-hitter legs, and both verify-join legs otherwise submit
+    // concurrently and each re-shingles the corpus before any partition
+    // lands in cache (the lazy-cache stampede). Round 4 measured the
+    // eager count as +0.9 s on an idle host and kept laziness; with the
+    // heavy-hitter reorder there are now five consumers instead of three
+    // and the host is demonstrably time-shared, so the serial pass is the
+    // cheaper side of the trade at every realistic deployment.
+    g0.count()
     // the sz guard sits ABOVE the cache barrier: pushed into the scan it
     // would inline the whole interpreted shingling pipeline into the
     // single-file parquet scan task and run it serially (measured 18s of a

@@ -79,24 +79,26 @@ object Similarity {
     * probed cells' inverted lists. At 100 TB the Lloyd step's elementwise
     * mean would use treeAggregate instead of the dimension explode used
     * here, and the quantizer would be trained on a sample. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    graft.functions.CosineSim.register(corpus.sparkSession)
-    def cosScalar(a: Seq[Float], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val x = a(i).toDouble; val y = b(i)
-        dot += x * y; na += x * x; nb += y * y; i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    def nearestCells(cents: Array[Array[Double]], v: Seq[Float], m: Int): Seq[Int] =
-      cents.indices.sortBy(c => -cosScalar(v, cents(c))).take(m)
-    // Quantizer training happens driver-side on a BOUNDED sample (nlist*16
-    // vectors — a few hundred KB): seeds = lowest-id sample vectors, one
-    // Lloyd step over the sample. A cluster-wide Lloyd pass over the full
-    // corpus is quantization overkill AND executes its elementwise means in
-    // whatever parallelism the scan gives (measured 34 s single-task at
-    // sf0.1); sample training is the standard IVF shape.
+  private def cosScalar(a: Seq[Float], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val x = a(i).toDouble; val y = b(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def nearestCells(cents: Array[Array[Double]], v: Seq[Float], m: Int): Seq[Int] =
+    cents.indices.sortBy(c => -cosScalar(v, cents(c))).take(m)
+
+  /** Coarse quantizer shared by [[ivfTopK]] and [[semanticDedup]]:
+    * seeds = the `nlist` lowest-id vectors (deterministic), refined with
+    * one Lloyd step over a BOUNDED sample (nlist*16 vectors — a few
+    * hundred KB driver-side). A cluster-wide Lloyd pass over the full
+    * corpus is quantization overkill AND executes its elementwise means in
+    * whatever parallelism the scan gives (measured 34 s single-task at
+    * sf0.1); sample training is the standard IVF shape. */
+  private def trainQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
+                             nlist: Int): Array[Array[Double]] = {
     val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
       .limit(nlist * 16).collect()
       .map(_.getSeq[Float](1))
@@ -110,9 +112,15 @@ object Similarity {
       while (i < dim && i < v.length) { sums(c)(i) += v(i); i += 1 }
       counts(c) += 1
     }
-    val centroids: Array[Array[Double]] = seeds.indices.map { c =>
+    seeds.indices.map { c =>
       if (counts(c) == 0) seeds(c) else sums(c).map(_ / counts(c))
     }.toArray
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
+    val centroids = trainQuantizer(corpus, idCol, vecCol, nlist)
     val assign = udf((v: Seq[Float]) => nearestCells(centroids, v, 1).head)
     val probes = udf((v: Seq[Float]) => nearestCells(centroids, v, nprobe))
     // repartition: the per-row assignment otherwise runs at the single-file
@@ -153,5 +161,47 @@ object Similarity {
         round(cosine(col("a_vec"), col("b_vec")), 6).as("sim"))
       .where(col("sim") >= minSim)
       .distinct()
+  }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the embeddings with the
+    * [[trainQuantizer]] IVF quantizer, score cosine only WITHIN a cell,
+    * connect pairs >= minSim into components, and keep one canonical
+    * member (minimum id) per component.
+    *
+    * Scale shape (100 TB): the quantizer is a bounded driver artifact
+    * (nlist x dim); cell assignment is map-side; the only quadratic term
+    * is per-cell pair scoring, which SemDeDup bounds by choosing nlist
+    * proportional to corpus size (cells of ~constant expected occupancy) —
+    * exactly the published algorithm's cost model. Component resolution is
+    * the same distributed star-contraction used by the text dedup path
+    * ([[Dedup.resolveByComponents]]), so transitive duplicate chains
+    * collapse without any driver-side grouping.
+    *
+    * Returns one row per corpus vector: (vec_id, cell, cluster_id, keep).
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, minSim: Double): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
+    val centroids = trainQuantizer(corpus, idCol, vecCol, nlist)
+    val assign = udf((v: Seq[Float]) => nearestCells(centroids, v, 1).head)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    // cells feeds pair generation AND the final projection — cache ids +
+    // cell only alongside the vectors actually needed for scoring
+    val cells = corpus.repartition(par)
+      .select(col(idCol).as("vid"), col(vecCol).as("vec"),
+        assign(col(vecCol)).as("cell"))
+      .cache()
+    val pairs = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("a_id"), col("b.vid").as("b_id"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("sim"))
+      .where(col("sim") >= minSim)
+      .select(col("a_id"), col("b_id"))
+    Dedup.resolveByComponents(cells.select(col("vid")), "vid", pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+      .join(cells.select(col("vid").as("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("cluster_id"), col("keep"))
   }
 }
