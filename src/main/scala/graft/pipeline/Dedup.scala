@@ -231,7 +231,10 @@ object Dedup {
           lit(n), lit(numHashes), lit(bandRows)).as("bands"))
       .withColumn("sz", size(col("hgrams")))
       .cache()
-    // lazy on purpose — see the cache-stampede note in ngramJaccardPairs
+    // materialized before fan-out — same stampede trade as
+    // ngramJaccardPairs: the band leg and both verify-join legs would
+    // otherwise each recompute the signature pipeline on a time-shared host
+    g0.count()
     // gram-less docs can never pair. The guard sits ABOVE the cache barrier:
     // pushed below it, the size filter re-derives the shingling pipeline
     // inside the single-file parquet scan and runs it serially (measured
