@@ -163,9 +163,16 @@ object Dedup {
     // either side of an integer t*sz
     val prefLen = (col("sz") - floor(col("sz").cast("double") * lit(minSim) - lit(1e-9)) + 1)
       .cast("int")
+    // explicit partition count on the self-join key: the pref relation is
+    // byte-wise tiny (ids + hashes), so AQE coalesces its exchange to 1-2
+    // partitions — but the join OUTPUT fans out ~10x (shared prefix grams),
+    // so those 1-2 tasks serialize the candidate enumeration. A fixed-N
+    // repartition is exempt from AQE coalescing and is reused by both
+    // sides of the self-join (one exchange, co-partitioned).
     val pref = byFreq.select(col("id"), col("bucket"), col("sz"),
       posexplode(slice(col("fgrams"), lit(1), prefLen)))
       .toDF("id", "bucket", "sz", "pos", "gram")
+      .repartition(par, col("bucket"), col("gram"))
     // positional filter (PPJoin): a shared gram at 0-based sorted positions
     // (i, j) bounds the overlap by min(i,j) + 1 + min(|A|-i-1, |B|-j-1)
     // (shared grams sort strictly before/after it on both sides); J >= t
