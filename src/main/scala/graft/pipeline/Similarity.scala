@@ -70,15 +70,6 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** IVF-style ANN top-k, the inverted-list scale path next to [[lshTopK]]:
-    * the corpus is coarse-quantized into `nlist` cells — seeds are the
-    * `nlist` lowest-id vectors (deterministic), refined with one Lloyd
-    * step over the corpus — and each query probes its `nprobe` nearest
-    * cells. Centroids are a tiny driver-side artifact (nlist × dim) used
-    * as a broadcast dim; assignment is map-side; scoring touches only the
-    * probed cells' inverted lists. At 100 TB the Lloyd step's elementwise
-    * mean would use treeAggregate instead of the dimension explode used
-    * here, and the quantizer would be trained on a sample. */
   private def cosScalar(a: Seq[Float], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)
@@ -117,6 +108,12 @@ object Similarity {
     }.toArray
   }
 
+  /** IVF-style ANN top-k, the inverted-list scale path next to [[lshTopK]]:
+    * the corpus is coarse-quantized into `nlist` cells by the
+    * sample-trained [[trainQuantizer]], and each query probes its `nprobe`
+    * nearest cells. Centroids are a tiny driver-side artifact (nlist ×
+    * dim) used as a broadcast dim; assignment is map-side; scoring touches
+    * only the probed cells' inverted lists. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
     graft.functions.CosineSim.register(corpus.sparkSession)
@@ -192,6 +189,11 @@ object Similarity {
       .select(col(idCol).as("vid"), col(vecCol).as("vec"),
         assign(col(vecCol)).as("cell"))
       .cache()
+    // materialize before fan-out: both self-join legs plus the two
+    // projection consumers otherwise stampede the lazy cache and run the
+    // per-row quantizer assignment several times concurrently (same trade
+    // as the eager shingle/signature caches in Dedup)
+    cells.count()
     val pairs = cells.as("a")
       .join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))

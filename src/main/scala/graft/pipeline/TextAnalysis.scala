@@ -205,14 +205,17 @@ object TextAnalysis {
     * joins in as a broadcast 1-row aggregate. */
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val wc = df.repartition(par)
-      .select(explode(words(col(textCol))).as("word"))
+    // the repartitioned words projection feeds both passes: the per-row
+    // split/filter would otherwise run at the raw scan's 1-2-task
+    // parallelism (the single-file-parquet trap measured in Dedup)
+    val ws = df.repartition(par).select(words(col(textCol)).as("ws"))
+    val wc = ws.select(explode(col("ws")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     // corpus-total tokens = sum of per-doc word counts: map-side size()
     // per row then one scalar agg — NOT wc.agg(sum(freq)), which would
     // re-execute the whole explode + vocabulary-wide hash aggregate
     // (Spark shares no common subtrees between the two consumers)
-    val total = df.select(sum(size(words(col(textCol)))).as("total"))
+    val total = ws.select(sum(size(col("ws"))).as("total"))
     val byRank = org.apache.spark.sql.expressions.Window
       .orderBy(col("freq").desc, col("word"))
     wc.orderBy(col("freq").desc, col("word")).limit(k)
