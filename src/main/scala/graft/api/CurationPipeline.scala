@@ -30,6 +30,11 @@ import graft.pipeline.{Dedup, TextAnalysis}
   *   5. quality filter    — composite quality score
   *                          ([[TextAnalysis.qualityFeatures]])
   *
+  * When document embeddings exist, [[graft.pipeline.Similarity.semanticDedup]]
+  * slots in as a further dedup stage after step 2 (SemDeDup's published
+  * placement: semantic duplicates survive both the exact and the n-gram
+  * stages because paraphrases share no shingles).
+  *
   * Scale shape (100 TB): every signal is computed map-side from the text
   * and then joined back by `doc_id` — the joins shuffle (doc_id, signal)
   * rows, never text. The dedup stages inherit their operators' shapes
