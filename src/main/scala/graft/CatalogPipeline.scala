@@ -293,6 +293,39 @@ object CatalogPipeline {
         col("chunk_id"), col("offset"))
       .orderBy("doc_id")
 
+  /** Context-window chunking with overlap over the documents table
+    * ([[graft.pipeline.TextAnalysis.chunkWithOverlap]]): 32-token windows
+    * every 24 tokens, so adjacent chunks share 8 tokens of context. */
+  private def p26(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkWithOverlap(Tables.documents(s, d), "doc_id", "text",
+        window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Int8 scalar quantization of the embeddings table
+    * ([[graft.pipeline.Quantize.quantizeInt8]]): train per-dim ranges in
+    * one aggregated scan, encode map-side, report codes + L∞ error. */
+  private def p27(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Quantize.quantizeInt8(
+        Tables.embeddings(s, d), "vec_id", "embedding", dims = 64)
+      .orderBy("vec_id")
+
+  /** Deterministic training-order shuffle into 8 shards
+    * ([[graft.pipeline.Sampling.deterministicShuffle]]). */
+  private def p28(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.deterministicShuffle(
+        Tables.documents(s, d).select("doc_id"), "doc_id", nShards = 8)
+      .orderBy("doc_id")
+
+  /** Skew-aware per-domain quality cap: the 5 best docs of every source by
+    * composite quality ([[graft.pipeline.Sampling.topKPerGroup]] — the
+    * salted two-phase plan; output exactly equals the naive window's). */
+  private def p29(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.topKPerGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q")),
+        "source", col("q"), col("doc_id"), k = 5)
+      .orderBy("source", "rank")
+
   // ---- multimodal ----------------------------------------------------------
 
   /** Multimodal decode end-to-end with REAL pure-JVM codecs: even docs
@@ -716,6 +749,80 @@ object CatalogPipeline {
              |SELECT l.doc_id, l.source, l.n_tokens,
              |  CAST(l.local_chunk + bb.chunk_base AS BIGINT) AS chunk_id, l."offset"
              |FROM l JOIN bb USING (source) ORDER BY doc_id""".stripMargin)),
+    Q("p26_chunk_split", p26,
+      Some("""WITH w AS (SELECT doc_id,
+             |            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |          FROM documents),
+             |c AS (SELECT doc_id, ws,
+             |        CASE WHEN len(ws) <= 32 THEN 1
+             |             ELSE 1 + (len(ws) - 32 + 23) // 24 END AS nc
+             |      FROM w WHERE len(ws) > 0),
+             |e AS (SELECT doc_id, unnest(list_transform(range(nc), i ->
+             |        {'idx': i,
+             |         'toks': ws[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)]})) AS ch
+             |      FROM c)
+             |SELECT doc_id, CAST(ch.idx AS INT) AS chunk_idx,
+             |  CAST(ch.idx * 24 AS INT) AS start_tok,
+             |  CAST(len(ch.toks) AS INT) AS n_tokens,
+             |  md5(array_to_string(ch.toks, ' ')) AS chunk_hash
+             |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)),
+    Q("p27_int8_quantize", p27,
+      Some("""WITH stats AS (
+             |  SELECT i, min(embedding[i+1]::DOUBLE) AS lo,
+             |         max(embedding[i+1]::DOUBLE) AS hi
+             |  FROM embeddings, range(64) t(i) GROUP BY i),
+             |rng AS (SELECT list(lo ORDER BY i) AS los,
+             |               list(hi ORDER BY i) AS his FROM stats),
+             |enc AS (
+             |  SELECT vec_id, embedding, los, his,
+             |    list_transform(range(64), i ->
+             |      CASE WHEN his[i+1] > los[i+1] THEN
+             |        CAST(floor((embedding[i+1]::DOUBLE - los[i+1])
+             |                   / (his[i+1] - los[i+1]) * 255 + 0.5) AS INT)
+             |      ELSE 0 END) AS codes
+             |  FROM embeddings, rng)
+             |SELECT vec_id, CAST(codes[1] AS INT) AS code_0,
+             |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             |  md5(array_to_string(codes, ',')) AS codes_hash,
+             |  round(list_max(list_transform(range(64), i ->
+             |    abs(los[i+1] + codes[i+1]::DOUBLE * (his[i+1] - los[i+1]) / 255
+             |        - embedding[i+1]::DOUBLE))), 6) AS max_err
+             |FROM enc ORDER BY vec_id""".stripMargin)),
+    Q("p28_shard_shuffle", p28,
+      Some("""SELECT doc_id,
+             |  CAST((doc_id * 2654435761) % 8 AS INT) AS shard,
+             |  CAST(row_number() OVER (
+             |    PARTITION BY (doc_id * 2654435761) % 8
+             |    ORDER BY (doc_id * 1540483477 + 12345701) % 1000000007, doc_id)
+             |    - 1 AS BIGINT) AS pos
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("p29_domain_cap", p29,
+      Some("""WITH f AS (
+             |  SELECT doc_id, source,
+             |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+             |    length(text) AS n_chars,
+             |    len(list_filter(string_split(text, ' '),
+             |      x -> x IN ('the','a','of','to','and','in','is'))) AS stop_hits,
+             |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS punct_hits
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, source, n_words,
+             |    CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1))::DOUBLE / n_words ELSE 0 END AS awl,
+             |    CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0 END AS sr,
+             |    CASE WHEN n_chars > 0 THEN punct_hits::DOUBLE / n_chars ELSE 0 END AS pr
+             |  FROM f),
+             |q AS (
+             |  SELECT doc_id, source,
+             |    round(greatest(0.0, least(1.0,
+             |      least(n_words / 100.0, 1.0) * 0.4 + least(sr * 5.0, 1.0) * 0.3 +
+             |      least(awl / 8.0, 1.0) * 0.3 - pr)), 6) AS q
+             |  FROM r),
+             |rk AS (SELECT doc_id, source, q,
+             |         CAST(row_number() OVER (PARTITION BY source
+             |           ORDER BY q DESC, doc_id) AS INT) AS rank
+             |       FROM q)
+             |SELECT doc_id, source, q, rank FROM rk WHERE rank <= 5
+             |ORDER BY source, rank""".stripMargin)),
     Q("p18_span_scrub", p18,
       Some(s"""WITH corpus AS ($nearCorpusSql),
               |w AS (SELECT doc_id,

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar (int8) quantization of an embedding column — the SQ8 compression
+  * step a 100 TB ANN index runs before storing vectors (FAISS
+  * `ScalarQuantizer` QT_8bit: 4× smaller than float32 for ~1e-2 recall
+  * loss). Training finds per-dimension `[min, max]` ranges over the
+  * corpus; encoding maps each component to
+  * `round((x - min) / (max - min) * 255)`.
+  *
+  * Distributed shape:
+  *  - training is ONE partially-aggregated scan: `2*dims` scalar min/max
+  *    aggregates over `element_at` projections — codegen'd hash-agg with
+  *    map-side partials, no explode, no shuffle of vector data; exactly
+  *    `2*dims` numbers reach the driver (bounded, like the IVF sample);
+  *  - encoding is a second map-only pass with the trained ranges inlined
+  *    as literal arrays — whole-stage codegen, zero shuffles.
+  *
+  * All arithmetic is exact-order double math (`floor(x + 0.5)`, not
+  * platform `rint`), so an external engine running the same formula
+  * reproduces every code bit-for-bit — see the p27 oracle.
+  */
+object Quantize {
+
+  /** Per-dimension (min, max) over the corpus: one aggregate row. */
+  def trainMinMax(df: DataFrame, vecCol: String, dims: Int): (Array[Double], Array[Double]) = {
+    val aggs = (0 until dims).flatMap { i =>
+      Seq(min(element_at(col(vecCol), i + 1).cast("double")).as(s"mn_$i"),
+        max(element_at(col(vecCol), i + 1).cast("double")).as(s"mx_$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    (Array.tabulate(dims)(i => row.getDouble(2 * i)),
+      Array.tabulate(dims)(i => row.getDouble(2 * i + 1)))
+  }
+
+  /** Int8 codes for one vector column, given trained ranges: dimension i
+    * maps to `floor((x - lo_i) / (hi_i - lo_i) * 255 + 0.5)`; a degenerate
+    * dimension (hi == lo) codes to 0. */
+  def encodeColumn(vec: Column, lo: Array[Double], hi: Array[Double]): Column = {
+    val loLit = array(lo.map(lit): _*)
+    val hiLit = array(hi.map(lit): _*)
+    transform(vec, (x, i) => {
+      val l = element_at(loLit, i + 1)
+      val h = element_at(hiLit, i + 1)
+      when(h > l,
+        floor((x.cast("double") - l) / (h - l) * 255 + lit(0.5)).cast("int"))
+        .otherwise(lit(0))
+    })
+  }
+
+  /** Train + encode, with a per-vector reconstruction-error summary:
+    * (vec_id, code_0, code_sum, codes_hash, max_err) where `max_err` is
+    * the L∞ error of the dequantized vector `lo + code * (hi - lo) / 255`
+    * against the original (rounded to 6 for cross-engine hash
+    * stability). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String, dims: Int): DataFrame = {
+    val (lo, hi) = trainMinMax(df, vecCol, dims)
+    val loLit = array(lo.map(lit): _*)
+    val hiLit = array(hi.map(lit): _*)
+    val withCodes = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("codes", encodeColumn(col("v"), lo, hi))
+    val errAt = (i: Column) => {
+      val l = element_at(loLit, i + 1)
+      val h = element_at(hiLit, i + 1)
+      abs(l + element_at(col("codes"), i + 1).cast("double") * (h - l) / 255
+        - element_at(col("v"), i + 1).cast("double"))
+    }
+    withCodes.select(col("vec_id"),
+      element_at(col("codes"), 1).as("code_0"),
+      aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+      md5(array_join(col("codes"), ",")).as("codes_hash"),
+      round(aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
+        (acc, i) => greatest(acc, errAt(i))), 6).as("max_err"))
+  }
+}

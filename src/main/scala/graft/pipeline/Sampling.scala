@@ -66,6 +66,57 @@ object Sampling {
       .drop("threshold")
   }
 
+  /** Skew-aware top-k per group: the best `k` rows of every group under
+    * the total order (`score` desc, `tieId` asc) — per-domain quality
+    * caps à la RefinedWeb. The naive one-window form sorts every row of a
+    * group on a single task, so one hot domain (half the corpus behind
+    * one source) serializes the stage. Two phases instead:
+    *   1. salt each group into `nSalts` subgroups (deterministic hash of
+    *      the tie-break id) and take a local top-k per subgroup — a hot
+    *      group's rows sort in `nSalts` parallel slices, and at most
+    *      `nSalts * k` rows per group survive;
+    *   2. rank the survivors with the real per-group window — now
+    *      bounded rows per group regardless of input skew.
+    * Phase 1 can only discard rows that phase 2 would rank > k, so the
+    * output is exactly the naive window's.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, score: Column,
+                   tieId: Column, k: Int, nSalts: Int = 16): DataFrame = {
+    require(k > 0 && nSalts > 0)
+    val local = Window.partitionBy(col(groupCol), col("_salt"))
+      .orderBy(score.desc, tieId.asc)
+    val global = Window.partitionBy(col(groupCol))
+      .orderBy(score.desc, tieId.asc)
+    df.withColumn("_salt", pmod(tieId * lit(2654435761L), lit(nSalts.toLong)))
+      .withColumn("_lr", row_number().over(local))
+      .where(col("_lr") <= k)
+      .drop("_salt", "_lr")
+      .withColumn("rank", row_number().over(global))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic global shuffle → (shard, pos): the reproducible random
+    * permutation a training run reads the corpus in. Each row hashes to a
+    * shard (multiplicative hash of its id) and gets a dense 0-based
+    * position within that shard (rank by a second, independent hash;
+    * id tie-break makes the order total). Unlike `orderBy(rand())` the
+    * result is identical across runs, engines, and cluster sizes — and
+    * unlike a global sort it never serializes the corpus through one
+    * task: one hash-partition shuffle plus a per-shard sort, each shard
+    * ~corpus/nShards.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "need at least one shard")
+    val id = col(idCol)
+    val byShard = Window.partitionBy("shard")
+      .orderBy(col("h2"), col(idCol))
+    df.select(id,
+        pmod(id * lit(2654435761L), lit(nShards.toLong)).cast("int").as("shard"),
+        pmod(id * lit(1540483477L) + lit(12345701L), lit(1000000007L)).as("h2"))
+      .withColumn("pos", (row_number().over(byShard) - 1).cast("long"))
+      .drop("h2")
+  }
+
   /** Token-budget sequence packing, the window-based contiguous form: docs
     * in `orderCol` order within each `shardCol` fill fixed `budget`-token
     * sequences; `chunk_id` = which sequence a doc starts in, `offset` = its

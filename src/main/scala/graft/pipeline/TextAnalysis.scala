@@ -295,6 +295,44 @@ object TextAnalysis {
         coalesce(col(s"dup_${n}gram_frac"), lit(0.0)).as(s"dup_${n}gram_frac"))): _*)
   }
 
+  /** Fixed-window document chunking with overlap — the context-length
+    * splitter that prepares long documents for embedding or training.
+    * Chunk i covers whitespace tokens `[i*stride, i*stride + window)`;
+    * consecutive chunks overlap by `window - stride` tokens so no boundary
+    * context is lost. The last chunk always reaches the document's end; a
+    * document of at most `window` tokens yields exactly one chunk, and an
+    * empty document yields none.
+    *
+    * Emits (doc_id, chunk_idx, start_tok, n_tokens, chunk_hash) — the
+    * chunk *hash*, not its text, so the output stays narrow; callers that
+    * need the text re-slice it from the source row by (doc_id, start_tok).
+    *
+    * Scale shape: map-only builtin higher-order functions
+    * (sequence/transform/slice + posexplode) — one codegen'd scan, zero
+    * shuffles at any corpus size; the ~n/stride row fan-out carries
+    * fixed-width rows only. */
+  def chunkWithOverlap(df: DataFrame, idCol: String, textCol: String,
+                       window: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && stride <= window, "need 0 < stride <= window")
+    val ws = words(col(textCol))
+    val n = size(ws)
+    // chunk count: 1 + ceil((n - window) / stride) once n exceeds the
+    // window — floor-division form keeps both engines in exact math
+    val nc = when(n <= window, lit(1))
+      .otherwise(lit(1) + floor((n - window + lit(stride - 1)) / lit(stride)).cast("int"))
+    val chunks = transform(sequence(lit(0), nc - 1), i => {
+      val toks = slice(ws, i * stride + 1, lit(window))
+      struct((i * stride).as("start_tok"), size(toks).as("n_tokens"),
+        md5(array_join(toks, " ")).as("chunk_hash"))
+    })
+    df.select(col(idCol).as("doc_id"), n.as("n"), chunks.as("cs"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), posexplode(col("cs")))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col.start_tok").as("start_tok"), col("col.n_tokens").as("n_tokens"),
+        col("col.chunk_hash").as("chunk_hash"))
+  }
+
   /** Winnowing fingerprint: minimum rolling polynomial hash over character
     * k-grams (k=16). Robust to word order only at gram granularity; pure
     * Scala for use in a UDF. */

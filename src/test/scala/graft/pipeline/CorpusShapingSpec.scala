@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping additions: context-window chunking, the deterministic
+  * training-order shuffle, and int8 scalar quantization — semantics
+  * against scalar reimplementations plus the scale-critical plan shapes
+  * (chunking must not shuffle; quantization training must be a single
+  * aggregate with no explode). */
+class CorpusShapingSpec extends AnyFunSuite {
+
+  private def session() = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("corpus-shaping-spec")
+    .getOrCreate()
+
+  test("chunkWithOverlap: coverage, overlap, edges, and a shuffle-free plan") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      val docs = Seq(
+        (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 toks → 4 chunks
+        (2L, (1 to 32).map(i => s"a$i").mkString(" ")),  // exactly one window
+        (3L, "solo"),                                    // 1 token
+        (4L, "   "),                                     // empty after split
+        (5L, (1 to 33).map(i => s"b$i").mkString(" "))   // window + 1 → 2 chunks
+      ).toDF("doc_id", "text")
+      val out = TextAnalysis.chunkWithOverlap(docs, "doc_id", "text",
+        window = 32, stride = 24).collect()
+
+      val byDoc = out.groupBy(_.getLong(0))
+      // 100 tokens: chunks start at 0,24,48,72 — ceil((100-32)/24)+1 = 4
+      assert(byDoc(1L).map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).sorted
+        .toSeq == Seq((0, 0, 32), (1, 24, 32), (2, 48, 32), (3, 72, 28)))
+      // last chunk reaches the end: start 72 + 28 = 100
+      assert(byDoc(2L).length == 1 && byDoc(2L).head.getInt(3) == 32)
+      assert(byDoc(3L).length == 1 && byDoc(3L).head.getInt(3) == 1)
+      assert(!byDoc.contains(4L)) // empty doc → no chunks
+      assert(byDoc(5L).map(r => (r.getInt(2), r.getInt(3))).sorted.toSeq
+        == Seq((0, 32), (24, 9)))
+
+      // chunk hash is the hash of exactly those tokens
+      val h = byDoc(5L).find(_.getInt(1) == 1).get.getString(4)
+      val expect = java.security.MessageDigest.getInstance("MD5")
+        .digest((25 to 33).map(i => s"b$i").mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(h == expect)
+
+      // scale shape: map-only — no Exchange anywhere in the plan
+      val plan = TextAnalysis.chunkWithOverlap(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(2000))
+    } finally spark.stop()
+  }
+
+  test("deterministicShuffle: a reproducible permutation with dense per-shard positions") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      val ids = (1L to 500L).toDF("doc_id")
+      val out = Sampling.deterministicShuffle(ids, "doc_id", nShards = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+      // every row appears once; (shard, pos) is a bijection
+      assert(out.length == 500)
+      assert(out.map(t => (t._2, t._3)).distinct.length == 500)
+      // positions are dense 0..n-1 within each shard
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+      }
+      // shard assignment matches the scalar hash; order within shard
+      // matches the scalar second hash
+      out.foreach { case (id, shard, _) =>
+        assert(shard == math.floorMod(id * 2654435761L, 8L).toInt)
+      }
+      val expected = (1L to 500L).groupBy(id => math.floorMod(id * 2654435761L, 8L))
+        .view.mapValues(_.sortBy(id =>
+          (math.floorMod(id * 1540483477L + 12345701L, 1000000007L), id))
+          .zipWithIndex.toMap).toMap
+      out.foreach { case (id, shard, pos) =>
+        assert(expected(shard.toLong)(id).toLong == pos, s"doc $id")
+      }
+
+      // reproducible under a different input partitioning
+      val again = Sampling.deterministicShuffle(ids.repartition(13), "doc_id", 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+      assert(again.toSeq == out.sorted.toSeq)
+    } finally spark.stop()
+  }
+
+  test("topKPerGroup: exactly the naive window's output under heavy group skew") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // one hot group with 5000 rows, several small ones; scores collide
+      // often so the tie-break carries weight
+      val rows = (1L to 5000L).map(i => (i, "hot", (i % 97).toDouble)) ++
+        (6001L to 6020L).map(i => (i, "warm", (i % 7).toDouble)) ++
+        Seq((7001L, "cold", 1.0))
+      val df = rows.toDF("doc_id", "grp", "score")
+
+      val out = Sampling.topKPerGroup(df, "grp", col("score"), col("doc_id"), k = 3)
+        .select("doc_id", "grp", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).sorted
+
+      import org.apache.spark.sql.expressions.Window
+      val naive = df.withColumn("rank", row_number().over(
+          Window.partitionBy("grp").orderBy(col("score").desc, col("doc_id"))))
+        .where(col("rank") <= 3)
+        .select("doc_id", "grp", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).sorted
+
+      assert(out.toSeq == naive.toSeq)
+      // groups smaller than k keep all their rows
+      assert(out.count(_._2 == "cold") == 1)
+
+      // the salted phase bounds survivor counts: after phase 1 at most
+      // nSalts * k rows of the hot group reach the final window
+      val survivors = df.withColumn("_salt",
+          pmod(col("doc_id") * lit(2654435761L), lit(16L)))
+        .withColumn("_lr", row_number().over(Window.partitionBy("grp", "_salt")
+          .orderBy(col("score").desc, col("doc_id"))))
+        .where(col("_lr") <= 3 && col("grp") === "hot").count()
+      assert(survivors <= 16 * 3)
+    } finally spark.stop()
+  }
+
+  test("quantizeInt8: codes in range, error bounded by half a step, single-agg training plan") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      val dims = 8
+      val vecs = (1 to 200).map { v =>
+        (v.toLong, Array.tabulate(dims)(i =>
+          (math.sin(v * 31 + i * 7) * (i + 1)).toFloat))
+      }.toDF("vec_id", "embedding")
+
+      val (lo, hi) = Quantize.trainMinMax(vecs, "embedding", dims)
+      (0 until dims).foreach(i => assert(lo(i) < hi(i)))
+
+      val out = Quantize.quantizeInt8(vecs, "vec_id", "embedding", dims).collect()
+      assert(out.length == 200)
+      // L∞ error ≤ half a quantization step of the widest dimension
+      val maxStep = (0 until dims).map(i => (hi(i) - lo(i)) / 255).max
+      out.foreach { r =>
+        val err = r.getDouble(r.fieldIndex("max_err"))
+        assert(err <= maxStep / 2 + 1e-9, s"vec ${r.getLong(0)}: $err")
+      }
+      // code_0 within [0, 255]
+      out.foreach { r =>
+        val c0 = r.getInt(r.fieldIndex("code_0"))
+        assert(c0 >= 0 && c0 <= 255)
+      }
+
+      // degenerate dimension codes to 0 everywhere
+      val degen = (1 to 10).map(v => (v.toLong, Array.fill(2)(1.0f)))
+        .toDF("vec_id", "embedding")
+      Quantize.quantizeInt8(degen, "vec_id", "embedding", 2).collect()
+        .foreach(r => assert(r.getInt(r.fieldIndex("code_0")) == 0))
+
+      // training plan: one HashAggregate pair over the scan — no explode,
+      // no Generate node
+      val trainPlan = {
+        val aggs = (0 until dims).flatMap { i =>
+          Seq(min(element_at(col("embedding"), i + 1).cast("double")),
+            max(element_at(col("embedding"), i + 1).cast("double")))
+        }
+        vecs.agg(aggs.head, aggs.tail: _*).queryExecution.executedPlan.toString
+      }
+      assert(!trainPlan.contains("Generate"), trainPlan.take(2000))
+      assert(trainPlan.contains("HashAggregate") || trainPlan.contains("SortAggregate"))
+    } finally spark.stop()
+  }
+}
