@@ -68,30 +68,24 @@ object Sampling {
 
   /** Skew-aware top-k per group: the best `k` rows of every group under
     * the total order (`score` desc, `tieId` asc) — per-domain quality
-    * caps à la RefinedWeb. The naive one-window form sorts every row of a
-    * group on a single task, so one hot domain (half the corpus behind
-    * one source) serializes the stage. Two phases instead:
-    *   1. salt each group into `nSalts` subgroups (deterministic hash of
-    *      the tie-break id) and take a local top-k per subgroup — a hot
-    *      group's rows sort in `nSalts` parallel slices, and at most
-    *      `nSalts * k` rows per group survive;
-    *   2. rank the survivors with the real per-group window — now
-    *      bounded rows per group regardless of input skew.
-    * Phase 1 can only discard rows that phase 2 would rank > k, so the
-    * output is exactly the naive window's.
+    * caps à la RefinedWeb (Penedo et al. 2023).
+    *
+    * Deliberately the plain window form: Catalyst's rank-limit pushdown
+    * (SPARK-37099) rewrites `row_number <= k` into a PARTIAL
+    * `WindowGroupLimit` below the exchange — each input partition
+    * forwards at most k rows per group, so a hot domain holding half the
+    * corpus ships ≤ k·numPartitions rows to its reducer instead of half
+    * the corpus. Hand-rolled salting (local top-k per hash subgroup,
+    * then a final window) would recreate exactly that with one extra
+    * shuffle; `CorpusShapingSpec` asserts the Partial node so a Spark
+    * upgrade can't silently drop the property.
     */
   def topKPerGroup(df: DataFrame, groupCol: String, score: Column,
-                   tieId: Column, k: Int, nSalts: Int = 16): DataFrame = {
-    require(k > 0 && nSalts > 0)
-    val local = Window.partitionBy(col(groupCol), col("_salt"))
-      .orderBy(score.desc, tieId.asc)
+                   tieId: Column, k: Int): DataFrame = {
+    require(k > 0)
     val global = Window.partitionBy(col(groupCol))
       .orderBy(score.desc, tieId.asc)
-    df.withColumn("_salt", pmod(tieId * lit(2654435761L), lit(nSalts.toLong)))
-      .withColumn("_lr", row_number().over(local))
-      .where(col("_lr") <= k)
-      .drop("_salt", "_lr")
-      .withColumn("rank", row_number().over(global))
+    df.withColumn("rank", row_number().over(global))
       .where(col("rank") <= k)
   }
 

@@ -118,14 +118,13 @@ class CorpusShapingSpec extends AnyFunSuite {
       // groups smaller than k keep all their rows
       assert(out.count(_._2 == "cold") == 1)
 
-      // the salted phase bounds survivor counts: after phase 1 at most
-      // nSalts * k rows of the hot group reach the final window
-      val survivors = df.withColumn("_salt",
-          pmod(col("doc_id") * lit(2654435761L), lit(16L)))
-        .withColumn("_lr", row_number().over(Window.partitionBy("grp", "_salt")
-          .orderBy(col("score").desc, col("doc_id"))))
-        .where(col("_lr") <= 3 && col("grp") === "hot").count()
-      assert(survivors <= 16 * 3)
+      // the skew guarantee: rank-limit pushdown must plan a PARTIAL
+      // WindowGroupLimit below the exchange, so a hot group forwards at
+      // most k rows per input partition instead of all its rows
+      val plan = Sampling.topKPerGroup(df, "grp", col("score"), col("doc_id"), 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+        plan.take(2000))
     } finally spark.stop()
   }
 
