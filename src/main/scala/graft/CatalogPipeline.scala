@@ -69,6 +69,31 @@ object CatalogPipeline {
        | / (sqrt(list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE)))
        |  * sqrt(list_sum(list_transform(range(len($a)), i -> $b[i+1] * $b[i+1])))))""".stripMargin
 
+  /** DuckDB rendering of the [[TextAnalysis.qualityScore]] feature CTEs
+    * (f: raw counts, r: ratios) and the composite-score expression over
+    * r's columns — shared by the p10 and p29 oracles so the formula
+    * lives in exactly one SQL place. */
+  private val qualityFeatureCtes =
+    """f AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+      |    length(text) AS n_chars,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','of','to','and','in','is'))) AS stop_hits,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS punct_hits
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, n_words, n_chars,
+      |    CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1))::DOUBLE / n_words ELSE 0 END AS awl,
+      |    CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0 END AS sr,
+      |    CASE WHEN n_chars > 0 THEN punct_hits::DOUBLE / n_chars ELSE 0 END AS pr
+      |  FROM f)""".stripMargin
+
+  private val qualityScoreSql =
+    """round(greatest(0.0, least(1.0,
+      |    least(n_words / 100.0, 1.0) * 0.4 + least(sr * 5.0, 1.0) * 0.3 +
+      |    least(awl / 8.0, 1.0) * 0.3 - pr)), 6)""".stripMargin
+
   private val exactCorpusSql =
     """SELECT doc_id, text, lang FROM documents
       |UNION ALL SELECT doc_id + 1000000, text, lang FROM documents""".stripMargin
@@ -653,27 +678,12 @@ object CatalogPipeline {
              |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS bpeish_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
     Q("p10_quality_score", p10,
-      Some("""WITH f AS (
-             |  SELECT doc_id,
-             |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
-             |    length(text) AS n_chars,
-             |    len(list_filter(string_split(text, ' '),
-             |      x -> x IN ('the','a','of','to','and','in','is'))) AS stop_hits,
-             |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS punct_hits
-             |  FROM documents),
-             |r AS (
-             |  SELECT doc_id, n_words, n_chars,
-             |    CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1))::DOUBLE / n_words ELSE 0 END AS awl,
-             |    CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0 END AS sr,
-             |    CASE WHEN n_chars > 0 THEN punct_hits::DOUBLE / n_chars ELSE 0 END AS pr
-             |  FROM f)
-             |SELECT doc_id, CAST(n_words AS INT) AS n_words, CAST(n_chars AS INT) AS n_chars,
-             |  round(awl, 6) AS avg_word_len, round(sr, 6) AS stopword_ratio,
-             |  round(pr, 6) AS punct_ratio,
-             |  round(greatest(0.0, least(1.0,
-             |    least(n_words / 100.0, 1.0) * 0.4 + least(sr * 5.0, 1.0) * 0.3 +
-             |    least(awl / 8.0, 1.0) * 0.3 - pr)), 6) AS quality_score
-             |FROM r ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $qualityFeatureCtes
+              |SELECT doc_id, CAST(n_words AS INT) AS n_words, CAST(n_chars AS INT) AS n_chars,
+              |  round(awl, 6) AS avg_word_len, round(sr, 6) AS stopword_ratio,
+              |  round(pr, 6) AS punct_ratio,
+              |  $qualityScoreSql AS quality_score
+              |FROM r ORDER BY doc_id""".stripMargin)),
     Q("p11_fingerprint", p11,
       Some("""SELECT doc_id,
              |  md5(array_to_string(list_sort(list_distinct(
@@ -790,39 +800,22 @@ object CatalogPipeline {
              |FROM enc ORDER BY vec_id""".stripMargin)),
     Q("p28_shard_shuffle", p28,
       Some("""SELECT doc_id,
-             |  CAST((doc_id * 2654435761) % 8 AS INT) AS shard,
+             |  CAST(((doc_id % 1000000007) * 2654435761) % 8 AS INT) AS shard,
              |  CAST(row_number() OVER (
-             |    PARTITION BY (doc_id * 2654435761) % 8
-             |    ORDER BY (doc_id * 1540483477 + 12345701) % 1000000007, doc_id)
+             |    PARTITION BY ((doc_id % 1000000007) * 2654435761) % 8
+             |    ORDER BY ((doc_id % 1000000007) * 1540483477 + 12345701)
+             |              % 1000000007, doc_id)
              |    - 1 AS BIGINT) AS pos
              |FROM documents ORDER BY doc_id""".stripMargin)),
     Q("p29_domain_cap", p29,
-      Some("""WITH f AS (
-             |  SELECT doc_id, source,
-             |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
-             |    length(text) AS n_chars,
-             |    len(list_filter(string_split(text, ' '),
-             |      x -> x IN ('the','a','of','to','and','in','is'))) AS stop_hits,
-             |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS punct_hits
-             |  FROM documents),
-             |r AS (
-             |  SELECT doc_id, source, n_words,
-             |    CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1))::DOUBLE / n_words ELSE 0 END AS awl,
-             |    CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0 END AS sr,
-             |    CASE WHEN n_chars > 0 THEN punct_hits::DOUBLE / n_chars ELSE 0 END AS pr
-             |  FROM f),
-             |q AS (
-             |  SELECT doc_id, source,
-             |    round(greatest(0.0, least(1.0,
-             |      least(n_words / 100.0, 1.0) * 0.4 + least(sr * 5.0, 1.0) * 0.3 +
-             |      least(awl / 8.0, 1.0) * 0.3 - pr)), 6) AS q
-             |  FROM r),
-             |rk AS (SELECT doc_id, source, q,
-             |         CAST(row_number() OVER (PARTITION BY source
-             |           ORDER BY q DESC, doc_id) AS INT) AS rank
-             |       FROM q)
-             |SELECT doc_id, source, q, rank FROM rk WHERE rank <= 5
-             |ORDER BY source, rank""".stripMargin)),
+      Some(s"""WITH $qualityFeatureCtes,
+              |q AS (SELECT doc_id, source, $qualityScoreSql AS q FROM r),
+              |rk AS (SELECT doc_id, source, q,
+              |         CAST(row_number() OVER (PARTITION BY source
+              |           ORDER BY q DESC, doc_id) AS INT) AS rank
+              |       FROM q)
+              |SELECT doc_id, source, q, rank FROM rk WHERE rank <= 5
+              |ORDER BY source, rank""".stripMargin)),
     Q("p18_span_scrub", p18,
       Some(s"""WITH corpus AS ($nearCorpusSql),
               |w AS (SELECT doc_id,

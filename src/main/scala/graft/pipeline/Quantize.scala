@@ -24,13 +24,21 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
-  /** Per-dimension (min, max) over the corpus: one aggregate row. */
+  /** Per-dimension (min, max) over the corpus: one aggregate row. The
+    * vector-width check rides in the same pass (two extra scalar aggs,
+    * no second scan) — a ragged or differently-sized vector would
+    * otherwise surface as an opaque element_at index error deep inside
+    * the encode codegen (ANSI mode) or silently corrupt codes (non-ANSI). */
   def trainMinMax(df: DataFrame, vecCol: String, dims: Int): (Array[Double], Array[Double]) = {
     val aggs = (0 until dims).flatMap { i =>
       Seq(min(element_at(col(vecCol), i + 1).cast("double")).as(s"mn_$i"),
         max(element_at(col(vecCol), i + 1).cast("double")).as(s"mx_$i"))
-    }
+    } ++ Seq(min(size(col(vecCol))).as("sz_min"), max(size(col(vecCol))).as("sz_max"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!row.isNullAt(2 * dims),
+      s"quantization training set is empty (no rows with a non-null $vecCol)")
+    require(row.getInt(2 * dims) == dims && row.getInt(2 * dims + 1) == dims,
+      s"$vecCol width [${row.getInt(2 * dims)}, ${row.getInt(2 * dims + 1)}] != dims=$dims")
     (Array.tabulate(dims)(i => row.getDouble(2 * i)),
       Array.tabulate(dims)(i => row.getDouble(2 * i + 1)))
   }

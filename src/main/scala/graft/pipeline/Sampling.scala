@@ -79,6 +79,12 @@ object Sampling {
     * then a final window) would recreate exactly that with one extra
     * shuffle; `CorpusShapingSpec` asserts the Partial node so a Spark
     * upgrade can't silently drop the property.
+    *
+    * Caveats: the pushdown only fires for k up to
+    * `spark.sql.optimizer.windowGroupLimitThreshold` (default 1000) —
+    * callers capping above that must raise the threshold or the hot
+    * group degrades to one reducer; and the output's `rank` column
+    * replaces any same-named input column.
     */
   def topKPerGroup(df: DataFrame, groupCol: String, score: Column,
                    tieId: Column, k: Int): DataFrame = {
@@ -98,15 +104,23 @@ object Sampling {
     * unlike a global sort it never serializes the corpus through one
     * task: one hash-partition shuffle plus a per-shard sort, each shard
     * ~corpus/nShards.
+    *
+    * The id is folded mod 1e9+7 BEFORE the multiplicative mix, so every
+    * intermediate stays below 2^62 — total for any 64-bit id under the
+    * default ANSI mode (a bare `id * 2654435761` overflows at ids ≥
+    * ~3.5e9 and either crashes the job or silently diverges from the
+    * oracle). Callers without a cross-engine-oracle constraint can swap
+    * the portable hashes for `pmod(xxhash64(id), n)`.
     */
   def deterministicShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, "need at least one shard")
-    val id = col(idCol)
+    val m = lit(1000000007L)
+    val folded = pmod(col(idCol), m)
     val byShard = Window.partitionBy("shard")
       .orderBy(col("h2"), col(idCol))
-    df.select(id,
-        pmod(id * lit(2654435761L), lit(nShards.toLong)).cast("int").as("shard"),
-        pmod(id * lit(1540483477L) + lit(12345701L), lit(1000000007L)).as("h2"))
+    df.select(col(idCol),
+        pmod(folded * lit(2654435761L), lit(nShards.toLong)).cast("int").as("shard"),
+        pmod(folded * lit(1540483477L) + lit(12345701L), m).as("h2"))
       .withColumn("pos", (row_number().over(byShard) - 1).cast("long"))
       .drop("h2")
   }

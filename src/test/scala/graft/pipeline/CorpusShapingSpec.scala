@@ -89,6 +89,16 @@ class CorpusShapingSpec extends AnyFunSuite {
       val again = Sampling.deterministicShuffle(ids.repartition(13), "doc_id", 8)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
       assert(again.toSeq == out.sorted.toSeq)
+
+      // total for any 64-bit id under the default ANSI mode: ids past
+      // the bare-multiply overflow point (~3.5e9) must not crash, and
+      // the shard must match the folded scalar hash
+      val big = Seq(4000000000L, Long.MaxValue - 1, 7000000000000000000L)
+        .toDF("doc_id")
+      Sampling.deterministicShuffle(big, "doc_id", 8).collect().foreach { r =>
+        val folded = math.floorMod(r.getLong(0), 1000000007L)
+        assert(r.getInt(1) == math.floorMod(folded * 2654435761L, 8L).toInt)
+      }
     } finally spark.stop()
   }
 
