@@ -116,6 +116,21 @@ object CatalogGeo {
         GeoFunctions.tileY(lit(10.0), GeoFunctions.checkLat(col("lat"))).cast("long").as("tile_y"))
       .orderBy("c_custkey")
 
+  /** G15 Z-order layout key (beyond ref): Morton-interleaved zoom-10 tile
+    * coordinates plus the derived file bucket (zkey >> 8) — the write-time
+    * clustering the engine would apply before a 100 TB tile-partitioned
+    * write so bbox scans touch contiguous files
+    * ([[geo.GeoFunctions.zorderKey]]). */
+  private def g15(s: SparkSession, d: String): DataFrame = {
+    val tiles = customerGeo(s, d).select(col("c_custkey"),
+      GeoFunctions.tileX(lit(10.0), col("lon")).cast("long").as("tile_x"),
+      GeoFunctions.tileY(lit(10.0), GeoFunctions.checkLat(col("lat"))).cast("long").as("tile_y"))
+    tiles
+      .withColumn("zkey", GeoFunctions.zorderKey(col("tile_x"), col("tile_y"), 10))
+      .withColumn("file_bucket", shiftright(col("zkey"), 8))
+      .orderBy("c_custkey")
+  }
+
   /** G9/G10 bbox containment + lat/lon normalization (QuadRect.java:23-69;
     * OsmMapUtils.java:62-93) over deliberately out-of-range inputs. */
   private def g9(s: SparkSession, d: String): DataFrame = {
@@ -334,6 +349,21 @@ object CatalogGeo {
               |    + 1.0 / cos(radians(least(greatest($custLatSql, -85.0511), 85.0511)))) / pi())
               |    / 2.0 * pow(2.0, 10.0)) AS BIGINT) AS tile_y
               |FROM customer ORDER BY c_custkey""".stripMargin)),
+    Q("g15_zorder_layout", g15,
+      Some(s"""WITH t AS (
+              |  SELECT c_custkey,
+              |    CAST(floor((($custLonSql) + 180.0) / 360.0 * pow(2.0, 10.0)) AS BIGINT) AS tile_x,
+              |    CAST(floor((1.0 - ln(tan(radians(least(greatest($custLatSql, -85.0511), 85.0511)))
+              |      + 1.0 / cos(radians(least(greatest($custLatSql, -85.0511), 85.0511)))) / pi())
+              |      / 2.0 * pow(2.0, 10.0)) AS BIGINT) AS tile_y
+              |  FROM customer),
+              |z AS (SELECT c_custkey, tile_x, tile_y,
+              |        CAST(list_sum(list_transform(range(10), b ->
+              |          ((((tile_x >> b) & 1) << (2*b + 1))
+              |           + (((tile_y >> b) & 1) << (2*b))))) AS BIGINT) AS zkey
+              |      FROM t)
+              |SELECT c_custkey, tile_x, tile_y, zkey, zkey >> 8 AS file_bucket
+              |FROM z ORDER BY c_custkey""".stripMargin)),
     Q("g9_bbox_normalize", g9,
       Some("""SELECT c_custkey,
              |  ((((CAST(c_custkey * 13 % 720 AS DOUBLE) - 360.0) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) AS lon,

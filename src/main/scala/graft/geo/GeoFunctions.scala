@@ -77,6 +77,23 @@ object GeoFunctions {
     floor((lit(1.0) - log(tan(latRad) + lit(1.0) / cos(latRad)) / math.Pi) / 2.0 * pow(lit(2.0), zoom))
   }
 
+  /** Z-order (Morton) interleave of two non-negative tile coordinates —
+    * the write-time clustering key for multi-dimensional scan locality
+    * (Morton 1966; the layout step behind Delta/Iceberg OPTIMIZE
+    * ZORDER). Files sorted by this key keep spatially-near tiles in the
+    * same or adjacent files, so a bbox scan touches O(files in box)
+    * instead of O(all files). Pure integer shift/mask expressions —
+    * whole-stage codegen, bit-reproducible by an external engine.
+    * `bits` must cover the coordinate range (= the zoom level for
+    * mercator tiles); higher bits are dropped. */
+  def zorderKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b + 1)
+        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Longitude wrap to (-180, 180] and web-mercator latitude clamp
     * (reference: OsmMapUtils.java:62-93). */
   def checkLon(lon: Column): Column =
