@@ -69,6 +69,49 @@ object CatalogPipeline {
        | / (sqrt(list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE)))
        |  * sqrt(list_sum(list_transform(range(len($a)), i -> $b[i+1] * $b[i+1])))))""".stripMargin
 
+  /** DuckDB rendering of [[graft.pipeline.Similarity]]'s sample-trained
+    * IVF quantizer as a CTE chain over source relation `src` (must expose
+    * vec_id, embedding): sample = 256 lowest-id vectors, seeds = first
+    * 16, one Lloyd step folded in vec_id order (aggregate SUM would be
+    * order-nondeterministic), empty cells keep their seed; cell argmax
+    * uses the unrounded cosScalar fold. Shared by the p13/p25/p30
+    * oracles. */
+  private def ivfCentsSql(src: String): String =
+    s"""samp AS (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT 256),
+       |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |                 list_transform(embedding, x -> x::DOUBLE) AS c
+       |          FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 16)),
+       |sassign AS (SELECT s.vec_id, s.embedding,
+       |              (SELECT cell FROM (
+       |                 SELECT sd.cell, ${cosFoldSql("s.embedding", "sd.c")} AS sim FROM seeds sd)
+       |               ORDER BY sim DESC, cell LIMIT 1) AS cell
+       |            FROM samp s),
+       |cmean AS (SELECT cell, cnt,
+       |            list_transform(range(d), i ->
+       |              list_sum(list_transform(vals, v -> v[i+1]::DOUBLE)) / cnt) AS c
+       |          FROM (SELECT cell, list(embedding ORDER BY vec_id) AS vals,
+       |                       count(*) AS cnt, len(first(embedding)) AS d
+       |                FROM sassign GROUP BY cell)),
+       |cents AS (SELECT s.cell, coalesce(m.c, s.c) AS c
+       |          FROM seeds s LEFT JOIN cmean m USING (cell))""".stripMargin
+
+  /** p13's corpus-assignment + query-probe CTEs over `embeddings` and the
+    * shared `cents` relation: corp (cell per corpus vector) and qp
+    * (nprobe=4 probed cells per query, queries = vec_id < 5). Shared by
+    * the p13/p30 oracles. */
+  private lazy val ivfProbeSql =
+    s"""corp AS (SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec,
+       |           (SELECT cell FROM (
+       |              SELECT cn.cell, ${cosFoldSql("e.embedding", "cn.c")} AS sim FROM cents cn)
+       |            ORDER BY sim DESC, cell LIMIT 1) AS cell
+       |         FROM embeddings e),
+       |qp AS (SELECT vec_id AS query_id, embedding AS q_vec, cell FROM (
+       |         SELECT e.vec_id, e.embedding, cn.cell,
+       |                row_number() OVER (PARTITION BY e.vec_id
+       |                  ORDER BY ${cosFoldSql("e.embedding", "cn.c")} DESC, cn.cell) AS pr
+       |         FROM embeddings e CROSS JOIN cents cn WHERE e.vec_id < 5)
+       |       WHERE pr <= 4)""".stripMargin
+
   /** DuckDB rendering of the [[TextAnalysis.qualityScore]] feature CTEs
     * (f: raw counts, r: ratios) and the composite-score expression over
     * r's columns — shared by the p10 and p29 oracles so the formula
@@ -146,6 +189,16 @@ object CatalogPipeline {
     val e = Tables.embeddings(s, d)
     Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF+SQ8 ANN ([[graft.pipeline.Similarity.ivfSq8TopK]]): p13's cell
+    * structure with the inverted lists stored as int8 codes and scored by
+    * on-the-fly dequantization. */
+  private def p30(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfSq8TopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4, dims = 64)
       .orderBy("query_id", "rank")
   }
 
@@ -540,43 +593,46 @@ object CatalogPipeline {
               |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
               |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
     Q("p13_ann_ivf", p13,
-      // Reproduces the driver-side quantizer training exactly: sample = 256
-      // lowest-id vectors, seeds = first 16, one Lloyd step over the sample
-      // (sums folded in vec_id order via list() ORDER BY — aggregate SUM
-      // would be order-nondeterministic), empty cells keep their seed. Cell
-      // argmax uses the unrounded cosScalar fold; candidate scoring reuses
-      // the proven list_cosine_similarity round-6 pattern from p5/p6.
-      Some(s"""WITH samp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256),
-              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-              |                 list_transform(embedding, x -> x::DOUBLE) AS c
-              |          FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 16)),
-              |sassign AS (SELECT s.vec_id, s.embedding,
-              |              (SELECT cell FROM (
-              |                 SELECT sd.cell, ${cosFoldSql("s.embedding", "sd.c")} AS sim FROM seeds sd)
-              |               ORDER BY sim DESC, cell LIMIT 1) AS cell
-              |            FROM samp s),
-              |cmean AS (SELECT cell, cnt,
-              |            list_transform(range(d), i ->
-              |              list_sum(list_transform(vals, v -> v[i+1]::DOUBLE)) / cnt) AS c
-              |          FROM (SELECT cell, list(embedding ORDER BY vec_id) AS vals,
-              |                       count(*) AS cnt, len(first(embedding)) AS d
-              |                FROM sassign GROUP BY cell)),
-              |cents AS (SELECT s.cell, coalesce(m.c, s.c) AS c
-              |          FROM seeds s LEFT JOIN cmean m USING (cell)),
-              |corp AS (SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec,
-              |           (SELECT cell FROM (
-              |              SELECT cn.cell, ${cosFoldSql("e.embedding", "cn.c")} AS sim FROM cents cn)
-              |            ORDER BY sim DESC, cell LIMIT 1) AS cell
-              |         FROM embeddings e),
-              |qp AS (SELECT vec_id AS query_id, embedding AS q_vec, cell FROM (
-              |         SELECT e.vec_id, e.embedding, cn.cell,
-              |                row_number() OVER (PARTITION BY e.vec_id
-              |                  ORDER BY ${cosFoldSql("e.embedding", "cn.c")} DESC, cn.cell) AS pr
-              |         FROM embeddings e CROSS JOIN cents cn WHERE e.vec_id < 5)
-              |       WHERE pr <= 4),
+      // Quantizer training reproduced via the shared ivfCentsSql fragment;
+      // candidate scoring reuses the proven list_cosine_similarity round-6
+      // pattern from p5/p6.
+      Some(s"""WITH ${ivfCentsSql("embeddings")},
+              |$ivfProbeSql,
               |s AS (SELECT q.query_id, c.neighbor_id,
               |        round(list_cosine_similarity(q.q_vec::DOUBLE[], c.c_vec::DOUBLE[]), 6) AS sim
               |      FROM qp q JOIN corp c USING (cell) WHERE q.query_id <> c.neighbor_id)
+              |SELECT query_id, neighbor_id, sim, rank FROM (
+              |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+    Q("p30_ann_ivf_sq8", p30,
+      // p13's cells + probes, with the corpus side re-encoded to int8
+      // (the p27 stats/rng CTEs) and scored on the dequantized codes in
+      // the exact double op order of Similarity.ivfSq8TopK.
+      Some(s"""WITH ${ivfCentsSql("embeddings")},
+              |$ivfProbeSql,
+              |sq AS (
+              |  SELECT i, min(embedding[i+1]::DOUBLE) AS lo,
+              |         max(embedding[i+1]::DOUBLE) AS hi
+              |  FROM embeddings, range(64) t(i) GROUP BY i),
+              |rng AS (SELECT list(lo ORDER BY i) AS los,
+              |               list(hi ORDER BY i) AS his FROM sq),
+              |dqc AS (SELECT c.neighbor_id, c.cell,
+              |          list_transform(range(64), i ->
+              |            CASE WHEN his[i+1] > los[i+1] THEN
+              |              los[i+1] + CAST(floor((c.c_vec[i+1]::DOUBLE - los[i+1])
+              |                / (his[i+1] - los[i+1]) * 255 + 0.5) AS INT)::DOUBLE
+              |                * (his[i+1] - los[i+1]) / 255
+              |            ELSE los[i+1] END) AS dq
+              |        FROM corp c, rng),
+              |s AS (SELECT q.query_id, d.neighbor_id,
+              |        round(list_sum(list_transform(range(64), i ->
+              |            q.q_vec[i+1]::DOUBLE * d.dq[i+1]))
+              |          / (sqrt(list_sum(list_transform(q.q_vec,
+              |               x -> x::DOUBLE * x::DOUBLE)))
+              |           * sqrt(list_sum(list_transform(d.dq, x -> x * x)))), 6) AS sim
+              |      FROM qp q JOIN dqc d USING (cell)
+              |      WHERE q.query_id <> d.neighbor_id)
               |SELECT query_id, neighbor_id, sim, rank FROM (
               |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
@@ -592,23 +648,7 @@ object CatalogPipeline {
               |       list_transform(embedding, (x, i) ->
               |         CASE WHEN i = 1 THEN x + 0.01::REAL ELSE x END)
               |FROM embeddings),
-              |samp AS (SELECT vec_id, embedding FROM u ORDER BY vec_id LIMIT 256),
-              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-              |                 list_transform(embedding, x -> x::DOUBLE) AS c
-              |          FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 16)),
-              |sassign AS (SELECT s.vec_id, s.embedding,
-              |              (SELECT cell FROM (
-              |                 SELECT sd.cell, ${cosFoldSql("s.embedding", "sd.c")} AS sim FROM seeds sd)
-              |               ORDER BY sim DESC, cell LIMIT 1) AS cell
-              |            FROM samp s),
-              |cmean AS (SELECT cell, cnt,
-              |            list_transform(range(d), i ->
-              |              list_sum(list_transform(vals, v -> v[i+1]::DOUBLE)) / cnt) AS c
-              |          FROM (SELECT cell, list(embedding ORDER BY vec_id) AS vals,
-              |                       count(*) AS cnt, len(first(embedding)) AS d
-              |                FROM sassign GROUP BY cell)),
-              |cents AS (SELECT s.cell, coalesce(m.c, s.c) AS c
-              |          FROM seeds s LEFT JOIN cmean m USING (cell)),
+              |${ivfCentsSql("u")},
               |corp AS (SELECT u.vec_id, u.embedding,
               |           (SELECT cell FROM (
               |              SELECT cn.cell, ${cosFoldSql("u.embedding", "cn.c")} AS sim FROM cents cn)

@@ -137,6 +137,51 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF + SQ8 ANN — [[ivfTopK]]'s cell structure with the corpus side
+    * stored as int8 codes ([[Quantize]]) and scored against
+    * full-precision queries by on-the-fly dequantization: FAISS's
+    * `IVF<n>,SQ8` composition. At 100 TB the inverted lists are 4×
+    * smaller (the codes replace the float vectors in the probe join) for
+    * a recall loss bounded by the quantization step; cell assignment
+    * still uses the exact vectors at index-build time, as FAISS does.
+    * All scoring arithmetic is exact-order double math over the
+    * dequantized codes, so the oracle reproduces every similarity. */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nlist: Int, nprobe: Int,
+                 dims: Int): DataFrame = {
+    val centroids = trainQuantizer(corpus, idCol, vecCol, nlist)
+    val (lo, hi) = Quantize.trainMinMax(corpus, vecCol, dims)
+    val loLit = array(lo.map(lit): _*)
+    val hiLit = array(hi.map(lit): _*)
+    val assign = udf((v: Seq[Float]) => nearestCells(centroids, v, 1).head)
+    val probes = udf((v: Seq[Float]) => nearestCells(centroids, v, nprobe))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par)
+      .select(col(idCol).as("neighbor_id"),
+        graft.pipeline.Quantize.encodeColumn(col(vecCol), lo, hi).as("codes"),
+        assign(col(vecCol)).as("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("q_vec"),
+      explode(probes(col(vecCol))).as("cell")))
+    val dq = transform(col("codes"), (cd, i) => {
+      val l = element_at(loLit, i + 1)
+      val h = element_at(hiLit, i + 1)
+      l + cd.cast("double") * (h - l) / 255
+    })
+    def sumOf(arr: Column) = aggregate(arr, lit(0.0), (s, x) => s + x)
+    val joined = c.join(q, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dq", dq)
+    val dot = sumOf(zip_with(col("q_vec"), col("dq"), (a, b) => a * b))
+    val na = sumOf(transform(col("q_vec"), a => a * a))
+    val nb = sumOf(transform(col("dq"), b => b * b))
+    val scored = joined.select(col("query_id"), col("neighbor_id"),
+      round(dot / (sqrt(na) * sqrt(nb)), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all corpus pairs with
     * cosine >= minSim, LSH-bucketed so only same-bucket pairs are scored.
     * Exact within a bucket; the all-pairs oracle form is only run at test

@@ -82,6 +82,31 @@ class PipelineQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF+SQ8: near-identical to full-precision IVF; similarities within the quantization step") {
+    withSpark { spark =>
+      val e = graft.Tables.embeddings(spark, sf)
+      val q = e.where(col("vec_id") < 20)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "sim").collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val full = rows(Similarity.ivfTopK(e, q, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 8))
+      val sq8 = rows(Similarity.ivfSq8TopK(e, q, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 8, dims = e.head.getSeq[Float](1).length))
+      // same candidate sets (identical cells/probes), so the retrieved
+      // pairs overlap near-perfectly; quantization can only swap borderline
+      // ranks
+      val overlap = sq8.keySet.intersect(full.keySet).size.toDouble / full.size
+      info(s"IVF+SQ8 vs IVF pair overlap = $overlap")
+      assert(overlap >= 0.9, s"overlap $overlap")
+      // on shared pairs, the SQ8 similarity sits within a coarse bound of
+      // the full-precision one (64 dims x half-step per dim)
+      sq8.keySet.intersect(full.keySet).foreach { k =>
+        assert(math.abs(sq8(k) - full(k)) < 0.05, s"$k: ${sq8(k)} vs ${full(k)}")
+      }
+    }
+  }
+
   test("simhash pairs are within the declared Hamming bound and symmetric-free") {
     withSpark { spark =>
       val docs = graft.Tables.documents(spark, sf).select("doc_id", "text", "lang")
