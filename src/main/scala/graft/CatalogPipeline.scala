@@ -95,6 +95,17 @@ object CatalogPipeline {
        |cents AS (SELECT s.cell, coalesce(m.c, s.c) AS c
        |          FROM seeds s LEFT JOIN cmean m USING (cell))""".stripMargin
 
+  /** DuckDB rendering of [[graft.pipeline.Quantize.trainMinMax]] over the
+    * embeddings table as a CTE pair (sqstats: per-dim min/max; rng: the
+    * los/his range lists). Shared by the p27/p30 oracles. */
+  private val sqRangesSql =
+    """sqstats AS (
+      |  SELECT i, min(embedding[i+1]::DOUBLE) AS lo,
+      |         max(embedding[i+1]::DOUBLE) AS hi
+      |  FROM embeddings, range(64) t(i) GROUP BY i),
+      |rng AS (SELECT list(lo ORDER BY i) AS los,
+      |               list(hi ORDER BY i) AS his FROM sqstats)""".stripMargin
+
   /** p13's corpus-assignment + query-probe CTEs over `embeddings` and the
     * shared `cents` relation: corp (cell per corpus vector) and qp
     * (nprobe=4 probed cells per query, queries = vec_id < 5). Shared by
@@ -611,12 +622,7 @@ object CatalogPipeline {
       // the exact double op order of Similarity.ivfSq8TopK.
       Some(s"""WITH ${ivfCentsSql("embeddings")},
               |$ivfProbeSql,
-              |sq AS (
-              |  SELECT i, min(embedding[i+1]::DOUBLE) AS lo,
-              |         max(embedding[i+1]::DOUBLE) AS hi
-              |  FROM embeddings, range(64) t(i) GROUP BY i),
-              |rng AS (SELECT list(lo ORDER BY i) AS los,
-              |               list(hi ORDER BY i) AS his FROM sq),
+              |$sqRangesSql,
               |dqc AS (SELECT c.neighbor_id, c.cell,
               |          list_transform(range(64), i ->
               |            CASE WHEN his[i+1] > los[i+1] THEN
@@ -817,12 +823,7 @@ object CatalogPipeline {
              |  md5(array_to_string(ch.toks, ' ')) AS chunk_hash
              |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)),
     Q("p27_int8_quantize", p27,
-      Some("""WITH stats AS (
-             |  SELECT i, min(embedding[i+1]::DOUBLE) AS lo,
-             |         max(embedding[i+1]::DOUBLE) AS hi
-             |  FROM embeddings, range(64) t(i) GROUP BY i),
-             |rng AS (SELECT list(lo ORDER BY i) AS los,
-             |               list(hi ORDER BY i) AS his FROM stats),
+      Some(s"""WITH $sqRangesSql,
              |enc AS (
              |  SELECT vec_id, embedding, los, his,
              |    list_transform(range(64), i ->

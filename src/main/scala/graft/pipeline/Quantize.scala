@@ -43,9 +43,12 @@ object Quantize {
       Array.tabulate(dims)(i => row.getDouble(2 * i + 1)))
   }
 
-  /** Int8 codes for one vector column, given trained ranges: dimension i
-    * maps to `floor((x - lo_i) / (hi_i - lo_i) * 255 + 0.5)`; a degenerate
-    * dimension (hi == lo) codes to 0. */
+  /** Unsigned int8 codes (0..255, as ints) for one vector column, given
+    * trained ranges: dimension i maps to
+    * `floor((x - lo_i) / (hi_i - lo_i) * 255 + 0.5)`; a degenerate
+    * dimension (hi == lo) codes to 0. This is the PRESENTATION form (the
+    * p27 catalog output); for storage/shuffle use [[encodeColumnI8]],
+    * which actually realizes the 1-byte-per-dimension width. */
   def encodeColumn(vec: Column, lo: Array[Double], hi: Array[Double]): Column = {
     val loLit = array(lo.map(lit): _*)
     val hiLit = array(hi.map(lit): _*)
@@ -57,6 +60,16 @@ object Quantize {
         .otherwise(lit(0))
     })
   }
+
+  /** STORAGE form of [[encodeColumn]]: the same codes shifted by the
+    * standard −128 zero-point into signed `array<tinyint>` — Spark's
+    * UnsafeArrayData stores ByteType elements in 1 byte, so an inverted
+    * list shipped in this form really is 4× narrower than the float32
+    * vector it replaces (an `array<int>` of 0..255 values would be
+    * byte-for-byte as wide as the floats). Decode with
+    * `code.cast("double") + 128`. */
+  def encodeColumnI8(vec: Column, lo: Array[Double], hi: Array[Double]): Column =
+    transform(encodeColumn(vec, lo, hi), c => (c - 128).cast("tinyint"))
 
   /** Train + encode, with a per-vector reconstruction-error summary:
     * (vec_id, code_0, code_sum, codes_hash, max_err) where `max_err` is

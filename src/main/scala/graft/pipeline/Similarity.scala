@@ -35,9 +35,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topK(scored, k)
   }
 
   /** Random-hyperplane signature: bit j = sign(v · plane_j), with
@@ -65,9 +63,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topK(scored, k)
   }
 
   private def cosScalar(a: Seq[Float], b: Array[Double]): Double = {
@@ -108,6 +104,32 @@ object Similarity {
     }.toArray
   }
 
+  /** Shared IVF scaffold for [[ivfTopK]] and [[ivfSq8TopK]]: sample-train
+    * the centroids, assign every corpus row its cell, and expand each
+    * query to its `nprobe` probed cells as a broadcast relation. The
+    * repartition pins the per-row assignment to full parallelism — the
+    * single-file scan would otherwise run it on 1-2 tasks. */
+  private def ivfAssign(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, nlist: Int, nprobe: Int)
+      : (DataFrame, DataFrame) = {
+    val centroids = trainQuantizer(corpus, idCol, vecCol, nlist)
+    val assign = udf((v: Seq[Float]) => nearestCells(centroids, v, 1).head)
+    val probes = udf((v: Seq[Float]) => nearestCells(centroids, v, nprobe))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        assign(col(vecCol)).as("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), explode(probes(col(vecCol))).as("cell")))
+    (c, q)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** IVF-style ANN top-k, the inverted-list scale path next to [[lshTopK]]:
     * the corpus is coarse-quantized into `nlist` cells by the
     * sample-trained [[trainQuantizer]], and each query probes its `nprobe`
@@ -117,69 +139,52 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
     graft.functions.CosineSim.register(corpus.sparkSession)
-    val centroids = trainQuantizer(corpus, idCol, vecCol, nlist)
-    val assign = udf((v: Seq[Float]) => nearestCells(centroids, v, 1).head)
-    val probes = udf((v: Seq[Float]) => nearestCells(centroids, v, nprobe))
-    // repartition: the per-row assignment otherwise runs at the single-file
-    // scan's parallelism
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus.repartition(par)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-        assign(col(vecCol)).as("cell"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      explode(probes(col(vecCol))).as("cell")))
-    val scored = c.join(q, "cell")
+    val (c, q) = ivfAssign(corpus, queries, idCol, vecCol, nlist, nprobe)
+    topK(c.join(q, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("sim")), k)
   }
 
   /** IVF + SQ8 ANN — [[ivfTopK]]'s cell structure with the corpus side
-    * stored as int8 codes ([[Quantize]]) and scored against
-    * full-precision queries by on-the-fly dequantization: FAISS's
-    * `IVF<n>,SQ8` composition. At 100 TB the inverted lists are 4×
-    * smaller (the codes replace the float vectors in the probe join) for
-    * a recall loss bounded by the quantization step; cell assignment
-    * still uses the exact vectors at index-build time, as FAISS does.
-    * All scoring arithmetic is exact-order double math over the
-    * dequantized codes, so the oracle reproduces every similarity. */
+    * stored as SIGNED-BYTE codes ([[Quantize.encodeColumnI8]], the −128
+    * zero-point form: `array<tinyint>` is 1 byte/dim in UnsafeArrayData,
+    * so the inverted lists really are 4× narrower than float32) and
+    * scored against full-precision queries by on-the-fly dequantization:
+    * FAISS's `IVF<n>,SQ8` composition. Cell assignment still uses the
+    * exact vectors at index-build time, as FAISS does; the dequantized
+    * norm is precomputed once per corpus row (one double through the
+    * join), so the per-pair ADC cost is the dot product only. All
+    * scoring arithmetic is exact-order double math the oracle
+    * reproduces. */
   def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, nlist: Int, nprobe: Int,
                  dims: Int): DataFrame = {
-    val centroids = trainQuantizer(corpus, idCol, vecCol, nlist)
     val (lo, hi) = Quantize.trainMinMax(corpus, vecCol, dims)
     val loLit = array(lo.map(lit): _*)
     val hiLit = array(hi.map(lit): _*)
-    val assign = udf((v: Seq[Float]) => nearestCells(centroids, v, 1).head)
-    val probes = udf((v: Seq[Float]) => nearestCells(centroids, v, nprobe))
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus.repartition(par)
-      .select(col(idCol).as("neighbor_id"),
-        graft.pipeline.Quantize.encodeColumn(col(vecCol), lo, hi).as("codes"),
-        assign(col(vecCol)).as("cell"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("q_vec"),
-      explode(probes(col(vecCol))).as("cell")))
-    val dq = transform(col("codes"), (cd, i) => {
+    // dequantized component i of a signed-byte code column
+    def dqAt(codes: Column, i: Column) = {
       val l = element_at(loLit, i + 1)
       val h = element_at(hiLit, i + 1)
-      l + cd.cast("double") * (h - l) / 255
-    })
+      l + (element_at(codes, i + 1).cast("double") + 128) * (h - l) / 255
+    }
     def sumOf(arr: Column) = aggregate(arr, lit(0.0), (s, x) => s + x)
+    val (cRaw, qRaw) = ivfAssign(corpus, queries, idCol, vecCol, nlist, nprobe)
+    val c = cRaw
+      .withColumn("codes", Quantize.encodeColumnI8(col("c_vec"), lo, hi))
+      .withColumn("nb", sumOf(transform(sequence(lit(0), lit(dims - 1)),
+        i => dqAt(col("codes"), i) * dqAt(col("codes"), i))))
+      .drop("c_vec")
+    val q = qRaw.withColumn("q_vec", transform(col("q_vec"), x => x.cast("double")))
     val joined = c.join(q, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dq", dq)
-    val dot = sumOf(zip_with(col("q_vec"), col("dq"), (a, b) => a * b))
+    val dot = sumOf(zip_with(col("q_vec"),
+      transform(sequence(lit(0), lit(dims - 1)), i => dqAt(col("codes"), i)),
+      (a, b) => a * b))
     val na = sumOf(transform(col("q_vec"), a => a * a))
-    val nb = sumOf(transform(col("dq"), b => b * b))
-    val scored = joined.select(col("query_id"), col("neighbor_id"),
-      round(dot / (sqrt(na) * sqrt(nb)), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topK(joined.select(col("query_id"), col("neighbor_id"),
+      round(dot / (sqrt(na) * sqrt(col("nb"))), 6).as("sim")), k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all corpus pairs with

@@ -23,7 +23,7 @@ class DeterminismAuditSpec extends AnyFunSuite {
     "h5_ordered_distinct", "i1_merge_groups", "i2_sessionize",
     "i3_adaptive_split", "p15_seq_pack", "p17_dedup_resolve", "p18_span_scrub",
     "p20_rep_signals", "p21_contamination", "p22_perplexity",
-    "p28_shard_shuffle",
+    "p28_shard_shuffle", "p29_domain_cap", "p30_ann_ivf_sq8",
     "pl2_ops_fold", "pl3_history_cluster",
     "pl4_merge_scoring", "x1_sketch_distinct", "x2_sketch_quantile")
 

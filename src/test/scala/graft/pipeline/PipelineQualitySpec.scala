@@ -98,7 +98,9 @@ class PipelineQualitySpec extends AnyFunSuite {
       // ranks
       val overlap = sq8.keySet.intersect(full.keySet).size.toDouble / full.size
       info(s"IVF+SQ8 vs IVF pair overlap = $overlap")
-      assert(overlap >= 0.9, s"overlap $overlap")
+      // measured 0.995 on the current synth corpus; 0.95 leaves headroom
+      // for testdata regeneration while still pinning the published claim
+      assert(overlap >= 0.95, s"overlap $overlap")
       // on shared pairs, the SQ8 similarity sits within a coarse bound of
       // the full-precision one (64 dims x half-step per dim)
       sq8.keySet.intersect(full.keySet).foreach { k =>
