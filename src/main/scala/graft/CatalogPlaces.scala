@@ -282,23 +282,38 @@ object CatalogPlaces {
              |  n_clicks, last_purchase,
              |  CASE WHEN n_signup > 0 THEN 'u' || user_id END AS user_tag
              |FROM m ORDER BY user_id""".stripMargin)),
+    // MATERIALIZED is load-bearing: without it DuckDB inlines the quadratic
+    // edge join into every recursion iteration (~506 s at sf0.01 vs ~9 s).
+    // The lat-band prefilter is exact: haversine distance is at least the
+    // meridian component, |dLat|deg * 111226 m, so |dLat| < r/111000 is a
+    // strict superset of the radius predicate. Recursion is seeded only from
+    // nodes on edges; isolated nodes are their own cluster by definition.
     Q("pl3_history_cluster", pl3,
-      Some(s"""WITH g AS (SELECT event_id AS k, (${Synth.latSql.format("event_id")}) AS lat,
-              |                  (${Synth.lonSql.format("event_id")}) AS lon FROM events),
-              |rad AS (SELECT least(100000.0 * sqrt(10000.0 / count(*)), 190000.0) AS radius
-              |        FROM events),
-              |edges AS (
-              |  SELECT a.k AS a, b.k AS b FROM g a JOIN g b ON a.k <> b.k
+      Some(s"""WITH g AS MATERIALIZED (
+              |  SELECT event_id AS k, (${Synth.latSql.format("event_id")}) AS lat,
+              |         (${Synth.lonSql.format("event_id")}) AS lon FROM events),
+              |rad AS MATERIALIZED (
+              |  SELECT least(100000.0 * sqrt(10000.0 / count(*)), 190000.0) AS radius
+              |  FROM events),
+              |edges AS MATERIALIZED (
+              |  SELECT a.k AS a, b.k AS b FROM g a JOIN g b
+              |    ON a.k <> b.k
+              |   AND a.lat BETWEEN b.lat - (SELECT radius FROM rad) / 111000.0
+              |                 AND b.lat + (SELECT radius FROM rad) / 111000.0
               |  WHERE ${Synth.havSql("a.lat", "a.lon", "b.lat", "b.lon")}
               |        < (SELECT radius FROM rad)),
+              |en AS MATERIALIZED (SELECT DISTINCT a AS k FROM edges),
               |reach AS (
               |  WITH RECURSIVE r(a, b) AS (
-              |    SELECT k, k FROM g
+              |    SELECT k, k FROM en
               |    UNION
               |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
               |  SELECT * FROM r)
-              |SELECT a AS node, min(b) AS cluster FROM reach
-              |GROUP BY a ORDER BY node""".stripMargin)),
+              |SELECT a AS node, min(b) AS cluster FROM reach GROUP BY a
+              |UNION ALL
+              |SELECT k AS node, k AS cluster FROM g
+              |WHERE k NOT IN (SELECT k FROM en)
+              |ORDER BY node""".stripMargin)),
     Q("pl4_merge_scoring", pl4,
       Some(s"""WITH p AS ($placesSql),
               |q AS (SELECT *, lower(regexp_replace(name, '[ -]', '', 'g')) AS simple_name FROM p),
