@@ -626,8 +626,9 @@ object CatalogPipeline {
               |dqc AS (SELECT c.neighbor_id, c.cell,
               |          list_transform(range(64), i ->
               |            CASE WHEN his[i+1] > los[i+1] THEN
-              |              los[i+1] + CAST(floor((c.c_vec[i+1]::DOUBLE - los[i+1])
-              |                / (his[i+1] - los[i+1]) * 255 + 0.5) AS INT)::DOUBLE
+              |              los[i+1] + CAST(least(greatest(
+              |                floor((c.c_vec[i+1]::DOUBLE - los[i+1])
+              |                  / (his[i+1] - los[i+1]) * 255 + 0.5), 0), 255) AS INT)::DOUBLE
               |                * (his[i+1] - los[i+1]) / 255
               |            ELSE los[i+1] END) AS dq
               |        FROM corp c, rng),
@@ -828,8 +829,8 @@ object CatalogPipeline {
              |  SELECT vec_id, embedding, los, his,
              |    list_transform(range(64), i ->
              |      CASE WHEN his[i+1] > los[i+1] THEN
-             |        CAST(floor((embedding[i+1]::DOUBLE - los[i+1])
-             |                   / (his[i+1] - los[i+1]) * 255 + 0.5) AS INT)
+             |        CAST(least(greatest(floor((embedding[i+1]::DOUBLE - los[i+1])
+             |                   / (his[i+1] - los[i+1]) * 255 + 0.5), 0), 255) AS INT)
              |      ELSE 0 END) AS codes
              |  FROM embeddings, rng)
              |SELECT vec_id, CAST(codes[1] AS INT) AS code_0,
@@ -841,9 +842,9 @@ object CatalogPipeline {
              |FROM enc ORDER BY vec_id""".stripMargin)),
     Q("p28_shard_shuffle", p28,
       Some("""SELECT doc_id,
-             |  CAST(((doc_id % 1000000007) * 2654435761) % 8 AS INT) AS shard,
+             |  CAST(((doc_id % 1000000007) * 2654435761) % 1000000007 % 8 AS INT) AS shard,
              |  CAST(row_number() OVER (
-             |    PARTITION BY ((doc_id % 1000000007) * 2654435761) % 8
+             |    PARTITION BY ((doc_id % 1000000007) * 2654435761) % 1000000007 % 8
              |    ORDER BY ((doc_id % 1000000007) * 1540483477 + 12345701)
              |              % 1000000007, doc_id)
              |    - 1 AS BIGINT) AS pos

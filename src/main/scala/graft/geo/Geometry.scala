@@ -92,11 +92,39 @@ object Geometry {
   /** Douglas-Peucker polyline simplification; epsilon in degrees
     * (reference: OsmMapUtils.java:317-427; tile-space epsilon there, degree
     * epsilon here — callers convert). Preserves endpoints; closed rings keep
-    * first == last. */
-  def simplify(pts: Seq[Pt], epsilon: Double): Seq[Pt] = {
+    * first == last.
+    *
+    * With `avoidNooses = true` (the reference's closed-ring mode,
+    * OsmMapUtils.java:389-405): before accepting a shortcut segment
+    * (pts(lo), pts(hi)) that would drop every interior point, the span is
+    * re-split at the farthest interior point whenever the shortcut
+    * properly crosses ANY segment of the ORIGINAL polyline outside the
+    * span being replaced (segments adjacent to the span are skipped, as
+    * the reference does: `i == start-1 → i = end`). Plain DP on a concave
+    * ring can emit a self-intersecting ("noosed") ring; the re-split
+    * keeps subdividing until the shortcut is crossing-free, so simplified
+    * closed rings never self-intersect — `GeometrySpec` property-tests
+    * this. */
+  def simplify(pts: Seq[Pt], epsilon: Double, avoidNooses: Boolean = false): Seq[Pt] = {
     if (pts.size <= 2) return pts
     val keep = Array.fill(pts.size)(false)
     keep(0) = true; keep(pts.size - 1) = true
+    // does the candidate shortcut (pts(lo), pts(hi)) properly cross any
+    // original segment outside [lo, hi)? Adjacent/in-span segments are
+    // skipped exactly as the reference does (i == lo-1 jumps to hi).
+    def crossesOriginal(lo: Int, hi: Int): Boolean = {
+      val a = pts(lo); val b = pts(hi)
+      var i = 0
+      var found = false
+      while (i < pts.size - 1 && !found) {
+        if (i == lo - 1) i = hi + 1 // reference: `i = end; continue` → i++
+        else {
+          if (segmentsIntersect(a, b, pts(i), pts(i + 1))) found = true
+          i += 1
+        }
+      }
+      found
+    }
     def rec(lo: Int, hi: Int): Unit = {
       if (hi <= lo + 1) return
       var maxD = -1.0; var maxI = -1
@@ -106,7 +134,7 @@ object Geometry {
         if (d > maxD) { maxD = d; maxI = i }
         i += 1
       }
-      if (maxD > epsilon) {
+      if (maxD > epsilon || (avoidNooses && crossesOriginal(lo, hi))) {
         keep(maxI) = true
         rec(lo, maxI); rec(maxI, hi)
       }

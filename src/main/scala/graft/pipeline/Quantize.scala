@@ -26,13 +26,16 @@ object Quantize {
 
   /** Per-dimension (min, max) over the corpus: one aggregate row. The
     * vector-width check rides in the same pass (two extra scalar aggs,
-    * no second scan) — a ragged or differently-sized vector would
-    * otherwise surface as an opaque element_at index error deep inside
-    * the encode codegen (ANSI mode) or silently corrupt codes (non-ANSI). */
+    * no second scan). Component access uses null-safe `get` (0-based,
+    * null past the end) rather than `element_at`, which under Spark 4's
+    * default ANSI mode would throw INVALID_ARRAY_INDEX on the first
+    * short vector BEFORE the width `require` below could report the
+    * actual problem; with `get`, ragged input reaches the require and
+    * fails with the width message. */
   def trainMinMax(df: DataFrame, vecCol: String, dims: Int): (Array[Double], Array[Double]) = {
     val aggs = (0 until dims).flatMap { i =>
-      Seq(min(element_at(col(vecCol), i + 1).cast("double")).as(s"mn_$i"),
-        max(element_at(col(vecCol), i + 1).cast("double")).as(s"mx_$i"))
+      Seq(min(get(col(vecCol), lit(i)).cast("double")).as(s"mn_$i"),
+        max(get(col(vecCol), lit(i)).cast("double")).as(s"mx_$i"))
     } ++ Seq(min(size(col(vecCol))).as("sz_min"), max(size(col(vecCol))).as("sz_max"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     require(!row.isNullAt(2 * dims),
@@ -45,10 +48,16 @@ object Quantize {
 
   /** Unsigned int8 codes (0..255, as ints) for one vector column, given
     * trained ranges: dimension i maps to
-    * `floor((x - lo_i) / (hi_i - lo_i) * 255 + 0.5)`; a degenerate
-    * dimension (hi == lo) codes to 0. This is the PRESENTATION form (the
-    * p27 catalog output); for storage/shuffle use [[encodeColumnI8]],
-    * which actually realizes the 1-byte-per-dimension width. */
+    * `floor((x - lo_i) / (hi_i - lo_i) * 255 + 0.5)` CLAMPED to
+    * [0, 255]; a degenerate dimension (hi == lo) codes to 0. The clamp
+    * matters whenever the ranges were sample-trained (the 100 TB shape:
+    * train on a bounded sample, encode the full corpus): out-of-range
+    * components are then expected, and without the clamp the tinyint
+    * cast in [[encodeColumnI8]] would throw mid-job under Spark 4's
+    * default ANSI mode — FAISS's ScalarQuantizer clamps for exactly
+    * this reason. This is the PRESENTATION form (the p27 catalog
+    * output); for storage/shuffle use [[encodeColumnI8]], which
+    * actually realizes the 1-byte-per-dimension width. */
   def encodeColumn(vec: Column, lo: Array[Double], hi: Array[Double]): Column = {
     val loLit = array(lo.map(lit): _*)
     val hiLit = array(hi.map(lit): _*)
@@ -56,7 +65,9 @@ object Quantize {
       val l = element_at(loLit, i + 1)
       val h = element_at(hiLit, i + 1)
       when(h > l,
-        floor((x.cast("double") - l) / (h - l) * 255 + lit(0.5)).cast("int"))
+        least(greatest(
+          floor((x.cast("double") - l) / (h - l) * 255 + lit(0.5)),
+          lit(0L)), lit(255L)).cast("int"))
         .otherwise(lit(0))
     })
   }

@@ -109,8 +109,14 @@ object Sampling {
     * intermediate stays below 2^62 — total for any 64-bit id under the
     * default ANSI mode (a bare `id * 2654435761` overflows at ids ≥
     * ~3.5e9 and either crashes the job or silently diverges from the
-    * oracle). Callers without a cross-engine-oracle constraint can swap
-    * the portable hashes for `pmod(xxhash64(id), n)`.
+    * oracle). The product is then reduced mod 1e9+7 AGAIN before the
+    * final shard pmod: because the modulus is an odd prime, that step
+    * folds the multiplier's high bits into the low bits — without it,
+    * `(x * odd) mod 2^k` is just a fixed permutation of `x mod 2^k`, so
+    * for a power-of-two shard count any structure in the low id bits
+    * (sequential ids, stride-8 ids) would map straight into shards
+    * instead of being hashed away. Callers without a cross-engine-oracle
+    * constraint can swap the portable hashes for `pmod(xxhash64(id), n)`.
     */
   def deterministicShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, "need at least one shard")
@@ -119,7 +125,7 @@ object Sampling {
     val byShard = Window.partitionBy("shard")
       .orderBy(col("h2"), col(idCol))
     df.select(col(idCol),
-        pmod(folded * lit(2654435761L), lit(nShards.toLong)).cast("int").as("shard"),
+        pmod(pmod(folded * lit(2654435761L), m), lit(nShards.toLong)).cast("int").as("shard"),
         pmod(folded * lit(1540483477L) + lit(12345701L), m).as("h2"))
       .withColumn("pos", (row_number().over(byShard) - 1).cast("long"))
       .drop("h2")

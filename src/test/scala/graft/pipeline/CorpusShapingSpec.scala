@@ -74,10 +74,12 @@ class CorpusShapingSpec extends AnyFunSuite {
       }
       // shard assignment matches the scalar hash; order within shard
       // matches the scalar second hash
+      def scalarShard(id: Long, n: Long): Long =
+        math.floorMod(math.floorMod(id, 1000000007L) * 2654435761L % 1000000007L, n)
       out.foreach { case (id, shard, _) =>
-        assert(shard == math.floorMod(id * 2654435761L, 8L).toInt)
+        assert(shard == scalarShard(id, 8L).toInt)
       }
-      val expected = (1L to 500L).groupBy(id => math.floorMod(id * 2654435761L, 8L))
+      val expected = (1L to 500L).groupBy(id => scalarShard(id, 8L))
         .view.mapValues(_.sortBy(id =>
           (math.floorMod(id * 1540483477L + 12345701L, 1000000007L), id))
           .zipWithIndex.toMap).toMap
@@ -96,9 +98,20 @@ class CorpusShapingSpec extends AnyFunSuite {
       val big = Seq(4000000000L, Long.MaxValue - 1, 7000000000000000000L)
         .toDF("doc_id")
       Sampling.deterministicShuffle(big, "doc_id", 8).collect().foreach { r =>
-        val folded = math.floorMod(r.getLong(0), 1000000007L)
-        assert(r.getInt(1) == math.floorMod(folded * 2654435761L, 8L).toInt)
+        assert(r.getInt(1) == scalarShard(r.getLong(0), 8L).toInt)
       }
+
+      // low-bit degeneracy regression: ids structured mod 8 (all ≡ 0)
+      // must NOT collapse into one shard under a power-of-two nShards —
+      // `(x * odd) mod 8` is a permutation of `x mod 8`, so without the
+      // second mod-1e9+7 fold every stride-8 id would land on shard 0
+      val strided = (1L to 256L).map(_ * 8L).toDF("doc_id")
+      val shards = Sampling.deterministicShuffle(strided, "doc_id", 8)
+        .select("shard").collect().map(_.getInt(0))
+      assert(shards.distinct.length == 8, s"only shards ${shards.distinct.sorted.mkString(",")}")
+      // and no shard hoards the stride: max occupancy well below n
+      val occ = shards.groupBy(identity).view.mapValues(_.length)
+      assert(occ.values.max < 96, occ.toMap.toString)
     } finally spark.stop()
   }
 
@@ -182,6 +195,52 @@ class CorpusShapingSpec extends AnyFunSuite {
       }
       assert(!trainPlan.contains("Generate"), trainPlan.take(2000))
       assert(trainPlan.contains("HashAggregate") || trainPlan.contains("SortAggregate"))
+    } finally spark.stop()
+  }
+
+  test("encodeColumn: sample-trained out-of-range values clamp to [0,255] under ANSI") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // the 100 TB shape: ranges trained on a SAMPLE, full corpus encoded —
+      // out-of-range components are expected, and without the clamp the
+      // tinyint cast in encodeColumnI8 throws under Spark 4's default ANSI
+      val sample = (1 to 50).map(v =>
+        (v.toLong, Array(v / 50.0f, 1.0f - v / 50.0f))).toDF("vec_id", "embedding")
+      val (lo, hi) = Quantize.trainMinMax(sample, "embedding", 2)
+
+      val corpus = Seq(
+        (100L, Array(-5.0f, 0.5f)),  // below lo in dim 0
+        (101L, Array(9.0f, 2.0f)),   // above hi in both dims
+        (102L, Array(0.5f, 0.5f))    // in range
+      ).toDF("vec_id", "embedding")
+
+      val codes = corpus.select(col("vec_id"),
+          Quantize.encodeColumn(col("embedding"), lo, hi).as("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(codes(100L)(0) == 0 && codes(101L)(0) == 255 && codes(101L)(1) == 255)
+      codes.values.foreach(_.foreach(c => assert(c >= 0 && c <= 255)))
+
+      // the storage form must survive the ANSI tinyint cast on the same rows
+      val i8 = corpus.select(
+          Quantize.encodeColumnI8(col("embedding"), lo, hi).as("codes"))
+        .collect().flatMap(_.getSeq[Byte](0))
+      assert(i8.min == -128 && i8.max == 127)
+    } finally spark.stop()
+  }
+
+  test("trainMinMax: ragged vectors reach the width require, not an ANSI index error") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      val ragged = Seq(
+        (1L, Array(1.0f, 2.0f, 3.0f)),
+        (2L, Array(1.0f, 2.0f)) // one dim short
+      ).toDF("vec_id", "embedding")
+      val e = intercept[IllegalArgumentException] {
+        Quantize.trainMinMax(ragged, "embedding", 3)
+      }
+      assert(e.getMessage.contains("width"), e.getMessage)
     } finally spark.stop()
   }
 }
