@@ -26,11 +26,20 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default forked-JVM heap: half of physical RAM, clamped to [4g, 32g] —
+// 32g on the 125 GiB bench host (local[32] executor-side work in one JVM;
+// smaller heaps produced GC-bound 3-10x swings on the heavier queries),
+// while `sbt test` still starts on an 8 GiB laptop instead of failing at
+// JVM launch. SPARK_DRIVER_MEM overrides either way.
+val defaultHeapGb: Long = {
+  val physGb = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+    case b: com.sun.management.OperatingSystemMXBean => b.getTotalMemorySize >> 30
+    case _ => 16L
+  }
+  math.min(32L, math.max(4L, physGb / 2))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs executor-side work inside this one JVM: size the heap
-  // for 32 concurrent tasks + cached frames (the 8g default produced
-  // GC-bound 3-10x swings on the heavier queries; the machine has 125g)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

@@ -358,6 +358,13 @@ object CatalogPipeline {
     graft.pipeline.TextAnalysis.vocabTopK(Tables.documents(s, d), "text", 500)
       .orderBy("rank")
 
+  /** BPE-merge tokenizer induction ([[graft.pipeline.Bpe]]): 12 rounds of
+    * global argmax pair merging over the one-scan word histogram — the
+    * iterative merge-training p24's whole-word ranking is not. */
+  private def p31(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Bpe.mergeTable(Tables.documents(s, d), "text", numMerges = 12)
+      .orderBy("rank")
+
   // ---- corpus shaping ------------------------------------------------------
 
   /** Deterministic stratified rebalance: every language down-sampled to the
@@ -908,6 +915,10 @@ object CatalogPipeline {
              |      FROM top)
              |SELECT rank, word, freq, round(cum * 1.0 / total, 6) AS cum_coverage
              |FROM r, tot ORDER BY rank""".stripMargin)),
+    Q("p31_bpe_vocab", p31,
+      // the training loop unrolled into one CTE chain per round — see
+      // Bpe.oracleSql for why string replace == the greedy merge
+      Some(graft.pipeline.Bpe.oracleSql(numMerges = 12))),
     Q("p22_perplexity", p22,
       Some("""WITH w AS (SELECT doc_id,
              |            list_filter(string_split(text, ' '), x -> x <> '') AS ws

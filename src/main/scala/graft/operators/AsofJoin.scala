@@ -23,12 +23,23 @@ import org.apache.spark.sql.functions._
   *
   * Scale note: per-key data must fit a window sort partition — natural for
   * entity keys (users, places, instruments). A single pathological hot key
-  * can instead be range-split by time: process each time slice with the
-  * previous slice's final state unioned in as a synthetic right row (the
-  * standard two-pass fix); not needed for any engine workload, documented
-  * for 100 TB operators.
+  * can instead be range-split by time with [[backwardSliced]]: process each
+  * time slice with the previous slice's final state injected as a synthetic
+  * right row (the standard two-pass fix).
   */
 object AsofJoin {
+
+  private val Reserved = Seq("__t", "__side", "__ord", "__l", "__p", "__m",
+    "__slice", "__carry")
+
+  /** Inputs must not use the operator's scratch columns — a left or right
+    * column literally named `__t`/`__side`/… would silently mis-resolve
+    * inside the tagged union instead of erroring. */
+  private def requireNoReserved(left: DataFrame, right: DataFrame): Unit = {
+    val clash = (left.columns ++ right.columns).distinct.filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with AsofJoin's reserved __-prefixed scratch columns")
+  }
 
   /** @param left      probe rows, keeps ALL its columns
     * @param right     build rows; only `payload` columns are emitted
@@ -43,6 +54,7 @@ object AsofJoin {
                leftTs: String, rightTs: String,
                payload: Seq[String], tiebreak: String): DataFrame = {
     require(payload.nonEmpty, "as-of join with no payload columns")
+    requireNoReserved(left, right)
     val keyCols = keys.map(col)
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(payload.contains),
@@ -72,6 +84,107 @@ object AsofJoin {
       .orderBy(col("__t").asc, col("__side").asc, col("__ord").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val out = leftCols.map(c => col("__l").getField(c).as(c)) ++
+      payload.map(p => col("__m").getField(p).as(p))
+    matched.select(out: _*)
+  }
+
+  /** [[backward]] with the hot-key escape hatch: the same result, but the
+    * running-last window partitions on (keys, time-slice) instead of keys
+    * alone, so one pathological key (half the fact table on a single
+    * entity) spreads over `ts-range / sliceWidth` sort partitions instead
+    * of serializing through one.
+    *
+    * Two passes:
+    *  1. per (key, slice) summarize the right side to its FINAL payload
+    *     (`max_by` over (ts, tiebreak) — a map-side-combinable aggregate,
+    *     never more than |keys|·|slices| rows out), then running-last
+    *     that summary over prior slices — the carry state each slice
+    *     starts from. This window partitions by key, but over the
+    *     bounded summary relation, not the data.
+    *  2. union left rows, right rows, and one synthetic carry row per
+    *     (key, slice) (null ts + `asc_nulls_first` sorts it before every
+    *     real row of the slice; `__side = -1` keeps it before a right row
+    *     at the exact slice start), then the same inclusive running-last
+    *     as [[backward]], partitioned by (keys, slice).
+    *
+    * Timestamps must be numeric (sliced by `floor(ts / sliceWidth)`);
+    * cast timestamps to epoch units first. `AsofJoinSpec` proves equality
+    * with [[backward]] on a skewed fixture.
+    */
+  def backwardSliced(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String,
+                     payload: Seq[String], tiebreak: String,
+                     sliceWidth: Long): DataFrame = {
+    require(payload.nonEmpty, "as-of join with no payload columns")
+    require(sliceWidth > 0, s"sliceWidth must be positive, got $sliceWidth")
+    requireNoReserved(left, right)
+    val keyCols = keys.map(col)
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(payload.contains),
+      s"payload ${payload.mkString(",")} collides with a left column")
+
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => org.apache.spark.sql.types.StructField(
+        p, right.schema(p).dataType)))
+    def sliceOf(ts: Column) = floor(ts.cast("double") / sliceWidth).cast("long")
+
+    // pass 1: per-(key, slice) final right payload, then the carry each
+    // slice inherits from every earlier slice. Left-only slices must
+    // appear too (a gap slice still needs the carry), so the summary is
+    // the union of right summaries and left slice markers.
+    val rightSummary = right
+      .groupBy((keyCols :+ sliceOf(col(rightTs)).as("__slice")): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(col(rightTs), col(tiebreak))).as("__p"))
+    val leftSlices = left
+      .select((keyCols :+ sliceOf(col(leftTs)).as("__slice")): _*)
+      .distinct()
+      .withColumn("__p", lit(null).cast(payloadType))
+    val carryW = Window.partitionBy(keyCols: _*).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = rightSummary.unionByName(leftSlices)
+      // a slice can appear in both branches; collapse so each (key, slice)
+      // contributes one summary row (right payload wins over the marker)
+      .groupBy((keyCols :+ col("__slice")): _*)
+      .agg(max_by(col("__p"), col("__p").isNotNull).as("__p"))
+      .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(carryW))
+      .where(col("__carry").isNotNull)
+      .select((keyCols :+ col("__slice") :+
+        lit(null).cast("double").as("__t") :+
+        lit(-1).as("__side") :+
+        lit(null).cast(right.schema(tiebreak).dataType).as("__ord") :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          leftCols.map(c => org.apache.spark.sql.types.StructField(
+            c, left.schema(c).dataType)))).as("__l") :+
+        col("__carry").as("__p")): _*)
+
+    // pass 2: the backward() union, sliced
+    val l = left.select(
+      keyCols :+
+        sliceOf(col(leftTs)).as("__slice") :+
+        col(leftTs).cast("double").as("__t") :+
+        lit(1).as("__side") :+
+        lit(null).cast(right.schema(tiebreak).dataType).as("__ord") :+
+        struct(leftCols.map(col): _*).as("__l") :+
+        lit(null).cast(payloadType).as("__p"): _*)
+    val r = right.select(
+      keyCols :+
+        sliceOf(col(rightTs)).as("__slice") :+
+        col(rightTs).cast("double").as("__t") :+
+        lit(0).as("__side") :+
+        col(tiebreak).as("__ord") :+
+        lit(null).cast(l.schema("__l").dataType).as("__l") :+
+        struct(payload.map(col): _*).as("__p"): _*)
+
+    val w = Window.partitionBy((keyCols :+ col("__slice")): _*)
+      .orderBy(col("__t").asc_nulls_first, col("__side").asc,
+        col("__ord").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r).unionByName(carries)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
 

@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE-merge tokenizer induction (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the iterative pair-merging that [[TextAnalysis.vocabTopK]]'s
+  * whole-word ranking is not: each round finds the globally most frequent
+  * adjacent symbol pair and fuses it into a new symbol.
+  *
+  * Distributed shape (the part that matters at 100 TB):
+  *  - the corpus is scanned ONCE, into a (word, count) histogram — the
+  *    classic BPE-on-histogram reduction; every later round works on the
+  *    distinct-word relation (vocabulary-sized, corpus-size-independent);
+  *  - each round is ONE map-side-combinable hash aggregate over the
+  *    histogram's adjacent pairs (weighted by word count), a 1-row
+  *    `LIMIT 1` collect (the argmax pair — bounded driver traffic, like
+  *    the IVF centroid pull), and a map-only re-tokenize with the merged
+  *    pair inlined as literals;
+  *  - `localCheckpoint` after each round keeps the plan flat instead of
+  *    stacking `numMerges` UDF layers of lineage.
+  *
+  * The re-tokenize itself is a row-local Scala UDF — acceptable off the
+  * hot path because it runs over the histogram, never the corpus; a
+  * production variant can batch several non-overlapping merges per round
+  * to cut the round count (the standard optimization), which changes no
+  * per-round machinery.
+  *
+  * Merging is greedy left-to-right non-overlapping, exactly the semantics
+  * of a string `replace` over a separator-joined symbol string — which is
+  * how the p31 DuckDB oracle reproduces every round bit-for-bit.
+  */
+object Bpe {
+
+  /** Symbol separator for the pair-string tie-break; below every
+    * printable character, so `concat(l, Sep, r)` string order equals
+    * (l, r) tuple order on printable-text corpora — and the oracle's
+    * `ORDER BY pr` matches. */
+  val Sep = "\u001f"
+
+  final case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  /** One corpus scan → (word, cnt) histogram; words split on single
+    * spaces to match the rest of the pipeline's tokenization (and the
+    * DuckDB `string_split(text, ' ')` oracles). */
+  def wordHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(filter(split(col(textCol), " "), x => x =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** `numMerges` rounds of global argmax-pair merging over the histogram.
+    * Ties on frequency resolve to the lexicographically smallest
+    * separator-joined pair string, matching the oracle's `ORDER BY freq
+    * DESC, pr`. Stops early only when no adjacent pair remains. */
+  def train(words: DataFrame, numMerges: Int): Seq[Merge] = {
+    require(numMerges > 0, "need at least one merge round")
+    var st = words
+      .select(regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"),
+        col("cnt"))
+      .where(size(col("syms")) > 0)
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val n = size(col("syms"))
+      val best = st
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), n - 1), slice(col("syms"), lit(2), n - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, concat(col("l"), lit(Sep), col("r")).asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(round + 1, l, r, f)
+        val mergeUdf = udf((syms: Seq[String]) => {
+          val out = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result()
+        })
+        st = st.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint()
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Train on `df(textCol)` and return the merge table as a DataFrame:
+    * (rank, lft, rgt, freq) — the artifact a tokenizer loads. */
+  def mergeTable(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    train(wordHistogram(df, textCol), numMerges)
+      .map(m => (m.rank, m.left, m.right, m.freq))
+      .toDF("rank", "lft", "rgt", "freq")
+  }
+
+  /** The DuckDB oracle for [[mergeTable]]: the training loop UNROLLED into
+    * one CTE chain per round (state sR → pair counts pR → argmax bR →
+    * merged state sR+1). State is the separator-joined symbol string
+    * `chr(31) || sym || chr(31)chr(31) || sym … || chr(31)`; applying a
+    * merge is `replace(st, ␟l␟␟r␟ → ␟lr␟)`, whose left-to-right
+    * non-overlapping scan is exactly [[train]]'s greedy merge.
+    *
+    * Every per-round CTE is MATERIALIZED: DuckDB inlines CTEs by
+    * default, and with bR referenced three times per round the chain
+    * would expand 3^rounds-fold (it exhausts file handles re-opening the
+    * parquet before it exhausts time). */
+  def oracleSql(numMerges: Int): String = {
+    val S = "chr(31)"
+    val SS = s"$S||$S"
+    val sb = new StringBuilder
+    sb ++= s"""WITH w AS (SELECT word, count(*) AS cnt FROM (
+              |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+              |  FROM documents) GROUP BY word),
+              |s0 AS MATERIALIZED (SELECT $S || array_to_string(list_transform(range(length(word)),
+              |         i -> word[CAST(i+1 AS INT):CAST(i+1 AS INT)]), $SS) || $S AS st, cnt
+              |       FROM w),""".stripMargin
+    for (r <- 0 until numMerges) {
+      sb ++= s"""
+                |p$r AS MATERIALIZED (SELECT pr, sum(cnt) AS freq FROM (
+                |  SELECT unnest(list_transform(range(len(sy) - 1),
+                |           i -> sy[i+1] || $S || sy[i+2])) AS pr, cnt
+                |  FROM (SELECT string_split(st[2:length(st)-1], $SS) AS sy, cnt FROM s$r))
+                |  GROUP BY pr),
+                |b$r AS MATERIALIZED (SELECT string_split(pr, $S)[1] AS lft, string_split(pr, $S)[2] AS rgt,
+                |          CAST(freq AS BIGINT) AS freq
+                |        FROM p$r ORDER BY freq DESC, pr LIMIT 1),
+                |s${r + 1} AS MATERIALIZED (SELECT replace(st,
+                |    $S || (SELECT lft FROM b$r) || $SS || (SELECT rgt FROM b$r) || $S,
+                |    $S || (SELECT lft FROM b$r) || (SELECT rgt FROM b$r) || $S) AS st, cnt
+                |  FROM s$r),""".stripMargin
+    }
+    val union = (0 until numMerges)
+      .map(r => s"SELECT CAST(${r + 1} AS INT) AS rank, lft, rgt, freq FROM b$r")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    sb ++= s"\nfinal_merges AS ($union)\nSELECT rank, lft, rgt, freq FROM final_merges ORDER BY rank"
+    sb.toString
+  }
+}

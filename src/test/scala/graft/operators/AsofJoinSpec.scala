@@ -41,4 +41,56 @@ class AsofJoinSpec extends AnyFunSuite {
     }
     assert(got.size == left.size, "one output row per left row")
   }
+
+  test("backwardSliced equals backward on a skewed fixture with slice gaps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // one pathological hot key (user 0) holding most rows over a wide ts
+    // range, plus normal keys; ts domain [0, 1000) with sliceWidth 50 →
+    // ~20 slices. Right rows cluster in even slices only, so odd slices
+    // exercise the carry across gap slices; lefts at ts < first right
+    // exercise the null-carry path.
+    val left = Seq.tabulate(2000) { i =>
+      val u = if (i % 10 < 8) 0L else 1L + rnd.nextInt(3)
+      (i.toLong, u, rnd.nextInt(1000).toLong)
+    }
+    val right = Seq.tabulate(600) { j =>
+      val u = if (j % 10 < 8) 0L else 1L + rnd.nextInt(4)
+      val slice = rnd.nextInt(10) * 2 // even slices only
+      (10000L + j, u, slice * 50L + rnd.nextInt(50), rnd.nextInt(100) / 4.0)
+    }
+    val l = left.toDF("event_id", "user_id", "ts")
+    val r = right.toDF("view_id", "user_id", "ts", "view_value")
+
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(x => (x.getLong(0), (Option(x.get(3)), Option(x.get(4))))).sortBy(_._1).toSeq
+
+    val base = key(AsofJoin.backward(l, r, Seq("user_id"), "ts", "ts",
+      Seq("view_id", "view_value"), "view_id").collect())
+    val sliced = key(AsofJoin.backwardSliced(l, r, Seq("user_id"), "ts", "ts",
+      Seq("view_id", "view_value"), "view_id", sliceWidth = 50L).collect())
+    assert(sliced == base)
+
+    // a sliceWidth larger than the ts domain degenerates to one slice and
+    // must still agree (single-slice == the unsliced algorithm)
+    val one = key(AsofJoin.backwardSliced(l, r, Seq("user_id"), "ts", "ts",
+      Seq("view_id", "view_value"), "view_id", sliceWidth = 100000L).collect())
+    assert(one == base)
+  }
+
+  test("reserved __-prefixed input columns are rejected, not mis-resolved") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 1L)).toDF("event_id", "user_id", "__t")
+    val r = Seq((1L, 1L, 1L, 1.0)).toDF("view_id", "user_id", "ts", "view_value")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.backward(l, r, Seq("user_id"), "__t", "ts",
+        Seq("view_id", "view_value"), "view_id")
+    }
+    assert(e.getMessage.contains("__t"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.backwardSliced(l, r, Seq("user_id"), "__t", "ts",
+        Seq("view_id", "view_value"), "view_id", 10L)
+    }
+    assert(e2.getMessage.contains("__t"), e2.getMessage)
+  }
 }

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Bpe.train against a single-threaded scalar BPE (same greedy
+  * left-to-right merge, same (freq desc, pair-string asc) tie-break),
+  * plus the overlap edge ("aaaa" merges to [aa, aa], not [aa, a, a]) and
+  * the Sennrich-style suffix-discovery sanity case. */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("bpe-spec")
+    .getOrCreate()
+
+  /** Scalar BPE over a word histogram. */
+  private def scalarBpe(words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+    var st: Map[Seq[String], Long] = words.map { case (w, c) => (w.map(_.toString), c) }
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 0 until rounds) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      st.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), f) = counts.minBy { case ((a, b), n) => (-n, a + Bpe.Sep + b) }
+        out += ((l, r, f))
+        st = st.toSeq.map { case (syms, c) =>
+          val ns = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { ns += l + r; i += 2 }
+            else { ns += syms(i); i += 1 }
+          }
+          (ns.result(), c)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  test("train matches the scalar reference on a weighted histogram") {
+    import spark.implicits._
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L,
+      "aaaa" -> 4L, "banana" -> 7L)
+    val hist = words.toSeq.toDF("word", "cnt")
+    val got = Bpe.train(hist, numMerges = 10).map(m => (m.left, m.right, m.freq))
+    assert(got == scalarBpe(words, 10))
+  }
+
+  test("greedy left-to-right overlap: aaaa → [aa][aa]") {
+    import spark.implicits._
+    val hist = Seq(("aaaa", 1L)).toDF("word", "cnt")
+    val merges = Bpe.train(hist, numMerges = 2)
+    // round 1: (a,a) freq 3 (pairs within the word); after the greedy
+    // merge the word is [aa, aa], so round 2 merges (aa, aa) freq 1
+    assert(merges.map(m => (m.left, m.right, m.freq)) ==
+      Seq(("a", "a", 3L), ("aa", "aa", 1L)))
+  }
+
+  test("mergeTable discovers a shared suffix before whole words") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "newest newest newest widest widest lowest"),
+      (2L, "newest newest newest widest lowest low")
+    ).toDF("doc_id", "text")
+    val merges = Bpe.mergeTable(docs, "text", numMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1) + r.getString(2), r.getLong(3)))
+    // 'est'-building merges dominate: (e,s) then (es,t) carry the summed
+    // frequency of all three word types (newest 6 + widest 3 + lowest 2)
+    assert(merges(0)._2 == "es" && merges(0)._3 == 11L, merges.toSeq.toString)
+    assert(merges(1)._2 == "est" && merges(1)._3 == 11L, merges.toSeq.toString)
+  }
+}
