@@ -95,6 +95,57 @@ object CatalogPipeline {
        |cents AS (SELECT s.cell, coalesce(m.c, s.c) AS c
        |          FROM seeds s LEFT JOIN cmean m USING (cell))""".stripMargin
 
+  /** DuckDB rendering of [[graft.pipeline.Similarity]]'s sample-trained
+    * product quantizer (m=8 subspaces × ksub=16 codewords over 64 dims)
+    * plus the corpus-side PQ encode/reconstruct, mirroring trainPq /
+    * ivfPqTopK op-for-op: seeds = lowest-id sample subvectors, L2
+    * assignment with (dist ASC, code ASC) tie-break, one Lloyd step
+    * folded in vec_id order, empty codes keep their seed; `pdq` is the
+    * reconstructed vector (codebook rows concatenated in subspace
+    * order). Needs `samp` (ivfCentsSql) and `corp` (ivfProbeSql) in
+    * scope. MATERIALIZED: the correlated argmins reference their
+    * codebook CTEs many times. */
+  private val pqCodebookSql =
+    """pseeds AS MATERIALIZED (
+      |  SELECT t.s AS s,
+      |         CAST(row_number() OVER (PARTITION BY t.s ORDER BY q.vec_id) - 1 AS BIGINT) AS code,
+      |         list_transform(range(8), iw -> q.embedding[CAST(t.s*8 + iw + 1 AS INT)]::DOUBLE) AS cbv
+      |  FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 16) q, range(8) t(s)),
+      |psub AS MATERIALIZED (
+      |  SELECT p.vec_id, t.s AS s,
+      |         list_transform(range(8), iw -> p.embedding[CAST(t.s*8 + iw + 1 AS INT)]::DOUBLE) AS sub
+      |  FROM samp p, range(8) t(s)),
+      |passign AS MATERIALIZED (
+      |  SELECT a.vec_id, a.s, a.sub,
+      |         (SELECT code FROM (
+      |            SELECT sd.code, list_sum(list_transform(range(len(a.sub)), iw ->
+      |              (a.sub[iw+1] - sd.cbv[iw+1]) * (a.sub[iw+1] - sd.cbv[iw+1]))) AS dist
+      |            FROM pseeds sd WHERE sd.s = a.s)
+      |          ORDER BY dist ASC, code ASC LIMIT 1) AS code
+      |  FROM psub a),
+      |pmean AS (SELECT s, code, list_transform(range(8), iw ->
+      |            list_sum(list_transform(vals, v -> v[iw+1])) / cnt) AS cbv
+      |          FROM (SELECT s, code, list(sub ORDER BY vec_id) AS vals, count(*) AS cnt
+      |                FROM passign GROUP BY s, code)),
+      |pcb AS MATERIALIZED (SELECT sd.s, sd.code, coalesce(pm.cbv, sd.cbv) AS cbv
+      |       FROM pseeds sd LEFT JOIN pmean pm ON pm.s = sd.s AND pm.code = sd.code),
+      |csub AS MATERIALIZED (
+      |  SELECT c.neighbor_id, c.cell, t.s AS s,
+      |         list_transform(range(8), iw -> c.c_vec[CAST(t.s*8 + iw + 1 AS INT)]::DOUBLE) AS sub
+      |  FROM corp c, range(8) t(s)),
+      |cenc AS MATERIALIZED (
+      |  SELECT a.neighbor_id, a.cell, a.s,
+      |         (SELECT code FROM (
+      |            SELECT sd.code, list_sum(list_transform(range(len(a.sub)), iw ->
+      |              (a.sub[iw+1] - sd.cbv[iw+1]) * (a.sub[iw+1] - sd.cbv[iw+1]))) AS dist
+      |            FROM pcb sd WHERE sd.s = a.s)
+      |          ORDER BY dist ASC, code ASC LIMIT 1) AS code
+      |  FROM csub a),
+      |pdq AS MATERIALIZED (
+      |  SELECT e.neighbor_id, e.cell, flatten(list(b.cbv ORDER BY e.s)) AS dq
+      |  FROM cenc e JOIN pcb b ON b.s = e.s AND b.code = e.code
+      |  GROUP BY e.neighbor_id, e.cell)""".stripMargin
+
   /** DuckDB rendering of [[graft.pipeline.Quantize.trainMinMax]] over the
     * embeddings table as a CTE pair (sqstats: per-dim min/max; rng: the
     * los/his range lists). Shared by the p27/p30 oracles. */
@@ -210,6 +261,16 @@ object CatalogPipeline {
     val e = Tables.embeddings(s, d)
     Similarity.ivfSq8TopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, nlist = 16, nprobe = 4, dims = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF+PQ ANN ([[graft.pipeline.Similarity.ivfPqTopK]]): p13's cells
+    * with 8-subspace × 16-codeword product-quantized inverted lists
+    * (production shape: ksub=256 → 8 bytes/vector). */
+  private def p32(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 16, dims = 64)
       .orderBy("query_id", "rank")
   }
 
@@ -646,6 +707,25 @@ object CatalogPipeline {
               |               x -> x::DOUBLE * x::DOUBLE)))
               |           * sqrt(list_sum(list_transform(d.dq, x -> x * x)))), 6) AS sim
               |      FROM qp q JOIN dqc d USING (cell)
+              |      WHERE q.query_id <> d.neighbor_id)
+              |SELECT query_id, neighbor_id, sim, rank FROM (
+              |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+    Q("p32_ann_ivf_pq", p32,
+      // p13's cells + probes with product-quantized inverted lists: the
+      // pqCodebookSql chain reproduces trainPq/encode, and scoring is
+      // the p30 CTE shape over the reconstructed `dq` vectors.
+      Some(s"""WITH ${ivfCentsSql("embeddings")},
+              |$ivfProbeSql,
+              |$pqCodebookSql,
+              |s AS (SELECT q.query_id, d.neighbor_id,
+              |        round(list_sum(list_transform(range(64), i ->
+              |            q.q_vec[i+1]::DOUBLE * d.dq[i+1]))
+              |          / (sqrt(list_sum(list_transform(q.q_vec,
+              |               x -> x::DOUBLE * x::DOUBLE)))
+              |           * sqrt(list_sum(list_transform(d.dq, x -> x * x)))), 6) AS sim
+              |      FROM qp q JOIN pdq d USING (cell)
               |      WHERE q.query_id <> d.neighbor_id)
               |SELECT query_id, neighbor_id, sim, rank FROM (
               |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id

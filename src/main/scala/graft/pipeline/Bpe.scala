@@ -85,7 +85,10 @@ object Bpe {
           }
           out.result()
         })
-        st = st.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint()
+        // lazy checkpoint: materializes inside the NEXT round's argmax job
+        // instead of costing a separate job per round (2x fewer jobs —
+        // round overhead dominates when the histogram is small)
+        st = st.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint(false)
         round += 1
       }
     }

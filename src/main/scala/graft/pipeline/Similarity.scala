@@ -187,6 +187,96 @@ object Similarity {
       round(dot / (sqrt(na) * sqrt(col("nb"))), 6).as("sim")), k)
   }
 
+  /** Product-quantizer codebooks: `m` subspaces of `dims/m` dimensions,
+    * each with `ksub` codewords — trained like [[trainQuantizer]] (seeds =
+    * the lowest-id sample subvectors, one Lloyd step over the same bounded
+    * 256-vector sample, empty codes keep their seed), but with L2
+    * assignment (k-means in the subspace, the PQ norm) instead of cosine.
+    * Returns [m][ksub][dims/m] — nlist-independent, a few KB driver-side.
+    * Ties in the argmin resolve to the smallest code index, matching the
+    * oracle's `ORDER BY dist ASC, code ASC`. */
+  private def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+                      m: Int, ksub: Int, dims: Int): Array[Array[Array[Double]]] = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val dsub = dims / m
+    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(256).collect().map(_.getSeq[Float](1))
+    require(sample.length >= ksub,
+      s"PQ training sample (${sample.length}) smaller than ksub=$ksub")
+    Array.tabulate(m) { s =>
+      val subs = sample.map(v => Array.tabulate(dsub)(iw => v(s * dsub + iw).toDouble))
+      val seeds = subs.take(ksub)
+      val sums = Array.fill(ksub)(new Array[Double](dsub))
+      val counts = new Array[Long](ksub)
+      subs.foreach { x =>
+        val c = argminL2(seeds, x)
+        var iw = 0
+        while (iw < dsub) { sums(c)(iw) += x(iw); iw += 1 }
+        counts(c) += 1
+      }
+      seeds.indices.map { c =>
+        if (counts(c) == 0) seeds(c) else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+  }
+
+  /** Smallest-index argmin of sequential-order L2 distance (strict `<`
+    * keeps the first minimum). */
+  private def argminL2(cents: Array[Array[Double]], x: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var iw = 0
+      val cv = cents(c)
+      while (iw < cv.length) { val t = x(iw) - cv(iw); d += t * t; iw += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF + PQ ANN — FAISS's `IVF<n>,PQ<m>` rung past [[ivfSq8TopK]]: the
+    * same coarse cells, with the inverted lists compressed to `m`
+    * code-indices per vector (m bytes at ksub ≤ 256 — for 64-dim float32,
+    * 32× smaller than the raw vectors, vs SQ8's 4×). Direct encoding
+    * (FAISS `by_residual=false`): each subvector maps to its nearest
+    * codebook entry; candidates are scored against the RECONSTRUCTED
+    * vector (codebook rows concatenated in subspace order) with exactly
+    * [[ivfSq8TopK]]'s full-vector fold, so the p32 oracle reuses the p30
+    * scoring CTE shape verbatim. Reconstruction norms are precomputed
+    * once per corpus row; the per-pair cost is the dot product only
+    * (ADC with the codebook inlined as a literal — no table join on the
+    * scoring path).
+    *
+    * Scale: codebooks are an O(m·ksub·dims/m) driver artifact like the
+    * IVF centroids; encoding is one map-only pass; everything after is
+    * p13's probed-cell join. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int, nprobe: Int,
+                m: Int, ksub: Int, dims: Int): DataFrame = {
+    val cb = trainPq(corpus, idCol, vecCol, m, ksub, dims)
+    val dsub = dims / m
+    val cbLit = array(cb.map(sub =>
+      array(sub.map(code => array(code.map(lit): _*)): _*)): _*)
+    val encodeUdf = udf((v: Seq[Float]) => Array.tabulate(m) { s =>
+      argminL2(cb(s), Array.tabulate(dsub)(iw => v(s * dsub + iw).toDouble))
+    })
+    def sumOf(arr: Column) = aggregate(arr, lit(0.0), (s, x) => s + x)
+    val (cRaw, qRaw) = ivfAssign(corpus, queries, idCol, vecCol, nlist, nprobe)
+    val c = cRaw
+      .withColumn("codes", encodeUdf(col("c_vec")))
+      .withColumn("dq", flatten(transform(col("codes"),
+        (code, s) => element_at(element_at(cbLit, s + lit(1)), code + lit(1)))))
+      .withColumn("nb", sumOf(transform(col("dq"), x => x * x)))
+      .drop("c_vec", "codes")
+    val q = qRaw.withColumn("q_vec", transform(col("q_vec"), x => x.cast("double")))
+    val joined = c.join(q, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+    val dot = sumOf(zip_with(col("q_vec"), col("dq"), (a, b) => a * b))
+    val na = sumOf(transform(col("q_vec"), a => a * a))
+    topK(joined.select(col("query_id"), col("neighbor_id"),
+      round(dot / (sqrt(na) * sqrt(col("nb"))), 6).as("sim")), k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all corpus pairs with
     * cosine >= minSim, LSH-bucketed so only same-bucket pairs are scored.
     * Exact within a bucket; the all-pairs oracle form is only run at test

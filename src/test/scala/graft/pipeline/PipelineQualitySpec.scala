@@ -109,6 +109,36 @@ class PipelineQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF+PQ: codes reconstruct well enough to keep most of full-precision IVF's pairs") {
+    withSpark { spark =>
+      val e = graft.Tables.embeddings(spark, sf)
+      val q = e.where(col("vec_id") < 20)
+      val dims = e.head.getSeq[Float](1).length
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "sim").collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val full = rows(Similarity.ivfTopK(e, q, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 8))
+      val pq = rows(Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 8, m = 16, ksub = 64, dims = dims))
+      assert(pq.size == full.size) // k per query regardless of compression
+      // PQ is far lossier than SQ8 by design (m sub-codes per vector vs
+      // 1 byte/dim) and UNIFORM RANDOM embeddings are its adversarial
+      // case — codebooks shrink toward subspace means, so ranking decays
+      // much faster than on real clustered embeddings (m=8, ksub=16
+      // measured 0.39 here; m=16, ksub=64 — 12 bytes/vector, 21x —
+      // measured 0.67). The contract pins the majority bound at the
+      // latter config
+      val overlap = pq.keySet.intersect(full.keySet).size.toDouble / full.size
+      info(s"IVF+PQ vs IVF pair overlap = $overlap")
+      assert(overlap >= 0.5, s"overlap $overlap below contract")
+      // reconstructed similarities stay in a sane band on shared pairs
+      pq.keySet.intersect(full.keySet).foreach { k =>
+        assert(math.abs(pq(k) - full(k)) < 0.5, s"$k: ${pq(k)} vs ${full(k)}")
+      }
+    }
+  }
+
   test("simhash pairs are within the declared Hamming bound and symmetric-free") {
     withSpark { spark =>
       val docs = graft.Tables.documents(spark, sf).select("doc_id", "text", "lang")
