@@ -426,6 +426,13 @@ object CatalogPipeline {
     graft.pipeline.Bpe.mergeTable(Tables.documents(s, d), "text", numMerges = 12)
       .orderBy("rank")
 
+  /** BPE encode ([[graft.pipeline.Bpe.tokenizedVocab]]): the trained
+    * 12-merge table applied back to the vocabulary — word → symbol
+    * sequence, the tokenizer's lookup artifact. */
+  private def p33(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Bpe.tokenizedVocab(Tables.documents(s, d), "text", numMerges = 12)
+      .orderBy("word")
+
   // ---- corpus shaping ------------------------------------------------------
 
   /** Deterministic stratified rebalance: every language down-sampled to the
@@ -999,6 +1006,8 @@ object CatalogPipeline {
       // the training loop unrolled into one CTE chain per round — see
       // Bpe.oracleSql for why string replace == the greedy merge
       Some(graft.pipeline.Bpe.oracleSql(numMerges = 12))),
+    Q("p33_bpe_encode", p33,
+      Some(graft.pipeline.Bpe.encodeOracleSql(numMerges = 12))),
     Q("p22_perplexity", p22,
       Some("""WITH w AS (SELECT doc_id,
              |            list_filter(string_split(text, ' '), x -> x <> '') AS ws

@@ -105,6 +105,49 @@ object Bpe {
       .toDF("rank", "lft", "rgt", "freq")
   }
 
+  /** ENCODE side of the tokenizer: apply a trained merge list to a word
+    * histogram, in rank order, each merge greedy left-to-right — one
+    * map-only pass with the merges in the UDF closure (the merge table is
+    * a bounded driver artifact like the IVF centroids; at 100 TB this
+    * runs over the distinct-word histogram once and the corpus maps
+    * word→tokens through the resulting lookup). Because each round's
+    * merge touches every word independently, applying all merges
+    * per-word in rank order reproduces [[train]]'s final state exactly.
+    *
+    * Returns (word, cnt, n_tokens, toks_hash): the tokenized vocabulary
+    * with md5 over the Sep-joined symbol sequence, cross-engine
+    * hashable. */
+  def encodeWords(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val ms = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
+    val applyUdf = udf((word: String) => {
+      var syms: Seq[String] = word.map(_.toString)
+      ms.foreach { case (l, r) =>
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    })
+    words.where(length(col("word")) > 0)
+      .withColumn("toks", applyUdf(col("word")))
+      .select(col("word"), col("cnt"),
+        size(col("toks")).as("n_tokens"),
+        md5(concat_ws(Sep, col("toks"))).as("toks_hash"))
+  }
+
+  /** Train + encode over `df(textCol)`: the p33 catalog shape. The
+    * histogram is checkpointed once and shared by both passes (the
+    * corpus shuffles exactly once). */
+  def tokenizedVocab(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val hist = wordHistogram(df, textCol).localCheckpoint()
+    encodeWords(hist, train(hist, numMerges))
+  }
+
   /** The DuckDB oracle for [[mergeTable]]: the training loop UNROLLED into
     * one CTE chain per round (state sR → pair counts pR → argmax bR →
     * merged state sR+1). State is the separator-joined symbol string
@@ -116,18 +159,22 @@ object Bpe {
     * default, and with bR referenced three times per round the chain
     * would expand 3^rounds-fold (it exhausts file handles re-opening the
     * parquet before it exhausts time). */
-  def oracleSql(numMerges: Int): String = {
-    val S = "chr(31)"
-    val SS = s"$S||$S"
+  private val S = "chr(31)"
+  private val SS = s"$S||$S"
+
+  /** The shared training chain (see [[oracleSql]]); state rows carry
+    * (word, st, cnt) so the encode oracle can key its output. Ends after
+    * the s`numMerges` CTE, no trailing comma. */
+  private def chainSql(numMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH w AS (SELECT word, count(*) AS cnt FROM (
               |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
               |  FROM documents) GROUP BY word),
-              |s0 AS MATERIALIZED (SELECT $S || array_to_string(list_transform(range(length(word)),
+              |s0 AS MATERIALIZED (SELECT word, $S || array_to_string(list_transform(range(length(word)),
               |         i -> word[CAST(i+1 AS INT):CAST(i+1 AS INT)]), $SS) || $S AS st, cnt
-              |       FROM w),""".stripMargin
+              |       FROM w)""".stripMargin
     for (r <- 0 until numMerges) {
-      sb ++= s"""
+      sb ++= s""",
                 |p$r AS MATERIALIZED (SELECT pr, sum(cnt) AS freq FROM (
                 |  SELECT unnest(list_transform(range(len(sy) - 1),
                 |           i -> sy[i+1] || $S || sy[i+2])) AS pr, cnt
@@ -136,15 +183,30 @@ object Bpe {
                 |b$r AS MATERIALIZED (SELECT string_split(pr, $S)[1] AS lft, string_split(pr, $S)[2] AS rgt,
                 |          CAST(freq AS BIGINT) AS freq
                 |        FROM p$r ORDER BY freq DESC, pr LIMIT 1),
-                |s${r + 1} AS MATERIALIZED (SELECT replace(st,
+                |s${r + 1} AS MATERIALIZED (SELECT word, replace(st,
                 |    $S || (SELECT lft FROM b$r) || $SS || (SELECT rgt FROM b$r) || $S,
                 |    $S || (SELECT lft FROM b$r) || (SELECT rgt FROM b$r) || $S) AS st, cnt
-                |  FROM s$r),""".stripMargin
+                |  FROM s$r)""".stripMargin
     }
+    sb.toString
+  }
+
+  def oracleSql(numMerges: Int): String = {
     val union = (0 until numMerges)
       .map(r => s"SELECT CAST(${r + 1} AS INT) AS rank, lft, rgt, freq FROM b$r")
       .mkString("\n", "\nUNION ALL\n", "\n")
-    sb ++= s"\nfinal_merges AS ($union)\nSELECT rank, lft, rgt, freq FROM final_merges ORDER BY rank"
-    sb.toString
+    chainSql(numMerges) +
+      s",\nfinal_merges AS ($union)\nSELECT rank, lft, rgt, freq FROM final_merges ORDER BY rank"
   }
+
+  /** DuckDB oracle for [[tokenizedVocab]]: the same unrolled chain; the
+    * output is just the FINAL state re-split into symbols. */
+  def encodeOracleSql(numMerges: Int): String =
+    chainSql(numMerges) +
+      s""",
+         |toks AS (SELECT word, cnt, string_split(st[2:length(st)-1], $SS) AS sy
+         |         FROM s$numMerges)
+         |SELECT word, cnt, CAST(len(sy) AS INT) AS n_tokens,
+         |       md5(array_to_string(sy, $S)) AS toks_hash
+         |FROM toks ORDER BY word""".stripMargin
 }

@@ -74,4 +74,44 @@ class BpeSpec extends AnyFunSuite {
     assert(merges(0)._2 == "es" && merges(0)._3 == 11L, merges.toSeq.toString)
     assert(merges(1)._2 == "est" && merges(1)._3 == 11L, merges.toSeq.toString)
   }
+
+  test("encodeWords: symbols concatenate back to the word and compress with training depth") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "newest newest newest widest widest lowest"),
+      (2L, "newest newest newest widest lowest low")
+    ).toDF("doc_id", "text")
+    val hist = Bpe.wordHistogram(docs, "text")
+    val merges = Bpe.train(hist, numMerges = 8)
+    val applyScalar = (word: String) => {
+      var syms: Seq[String] = word.map(_.toString)
+      merges.sortBy(_.rank).foreach { m =>
+        val out = Seq.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.left && syms(i + 1) == m.right) {
+            out += m.left + m.right; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val got = Bpe.encodeWords(hist, merges).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+    val words = Seq("newest", "widest", "lowest", "low")
+    assert(got.keySet == words.toSet)
+    words.foreach { w =>
+      val syms = applyScalar(w)
+      assert(syms.mkString == w, s"$w: symbols don't concatenate back")
+      assert(got(w)._2 == syms.length, s"$w token count")
+      val expectHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(syms.mkString(Bpe.Sep).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got(w)._3 == expectHash, s"$w hash")
+    }
+    // training actually compresses: the most frequent word ends at 1-2
+    // tokens, and every word needs at most its character count
+    assert(got("newest")._2 <= 2)
+    got.foreach { case (w, (_, n, _)) => assert(n <= w.length) }
+  }
 }
