@@ -40,6 +40,14 @@ class AsofJoinSpec extends AnyFunSuite {
       assert(got(eid) == expect, s"left=$eid user=$u ts=$t")
     }
     assert(got.size == left.size, "one output row per left row")
+
+    // the scale claim: ONE shuffle on the key columns — the tagged union
+    // flows into a single hash-partition exchange feeding the window
+    val plan = AsofJoin.backward(l, r, Seq("user_id"), "ts", "ts",
+        Seq("view_id", "view_value"), "view_id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?m)Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n${plan.take(2000)}")
   }
 
   test("backwardSliced equals backward on a skewed fixture with slice gaps") {

@@ -75,6 +75,25 @@ class BpeSpec extends AnyFunSuite {
     assert(merges(1)._2 == "est" && merges(1)._3 == 11L, merges.toSeq.toString)
   }
 
+  test("larger randomized vocabulary still matches the scalar reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefgh"
+    val words = (1 to 800).map { _ =>
+      (1 to (3 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val hist = words.toSeq.toDF("word", "cnt")
+    val got = Bpe.train(hist, numMerges = 15).map(m => (m.left, m.right, m.freq))
+    assert(got == scalarBpe(words, 15))
+    assert(got.size == 15)
+  }
+
+  test("exhaustion: single-character words yield no merges") {
+    import spark.implicits._
+    val hist = Seq(("a", 5L), ("b", 3L)).toDF("word", "cnt")
+    assert(Bpe.train(hist, numMerges = 4).isEmpty)
+  }
+
   test("encodeWords: symbols concatenate back to the word and compress with training depth") {
     import spark.implicits._
     val docs = Seq(
