@@ -264,6 +264,15 @@ object CatalogPipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** Full-corpus distributed Lloyd k-means
+    * ([[graft.pipeline.Clustering.kmeans]]): 3 iterations, k=8, from
+    * lowest-id seeds — fixed-point sums make every mean bit-identical
+    * across partitionings, so assignments are oracle-exact. */
+  private def p34(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Clustering.kmeans(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 8, iters = 3)
+      .orderBy("vec_id")
+
   /** IVF+PQ ANN ([[graft.pipeline.Similarity.ivfPqTopK]]): p13's cells
     * with 8-subspace × 16-codeword product-quantized inverted lists
     * (production shape: ksub=256 → 8 bytes/vector). */
@@ -1008,6 +1017,8 @@ object CatalogPipeline {
       Some(graft.pipeline.Bpe.oracleSql(numMerges = 12))),
     Q("p33_bpe_encode", p33,
       Some(graft.pipeline.Bpe.encodeOracleSql(numMerges = 12))),
+    Q("p34_kmeans", p34,
+      Some(graft.pipeline.Clustering.kmeansOracleSql(k = 8, iters = 3, dims = 64))),
     Q("p22_perplexity", p22,
       Some("""WITH w AS (SELECT doc_id,
              |            list_filter(string_split(text, ' '), x -> x <> '') AS ws
