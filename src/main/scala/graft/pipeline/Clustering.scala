@@ -58,12 +58,19 @@ object Clustering {
     require(seedRows.length >= k, s"corpus has fewer than k=$k rows")
     var cents = seedRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
+    // pin the per-row assignment to full parallelism: a single-file scan
+    // would run the UDF + explode on 1-2 tasks (same trap ivfAssign
+    // documents). Callers iterate many times — cache upstream when the
+    // input fits the storage tier; the operator itself stays unmaterialized.
+    val base = df.select(col(idCol), col(vecCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+
     for (_ <- 1 to iters) {
       val cl = cents
       val assignUdf = udf((v: Seq[Float]) => argminL2(cl, v))
       // (cluster, dim) → (Σ fixed-point component, cluster size): partial
       // agg collapses each partition to ≤ k·dims rows pre-shuffle
-      val stats = df
+      val stats = base
         .select(assignUdf(col(vecCol)).as("cl"), posexplode(col(vecCol)))
         .select(col("cl"), col("pos"),
           floor(col("col").cast("double") * Fix + lit(0.5)).cast("long").as("fx"))
@@ -79,7 +86,7 @@ object Clustering {
     }
     val fin = cents
     val finalAssign = udf((v: Seq[Float]) => argminL2(fin, v))
-    df.select(col(idCol).as("vec_id"), finalAssign(col(vecCol)).as("cluster"))
+    base.select(col(idCol).as("vec_id"), finalAssign(col(vecCol)).as("cluster"))
   }
 
   /** DuckDB oracle for [[kmeans]] over the `embeddings` table: seeds +
