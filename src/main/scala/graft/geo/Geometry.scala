@@ -98,13 +98,17 @@ object Geometry {
     * OsmMapUtils.java:389-405): before accepting a shortcut segment
     * (pts(lo), pts(hi)) that would drop every interior point, the span is
     * re-split at the farthest interior point whenever the shortcut
-    * properly crosses ANY segment of the ORIGINAL polyline outside the
-    * span being replaced (segments adjacent to the span are skipped, as
-    * the reference does: `i == start-1 → i = end`). Plain DP on a concave
-    * ring can emit a self-intersecting ("noosed") ring; the re-split
-    * keeps subdividing until the shortcut is crossing-free, so simplified
-    * closed rings never self-intersect — `GeometrySpec` property-tests
-    * this. */
+    * properly crosses ANY segment of the ORIGINAL polyline. For lo > 0
+    * the segments adjacent to / inside the span are skipped via the
+    * reference's `i == start-1 → i = end; continue` jump; for lo == 0
+    * that jump never fires (faithfully ported: the reference checks
+    * in-span and end-adjacent segments too, and the shared-endpoint test
+    * can report a phantom crossing there — the only consequence is extra
+    * conservative re-splitting, never a wrong ring). Plain DP on a
+    * concave ring can emit a self-intersecting ("noosed") ring; the
+    * re-split keeps subdividing until the shortcut is crossing-free, so
+    * simplified closed rings never self-intersect — `GeometrySpec`
+    * property-tests this. */
   def simplify(pts: Seq[Pt], epsilon: Double, avoidNooses: Boolean = false): Seq[Pt] = {
     if (pts.size <= 2) return pts
     val keep = Array.fill(pts.size)(false)

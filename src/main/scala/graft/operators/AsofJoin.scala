@@ -111,9 +111,13 @@ object AsofJoin {
     *     at the exact slice start), then the same inclusive running-last
     *     as [[backward]], partitioned by (keys, slice).
     *
-    * Timestamps must be numeric (sliced by `floor(ts / sliceWidth)`);
-    * cast timestamps to epoch units first. `AsofJoinSpec` proves equality
-    * with [[backward]] on a skewed fixture.
+    * Timestamps must be numeric (slices come from
+    * `floor(ts / sliceWidth)` after a double cast — monotone, so a
+    * coarser-than-exact slice at magnitudes past 2^53 only affects
+    * granularity); the ORDER within a slice uses the raw column, exactly
+    * like [[backward]], so results are bit-identical to it for any
+    * numeric timestamp. `AsofJoinSpec` proves equality with [[backward]]
+    * on a skewed fixture.
     */
   def backwardSliced(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTs: String, rightTs: String,
@@ -154,7 +158,7 @@ object AsofJoin {
       .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(carryW))
       .where(col("__carry").isNotNull)
       .select((keyCols :+ col("__slice") :+
-        lit(null).cast("double").as("__t") :+
+        lit(null).cast(left.schema(leftTs).dataType).as("__t") :+
         lit(-1).as("__side") :+
         lit(null).cast(right.schema(tiebreak).dataType).as("__ord") :+
         lit(null).cast(org.apache.spark.sql.types.StructType(
@@ -166,7 +170,7 @@ object AsofJoin {
     val l = left.select(
       keyCols :+
         sliceOf(col(leftTs)).as("__slice") :+
-        col(leftTs).cast("double").as("__t") :+
+        col(leftTs).as("__t") :+
         lit(1).as("__side") :+
         lit(null).cast(right.schema(tiebreak).dataType).as("__ord") :+
         struct(leftCols.map(col): _*).as("__l") :+
@@ -174,7 +178,7 @@ object AsofJoin {
     val r = right.select(
       keyCols :+
         sliceOf(col(rightTs)).as("__slice") :+
-        col(rightTs).cast("double").as("__t") :+
+        col(rightTs).as("__t") :+
         lit(0).as("__side") :+
         col(tiebreak).as("__ord") :+
         lit(null).cast(l.schema("__l").dataType).as("__l") :+

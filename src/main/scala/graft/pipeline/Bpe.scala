@@ -53,8 +53,15 @@ object Bpe {
     * DESC, pr`. Stops early only when no adjacent pair remains. */
   def train(words: DataFrame, numMerges: Int): Seq[Merge] = {
     require(numMerges > 0, "need at least one merge round")
+    val sc = words.sparkSession.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    // (?s) so line terminators survive as symbols — a bare `.` silently
+    // DROPS them, leaving symbols that no longer concatenate back to the
+    // word (and diverging from the oracle's character slicing). Java
+    // regex `.` consumes one CODE POINT, matching DuckDB's code-point
+    // slicing and [[codePoints]] in encodeWords.
     var st = words
-      .select(regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"),
+      .select(regexp_extract_all(col("word"), lit("(?s)."), lit(0)).as("syms"),
         col("cnt"))
       .where(size(col("syms")) > 0)
       .localCheckpoint()
@@ -92,6 +99,13 @@ object Bpe {
         round += 1
       }
     }
+    // free every checkpoint this loop created — otherwise numMerges
+    // materialized copies of the histogram sit in the block manager for
+    // the rest of the session (at the operator's own claimed scale, the
+    // histogram of a 100 TB corpus is billions of rows)
+    sc.getPersistentRDDs
+      .filter { case (id, _) => !preexisting.contains(id) }
+      .values.foreach(_.unpersist(false))
     merges.result()
   }
 
@@ -120,7 +134,11 @@ object Bpe {
   def encodeWords(words: DataFrame, merges: Seq[Merge]): DataFrame = {
     val ms = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
     val applyUdf = udf((word: String) => {
-      var syms: Seq[String] = word.map(_.toString)
+      // code-point split (NOT word.map(_.toString), which would cleave
+      // surrogate pairs into half-characters and diverge from train's
+      // regex split and the oracle's slicing)
+      var syms: Seq[String] = word.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toSeq
       ms.foreach { case (l, r) =>
         val out = Seq.newBuilder[String]
         var i = 0
@@ -158,7 +176,11 @@ object Bpe {
     * Every per-round CTE is MATERIALIZED: DuckDB inlines CTEs by
     * default, and with bR referenced three times per round the chain
     * would expand 3^rounds-fold (it exhausts file handles re-opening the
-    * parquet before it exhausts time). */
+    * parquet before it exhausts time). The state replace is wrapped in
+    * `coalesce(…, st)` so a corpus that exhausts its pairs before the
+    * last round carries the state through unchanged (empty bR → NULL
+    * scalar subqueries → NULL replace) exactly as [[train]]'s early
+    * stop does. */
   private val S = "chr(31)"
   private val SS = s"$S||$S"
 
@@ -183,9 +205,9 @@ object Bpe {
                 |b$r AS MATERIALIZED (SELECT string_split(pr, $S)[1] AS lft, string_split(pr, $S)[2] AS rgt,
                 |          CAST(freq AS BIGINT) AS freq
                 |        FROM p$r ORDER BY freq DESC, pr LIMIT 1),
-                |s${r + 1} AS MATERIALIZED (SELECT word, replace(st,
+                |s${r + 1} AS MATERIALIZED (SELECT word, coalesce(replace(st,
                 |    $S || (SELECT lft FROM b$r) || $SS || (SELECT rgt FROM b$r) || $S,
-                |    $S || (SELECT lft FROM b$r) || (SELECT rgt FROM b$r) || $S) AS st, cnt
+                |    $S || (SELECT lft FROM b$r) || (SELECT rgt FROM b$r) || $S), st) AS st, cnt
                 |  FROM s$r)""".stripMargin
     }
     sb.toString

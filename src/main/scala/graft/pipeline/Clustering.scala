@@ -31,19 +31,9 @@ object Clustering {
   /** 2^20 fixed-point scale — matches the rhSignature quantization. */
   private val Fix = 1048576L
 
-  private def argminL2(cents: Array[Array[Double]], v: Seq[Float]): Int = {
-    var best = 0; var bestD = Double.MaxValue; var c = 0
-    while (c < cents.length) {
-      var d = 0.0; var i = 0
-      val cv = cents(c)
-      while (i < cv.length && i < v.length) {
-        val t = v(i).toDouble - cv(i); d += t * t; i += 1
-      }
-      if (d < bestD) { bestD = d; best = c }
-      c += 1
-    }
-    best
-  }
+  /** [[Similarity.argminL2]] with the row's float vector widened once. */
+  private def argminL2(cents: Array[Array[Double]], v: Seq[Float]): Int =
+    Similarity.argminL2(cents, v.iterator.map(_.toDouble).toArray)
 
   /** `iters` Lloyd iterations from the k lowest-id seeds; returns
     * (vec_id, cluster) under the FINAL centroids. Ties in the argmin
@@ -64,6 +54,17 @@ object Clustering {
     // input fits the storage tier; the operator itself stays unmaterialized.
     val base = df.select(col(idCol), col(vecCol))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    // one cheap aggregate up front (the Quantize.trainMinMax pattern): a
+    // ragged or null vector would otherwise die as an opaque index error
+    // inside the assignment UDF, or silently skew per-dimension means
+    val dims = cents(0).length
+    val sz = base.agg(min(size(col(vecCol))).as("mn"),
+      max(size(col(vecCol))).as("mx")).head()
+    require(!sz.isNullAt(0) && sz.getInt(0) == dims && sz.getInt(1) == dims,
+      s"$vecCol must be non-null with uniform width $dims (seed width); " +
+        s"corpus has widths [${if (sz.isNullAt(0)) "null" else sz.getInt(0)}, " +
+        s"${if (sz.isNullAt(1)) "null" else sz.getInt(1)}]")
 
     for (_ <- 1 to iters) {
       val cl = cents

@@ -221,8 +221,10 @@ object Similarity {
   }
 
   /** Smallest-index argmin of sequential-order L2 distance (strict `<`
-    * keeps the first minimum). */
-  private def argminL2(cents: Array[Array[Double]], x: Array[Double]): Int = {
+    * keeps the first minimum) — the tie-break-sensitive primitive shared
+    * with [[Clustering]]; both oracles spell it `ORDER BY dist ASC,
+    * code/cl ASC`. */
+  private[pipeline] def argminL2(cents: Array[Array[Double]], x: Array[Double]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cents.length) {
       var d = 0.0; var iw = 0

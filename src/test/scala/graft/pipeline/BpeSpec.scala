@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 
@@ -7,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * left-to-right merge, same (freq desc, pair-string asc) tie-break),
   * plus the overlap edge ("aaaa" merges to [aa, aa], not [aa, a, a]) and
   * the Sennrich-style suffix-discovery sanity case. */
-class BpeSpec extends AnyFunSuite {
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
@@ -133,4 +134,6 @@ class BpeSpec extends AnyFunSuite {
     assert(got("newest")._2 <= 2)
     got.foreach { case (w, (_, n, _)) => assert(n <= w.length) }
   }
+
+  override def afterAll(): Unit = spark.stop()
 }

@@ -1,12 +1,13 @@
 package graft.pipeline
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 
 /** Clustering.kmeans against a scalar Lloyd reference with the same
   * fixed-point mean arithmetic, plus partitioning-invariance (the whole
   * point of the fixed-point sums) and blob-recovery sanity. */
-class ClusteringSpec extends AnyFunSuite {
+class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
@@ -79,4 +80,6 @@ class ClusteringSpec extends AnyFunSuite {
     assert(byBlob.values.forall(_.size == 1), byBlob.toString)
     assert(byBlob.values.flatten.toSet.size == 3)
   }
+
+  override def afterAll(): Unit = spark.stop()
 }

@@ -13,16 +13,25 @@ import graft.geo.GeoFunctions
   */
 class HaversineJoinRuleSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    // end-to-end through the cluster deployment path: the rule and the
-    // native functions arrive via SparkSessionExtensions injection
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .appName("haversine-join-rule")
-    .getOrCreate()
+  private lazy val spark = {
+    // this suite NEEDS its own session config (the extensions injection
+    // below); a session leaked by an earlier suite would be returned by
+    // getOrCreate without it and every rule assertion would fail
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      // end-to-end through the cluster deployment path: the rule and the
+      // native functions arrive via SparkSessionExtensions injection
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .appName("haversine-join-rule")
+      .getOrCreate()
+  }
 
   /** Deterministic scatter crossing 20° OLC-cell borders (lat/lon 0),
     * plus antimeridian straddlers, near-polar points, and nulls. */
