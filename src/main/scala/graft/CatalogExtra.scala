@@ -110,8 +110,51 @@ object CatalogExtra {
       .orderBy("event_id")
   }
 
+  /** D10's hot-key escape hatch ([[graft.operators.AsofJoin.backwardSliced]]):
+    * same semantics, window partitioned on (user, day-slice) with
+    * per-slice carry state — the form a single pathological user (half
+    * the events) runs at scale. Result is provably identical to d10, so
+    * it shares d10's oracle. */
+  private def d11(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
+        col("value").as("view_value"))
+    graft.operators.AsofJoin.backwardSliced(purchases, views, Seq("user_id"),
+        "ts", "ts", payload = Seq("view_id", "view_value"),
+        tiebreak = "view_id", sliceWidth = 86400L)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_seconds(ts)").as("purchase_epoch"),
+        col("view_id"), round(col("view_value"), 2).as("view_value"))
+      .orderBy("event_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("d10_asof_join", d10,
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, 1 AS side, event_id,
+             |         NULL::BIGINT AS ord, NULL::BIGINT AS v_id,
+             |         NULL::DOUBLE AS v_val
+             |  FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, ts, 0, NULL, event_id, event_id, value
+             |  FROM events WHERE event_type = 'view'),
+             |w AS (
+             |  SELECT *,
+             |    last_value(v_id IGNORE NULLS) OVER win AS view_id,
+             |    last_value(v_val IGNORE NULLS) OVER win AS m_val
+             |  FROM u
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, ord
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id, user_id,
+             |       epoch_ns(ts) // 1000000000 AS purchase_epoch,
+             |       view_id, round(m_val, 2) AS view_value
+             |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)),
+    Q("d11_asof_sliced", d11,
       Some("""WITH u AS (
              |  SELECT user_id, ts, 1 AS side, event_id,
              |         NULL::BIGINT AS ord, NULL::BIGINT AS v_id,

@@ -111,13 +111,14 @@ object AsofJoin {
     *     at the exact slice start), then the same inclusive running-last
     *     as [[backward]], partitioned by (keys, slice).
     *
-    * Timestamps must be numeric (slices come from
-    * `floor(ts / sliceWidth)` after a double cast — monotone, so a
-    * coarser-than-exact slice at magnitudes past 2^53 only affects
-    * granularity); the ORDER within a slice uses the raw column, exactly
-    * like [[backward]], so results are bit-identical to it for any
-    * numeric timestamp. `AsofJoinSpec` proves equality with [[backward]]
-    * on a skewed fixture.
+    * Works for numeric and TIMESTAMP ts columns alike: slices come from
+    * `floor(ts / sliceWidth)` after a double cast (epoch seconds for
+    * timestamps — monotone, so a coarser-than-exact slice at magnitudes
+    * past 2^53 only affects granularity, never matches), while the
+    * ORDER within a slice uses the raw column exactly like [[backward]],
+    * so results are bit-identical to it. `AsofJoinSpec` proves equality
+    * with [[backward]] on a skewed fixture; `d11_asof_sliced` records it
+    * against d10's oracle on real timestamps.
     */
   def backwardSliced(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTs: String, rightTs: String,
