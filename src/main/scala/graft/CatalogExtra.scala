@@ -86,14 +86,14 @@ object CatalogExtra {
       .orderBy(col("dist_m"), col("c_custkey"))
       .limit(20)
 
-  /** D10 backward as-of join ([[graft.operators.AsofJoin]]): every purchase
-    * event enriched with the latest view event at-or-before it for the
-    * same user — the point-in-time join the reference's serving layer
-    * approximates with per-request "latest state" lookups
-    * (BaseOprPlaceDataProvider.java latest-object reads), generalized to
-    * a whole-relation operator. The oracle mirrors the union+running-last
-    * formulation (deterministic ties), not DuckDB's ASOF JOIN syntax. */
-  private def d10(s: SparkSession, d: String): DataFrame = {
+  /** D10/D11 shared shape: every purchase event enriched with the latest
+    * view event at-or-before it for the same user — the point-in-time
+    * join the reference's serving layer approximates with per-request
+    * "latest state" lookups (BaseOprPlaceDataProvider.java latest-object
+    * reads), generalized to a whole-relation operator. `join` is the
+    * as-of variant under test. */
+  private def asofPurchaseViews(s: SparkSession, d: String)(
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"), col("value"))
@@ -102,78 +102,56 @@ object CatalogExtra {
     val views = ev.where(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
         col("value").as("view_value"))
-    graft.operators.AsofJoin.backward(purchases, views, Seq("user_id"),
-        "ts", "ts", payload = Seq("view_id", "view_value"), tiebreak = "view_id")
+    join(purchases, views)
       .select(col("event_id"), col("user_id"),
         expr("unix_seconds(ts)").as("purchase_epoch"),
         col("view_id"), round(col("view_value"), 2).as("view_value"))
       .orderBy("event_id")
   }
+
+  /** D10 backward as-of join ([[graft.operators.AsofJoin.backward]]). */
+  private def d10(s: SparkSession, d: String): DataFrame =
+    asofPurchaseViews(s, d)((p, v) =>
+      graft.operators.AsofJoin.backward(p, v, Seq("user_id"),
+        "ts", "ts", payload = Seq("view_id", "view_value"), tiebreak = "view_id"))
 
   /** D10's hot-key escape hatch ([[graft.operators.AsofJoin.backwardSliced]]):
     * same semantics, window partitioned on (user, day-slice) with
     * per-slice carry state — the form a single pathological user (half
-    * the events) runs at scale. Result is provably identical to d10, so
-    * it shares d10's oracle. */
-  private def d11(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("ts"),
-        col("event_type"), col("value"))
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val views = ev.where(col("event_type") === "view")
-      .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
-        col("value").as("view_value"))
-    graft.operators.AsofJoin.backwardSliced(purchases, views, Seq("user_id"),
+    * the events) runs at scale. Provably identical to d10, so it shares
+    * d10's oracle. */
+  private def d11(s: SparkSession, d: String): DataFrame =
+    asofPurchaseViews(s, d)((p, v) =>
+      graft.operators.AsofJoin.backwardSliced(p, v, Seq("user_id"),
         "ts", "ts", payload = Seq("view_id", "view_value"),
-        tiebreak = "view_id", sliceWidth = 86400L)
-      .select(col("event_id"), col("user_id"),
-        expr("unix_seconds(ts)").as("purchase_epoch"),
-        col("view_id"), round(col("view_value"), 2).as("view_value"))
-      .orderBy("event_id")
-  }
+        tiebreak = "view_id", sliceWidth = 86400L))
+
+  /** The union+running-last DuckDB rendering (deterministic ties — not
+    * DuckDB's ASOF JOIN syntax), shared verbatim by d10 and d11. */
+  private val asofOracleSql =
+    """WITH u AS (
+      |  SELECT user_id, ts, 1 AS side, event_id,
+      |         NULL::BIGINT AS ord, NULL::BIGINT AS v_id,
+      |         NULL::DOUBLE AS v_val
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, NULL, event_id, event_id, value
+      |  FROM events WHERE event_type = 'view'),
+      |w AS (
+      |  SELECT *,
+      |    last_value(v_id IGNORE NULLS) OVER win AS view_id,
+      |    last_value(v_val IGNORE NULLS) OVER win AS m_val
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, ord
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |       epoch_ns(ts) // 1000000000 AS purchase_epoch,
+      |       view_id, round(m_val, 2) AS view_value
+      |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 
   val entries: Seq[Q] = Seq(
-    Q("d10_asof_join", d10,
-      Some("""WITH u AS (
-             |  SELECT user_id, ts, 1 AS side, event_id,
-             |         NULL::BIGINT AS ord, NULL::BIGINT AS v_id,
-             |         NULL::DOUBLE AS v_val
-             |  FROM events WHERE event_type = 'purchase'
-             |  UNION ALL
-             |  SELECT user_id, ts, 0, NULL, event_id, event_id, value
-             |  FROM events WHERE event_type = 'view'),
-             |w AS (
-             |  SELECT *,
-             |    last_value(v_id IGNORE NULLS) OVER win AS view_id,
-             |    last_value(v_val IGNORE NULLS) OVER win AS m_val
-             |  FROM u
-             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, ord
-             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             |SELECT event_id, user_id,
-             |       epoch_ns(ts) // 1000000000 AS purchase_epoch,
-             |       view_id, round(m_val, 2) AS view_value
-             |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)),
-    Q("d11_asof_sliced", d11,
-      Some("""WITH u AS (
-             |  SELECT user_id, ts, 1 AS side, event_id,
-             |         NULL::BIGINT AS ord, NULL::BIGINT AS v_id,
-             |         NULL::DOUBLE AS v_val
-             |  FROM events WHERE event_type = 'purchase'
-             |  UNION ALL
-             |  SELECT user_id, ts, 0, NULL, event_id, event_id, value
-             |  FROM events WHERE event_type = 'view'),
-             |w AS (
-             |  SELECT *,
-             |    last_value(v_id IGNORE NULLS) OVER win AS view_id,
-             |    last_value(v_val IGNORE NULLS) OVER win AS m_val
-             |  FROM u
-             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, ord
-             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             |SELECT event_id, user_id,
-             |       epoch_ns(ts) // 1000000000 AS purchase_epoch,
-             |       view_id, round(m_val, 2) AS view_value
-             |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)),
+    Q("d10_asof_join", d10, Some(asofOracleSql)),
+    Q("d11_asof_sliced", d11, Some(asofOracleSql)),
     Q("a13_geojson_sink", a13,
       Some(s"""WITH v AS (SELECT c_custkey, ${Synth.latvLonvSql("c_custkey")},
               |  round(${Synth.latSql.format("c_custkey")}, 2) AS rlat,

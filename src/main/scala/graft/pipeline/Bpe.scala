@@ -51,10 +51,18 @@ object Bpe {
     * Ties on frequency resolve to the lexicographically smallest
     * separator-joined pair string, matching the oracle's `ORDER BY freq
     * DESC, pr`. Stops early only when no adjacent pair remains. */
+  /** The persisted-RDD id behind a checkpointed Dataset (its analyzed
+    * plan is a single LogicalRDD) — lets [[train]] free exactly the
+    * checkpoints it created, never a concurrent job's. */
+  private def checkpointRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+
   def train(words: DataFrame, numMerges: Int): Seq[Merge] = {
     require(numMerges > 0, "need at least one merge round")
     val sc = words.sparkSession.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
+    val ownCheckpoints = Seq.newBuilder[Int]
     // (?s) so line terminators survive as symbols — a bare `.` silently
     // DROPS them, leaving symbols that no longer concatenate back to the
     // word (and diverging from the oracle's character slicing). Java
@@ -65,10 +73,11 @@ object Bpe {
         col("cnt"))
       .where(size(col("syms")) > 0)
       .localCheckpoint()
+    ownCheckpoints ++= checkpointRddId(st)
     val merges = Seq.newBuilder[Merge]
     var round = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
+    try while (round < numMerges && !exhausted) {
       val n = size(col("syms"))
       val best = st
         .select(explode(zip_with(
@@ -96,16 +105,22 @@ object Bpe {
         // instead of costing a separate job per round (2x fewer jobs —
         // round overhead dominates when the histogram is small)
         st = st.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint(false)
+        ownCheckpoints ++= checkpointRddId(st)
         round += 1
       }
     }
-    // free every checkpoint this loop created — otherwise numMerges
-    // materialized copies of the histogram sit in the block manager for
-    // the rest of the session (at the operator's own claimed scale, the
-    // histogram of a 100 TB corpus is billions of rows)
-    sc.getPersistentRDDs
-      .filter { case (id, _) => !preexisting.contains(id) }
-      .values.foreach(_.unpersist(false))
+    // free exactly the checkpoints THIS call created (tracked by RDD id
+    // — a blanket registry diff would unpersist concurrent jobs' caches
+    // on a shared session, and unpersisting someone else's localCheckpoint
+    // is unrecoverable): otherwise numMerges materialized copies of the
+    // histogram sit in the block manager for the rest of the session (at
+    // the operator's own claimed scale, the histogram of a 100 TB corpus
+    // is billions of rows). In a finally so a mid-round failure can't
+    // leak them either.
+    finally {
+      val persisted = sc.getPersistentRDDs
+      ownCheckpoints.result().foreach(id => persisted.get(id).foreach(_.unpersist(false)))
+    }
     merges.result()
   }
 

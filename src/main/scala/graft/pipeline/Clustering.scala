@@ -43,6 +43,23 @@ object Clustering {
   def kmeans(df: DataFrame, idCol: String, vecCol: String,
              k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0)
+    // one cheap aggregate up front, BEFORE seeds and BEFORE the
+    // repartition (the guard over the raw scan is a scan + 1-row
+    // exchange; over the repartitioned relation it would pay a full
+    // corpus shuffle just to validate): a ragged or null vector would
+    // otherwise die as an opaque index error inside the seed collect or
+    // the assignment UDF, or silently skew per-dimension means.
+    // min/max SKIP nulls, so null rows are caught by the count compare,
+    // not the size stats.
+    val sz = df.agg(min(size(col(vecCol))).as("mn"),
+      max(size(col(vecCol))).as("mx"),
+      count(col(vecCol)).as("nonnull"), count(lit(1)).as("total")).head()
+    require(sz.getLong(2) == sz.getLong(3),
+      s"$vecCol has ${sz.getLong(3) - sz.getLong(2)} null vectors")
+    require(!sz.isNullAt(0) && sz.getInt(0) == sz.getInt(1),
+      s"$vecCol widths are ragged: [${if (sz.isNullAt(0)) "null" else sz.getInt(0)}, " +
+        s"${if (sz.isNullAt(1)) "null" else sz.getInt(1)}]")
+
     val seedRows = df.select(col(idCol), col(vecCol)).orderBy(col(idCol))
       .limit(k).collect()
     require(seedRows.length >= k, s"corpus has fewer than k=$k rows")
@@ -54,17 +71,6 @@ object Clustering {
     // input fits the storage tier; the operator itself stays unmaterialized.
     val base = df.select(col(idCol), col(vecCol))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-
-    // one cheap aggregate up front (the Quantize.trainMinMax pattern): a
-    // ragged or null vector would otherwise die as an opaque index error
-    // inside the assignment UDF, or silently skew per-dimension means
-    val dims = cents(0).length
-    val sz = base.agg(min(size(col(vecCol))).as("mn"),
-      max(size(col(vecCol))).as("mx")).head()
-    require(!sz.isNullAt(0) && sz.getInt(0) == dims && sz.getInt(1) == dims,
-      s"$vecCol must be non-null with uniform width $dims (seed width); " +
-        s"corpus has widths [${if (sz.isNullAt(0)) "null" else sz.getInt(0)}, " +
-        s"${if (sz.isNullAt(1)) "null" else sz.getInt(1)}]")
 
     for (_ <- 1 to iters) {
       val cl = cents

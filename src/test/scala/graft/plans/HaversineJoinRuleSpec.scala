@@ -11,7 +11,12 @@ import graft.geo.GeoFunctions
   * return exactly the brute-force pair set — including across OLC cell
   * borders, the antimeridian, near-polar latitudes, and null coordinates.
   */
-class HaversineJoinRuleSpec extends AnyFunSuite {
+class HaversineJoinRuleSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  // symmetric to the clean-slate build below: do not leak the
+  // extensions-enabled session to later suites either
+  override def afterAll(): Unit = spark.stop()
 
   private lazy val spark = {
     // this suite NEEDS its own session config (the extensions injection
