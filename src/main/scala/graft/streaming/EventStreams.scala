@@ -86,6 +86,54 @@ object EventStreams {
       }
   }
 
+  case class AsofUpdate(event_id: Long, user_id: Long, ts: Timestamp,
+                        view_id: Option[Long], view_value: Option[Double])
+
+  case class LatestView(ts: Long, viewId: Long, value: Double)
+
+  /** Streaming backward as-of enrichment — the streaming form of
+    * [[graft.operators.AsofJoin.backward]] (and the d10 catalog query):
+    * every `purchase` event is emitted with the latest `view` event
+    * at-or-before it for the same user. State is ONE row per key (the
+    * current latest view) — O(|keys|), not O(|events|) — so it runs
+    * indefinitely without growth; resolution inside a micro-batch sorts
+    * by (ts, side, id) exactly like the batch operator (views before
+    * purchases at equal ts → inclusive match, largest (ts, id) view
+    * wins ties).
+    *
+    * Parity contract (pinned in `EventStreamsSpec`): equal to the batch
+    * operator whenever micro-batch boundaries respect event-time order
+    * (a view never arrives in a LATER batch than a purchase it should
+    * enrich) — the standard streaming as-of tradeoff; an
+    * out-of-watermark view cannot retro-enrich an already-emitted
+    * purchase. */
+  def asofEnrichStream(events: Dataset[Event],
+                       watermark: String = "15 minutes"): Dataset[AsofUpdate] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestView, AsofUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[LatestView]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
+          var cur = state.getOption
+          val out = List.newBuilder[AsofUpdate]
+          sorted.foreach { e =>
+            if (e.event_type == "view") {
+              val newer = cur.forall(c =>
+                c.ts < e.ts.getTime || (c.ts == e.ts.getTime && c.viewId < e.event_id))
+              if (newer) cur = Some(LatestView(e.ts.getTime, e.event_id, e.value))
+            } else if (e.event_type == "purchase") {
+              out += AsofUpdate(e.event_id, uid, e.ts,
+                cur.map(_.viewId), cur.map(_.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Per-tile incremental materialized view — the streaming form of the
     * reference's tile-targeted cache invalidation
     * (BaseOprPlaceDataProvider.java:352-392; history caches

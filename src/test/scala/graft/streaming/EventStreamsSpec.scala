@@ -237,4 +237,51 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("streaming as-of enrichment matches the batch operator across micro-batches") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rnd = new scala.util.Random(13)
+      // interleaved views/purchases over few users with plenty of exact-ts
+      // ties; fed in EVENT-TIME ORDER split across 3 micro-batches (the
+      // documented parity contract)
+      val all = ((1 to 240).map { i =>
+        val kind = if (rnd.nextBoolean()) "view" else "purchase"
+        EventStreams.Event(i.toLong, ts(rnd.nextInt(40)), 1L + rnd.nextInt(4),
+          kind, rnd.nextInt(100) / 4.0)
+      } :+ // a user with a purchase and no views at all → null payload path
+        EventStreams.Event(500L, ts(3), 9L, "purchase", 1.0))
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      val batches = all.grouped(80).toSeq
+
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.asofEnrichStream(mem.toDS(), "5 minutes")
+        .writeStream.format("memory").queryName("asof")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        val got = spark.table("asof").collect()
+          .map(r => r.getLong(0) ->
+            (Option(r.get(3)).map(_.asInstanceOf[Long]),
+             Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+
+        val df = all.toDF()
+        val purchases = df.where($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val views = df.where($"event_type" === "view")
+          .select($"event_id".as("view_id"), $"user_id", $"ts",
+            $"value".as("view_value"))
+        val want = graft.operators.AsofJoin.backward(purchases, views,
+            Seq("user_id"), "ts", "ts", Seq("view_id", "view_value"), "view_id")
+          .collect()
+          .map(r => r.getLong(0) ->
+            (Option(r.get(3)).map(_.asInstanceOf[Long]),
+             Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+        assert(got == want)
+        assert(got.nonEmpty && got.values.exists(_._1.isEmpty),
+          "fixture should include purchases before any view")
+      } finally q.stop()
+    }
+  }
 }
