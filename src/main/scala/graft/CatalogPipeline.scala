@@ -146,6 +146,63 @@ object CatalogPipeline {
       |  FROM cenc e JOIN pcb b ON b.s = e.s AND b.code = e.code
       |  GROUP BY e.neighbor_id, e.cell)""".stripMargin
 
+  /** Residual form of [[pqCodebookSql]] (FAISS `by_residual=true`, the
+    * p35 oracle): the codebooks train on, and the codes quantize,
+    * `v − centroid(cell(v))`; reconstruction adds the centroid back.
+    * Needs `samp`, `cents` (ivfCentsSql) and `corp` (ivfProbeSql) in
+    * scope; sample cells come from `corp` itself (samp ⊆ embeddings). */
+  private val pqResCodebookSql =
+    """rsamp AS MATERIALIZED (
+      |  SELECT s.vec_id,
+      |         list_transform(range(64), i -> s.embedding[i+1]::DOUBLE - cn.c[i+1]) AS r
+      |  FROM samp s JOIN corp co ON co.neighbor_id = s.vec_id
+      |              JOIN cents cn ON cn.cell = co.cell),
+      |rpseeds AS MATERIALIZED (
+      |  SELECT t.s AS s,
+      |         CAST(row_number() OVER (PARTITION BY t.s ORDER BY q.vec_id) - 1 AS BIGINT) AS code,
+      |         list_transform(range(8), iw -> q.r[CAST(t.s*8 + iw + 1 AS INT)]) AS cbv
+      |  FROM (SELECT * FROM rsamp ORDER BY vec_id LIMIT 16) q, range(8) t(s)),
+      |rpsub AS MATERIALIZED (
+      |  SELECT p.vec_id, t.s AS s,
+      |         list_transform(range(8), iw -> p.r[CAST(t.s*8 + iw + 1 AS INT)]) AS sub
+      |  FROM rsamp p, range(8) t(s)),
+      |rpassign AS MATERIALIZED (
+      |  SELECT a.vec_id, a.s, a.sub,
+      |         (SELECT code FROM (
+      |            SELECT sd.code, list_sum(list_transform(range(len(a.sub)), iw ->
+      |              (a.sub[iw+1] - sd.cbv[iw+1]) * (a.sub[iw+1] - sd.cbv[iw+1]))) AS dist
+      |            FROM rpseeds sd WHERE sd.s = a.s)
+      |          ORDER BY dist ASC, code ASC LIMIT 1) AS code
+      |  FROM rpsub a),
+      |rpmean AS (SELECT s, code, list_transform(range(8), iw ->
+      |            list_sum(list_transform(vals, v -> v[iw+1])) / cnt) AS cbv
+      |          FROM (SELECT s, code, list(sub ORDER BY vec_id) AS vals, count(*) AS cnt
+      |                FROM rpassign GROUP BY s, code)),
+      |rpcb AS MATERIALIZED (SELECT sd.s, sd.code, coalesce(pm.cbv, sd.cbv) AS cbv
+      |       FROM rpseeds sd LEFT JOIN rpmean pm ON pm.s = sd.s AND pm.code = sd.code),
+      |rcsub AS MATERIALIZED (
+      |  SELECT c.neighbor_id, c.cell, t.s AS s,
+      |         list_transform(range(8), iw ->
+      |           c.c_vec[CAST(t.s*8 + iw + 1 AS INT)]::DOUBLE
+      |             - cn.c[CAST(t.s*8 + iw + 1 AS INT)]) AS sub
+      |  FROM corp c JOIN cents cn ON cn.cell = c.cell CROSS JOIN range(8) t(s)),
+      |rcenc AS MATERIALIZED (
+      |  SELECT a.neighbor_id, a.cell, a.s,
+      |         (SELECT code FROM (
+      |            SELECT sd.code, list_sum(list_transform(range(len(a.sub)), iw ->
+      |              (a.sub[iw+1] - sd.cbv[iw+1]) * (a.sub[iw+1] - sd.cbv[iw+1]))) AS dist
+      |            FROM rpcb sd WHERE sd.s = a.s)
+      |          ORDER BY dist ASC, code ASC LIMIT 1) AS code
+      |  FROM rcsub a),
+      |rflat AS MATERIALIZED (
+      |  SELECT e.neighbor_id, e.cell, flatten(list(b.cbv ORDER BY e.s)) AS fl
+      |  FROM rcenc e JOIN rpcb b ON b.s = e.s AND b.code = e.code
+      |  GROUP BY e.neighbor_id, e.cell),
+      |rpdq AS MATERIALIZED (
+      |  SELECT f.neighbor_id, f.cell,
+      |         list_transform(range(64), i -> cn.c[i+1] + f.fl[i+1]) AS dq
+      |  FROM rflat f JOIN cents cn ON cn.cell = f.cell)""".stripMargin
+
   /** DuckDB rendering of [[graft.pipeline.Quantize.trainMinMax]] over the
     * embeddings table as a CTE pair (sqstats: per-dim min/max; rng: the
     * los/his range lists). Shared by the p27/p30 oracles. */
@@ -280,6 +337,15 @@ object CatalogPipeline {
     val e = Tables.embeddings(s, d)
     Similarity.ivfPqTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 16, dims = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Residual IVF+PQ ([[graft.pipeline.Similarity.ivfPqResidualTopK]]):
+    * p32 with FAISS's default by_residual=true encoding. */
+  private def p35(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfPqResidualTopK(e, e.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 16, dims = 64)
       .orderBy("query_id", "rank")
   }
 
@@ -742,6 +808,23 @@ object CatalogPipeline {
               |               x -> x::DOUBLE * x::DOUBLE)))
               |           * sqrt(list_sum(list_transform(d.dq, x -> x * x)))), 6) AS sim
               |      FROM qp q JOIN pdq d USING (cell)
+              |      WHERE q.query_id <> d.neighbor_id)
+              |SELECT query_id, neighbor_id, sim, rank FROM (
+              |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+    Q("p35_ann_ivf_pq_res", p35,
+      // p32's chain with the residual codebook CTEs; scoring unchanged
+      Some(s"""WITH ${ivfCentsSql("embeddings")},
+              |$ivfProbeSql,
+              |$pqResCodebookSql,
+              |s AS (SELECT q.query_id, d.neighbor_id,
+              |        round(list_sum(list_transform(range(64), i ->
+              |            q.q_vec[i+1]::DOUBLE * d.dq[i+1]))
+              |          / (sqrt(list_sum(list_transform(q.q_vec,
+              |               x -> x::DOUBLE * x::DOUBLE)))
+              |           * sqrt(list_sum(list_transform(d.dq, x -> x * x)))), 6) AS sim
+              |      FROM qp q JOIN rpdq d USING (cell)
               |      WHERE q.query_id <> d.neighbor_id)
               |SELECT query_id, neighbor_id, sim, rank FROM (
               |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id

@@ -112,6 +112,16 @@ object Similarity {
   private def ivfAssign(corpus: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, nlist: Int, nprobe: Int)
       : (DataFrame, DataFrame) = {
+    val (c, q, _) = ivfAssignWithCents(corpus, queries, idCol, vecCol, nlist, nprobe)
+    (c, q)
+  }
+
+  /** [[ivfAssign]] variant that also surfaces the trained centroids —
+    * residual PQ encoding needs them again for the subtraction. */
+  private def ivfAssignWithCents(corpus: DataFrame, queries: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 nlist: Int, nprobe: Int)
+      : (DataFrame, DataFrame, Array[Array[Double]]) = {
     val centroids = trainQuantizer(corpus, idCol, vecCol, nlist)
     val assign = udf((v: Seq[Float]) => nearestCells(centroids, v, 1).head)
     val probes = udf((v: Seq[Float]) => nearestCells(centroids, v, nprobe))
@@ -121,7 +131,7 @@ object Similarity {
         assign(col(vecCol)).as("cell"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("q_vec"), explode(probes(col(vecCol))).as("cell")))
-    (c, q)
+    (c, q, centroids)
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
@@ -196,15 +206,27 @@ object Similarity {
     * Ties in the argmin resolve to the smallest code index, matching the
     * oracle's `ORDER BY dist ASC, code ASC`. */
   private def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
-                      m: Int, ksub: Int, dims: Int): Array[Array[Array[Double]]] = {
+                      m: Int, ksub: Int, dims: Int): Array[Array[Array[Double]]] =
+    trainPqOn(sampleVectors(corpus, idCol, vecCol)
+      .map(v => Array.tabulate(dims)(i => v(i).toDouble)), m, ksub, dims)
+
+  /** The bounded lowest-id training sample shared by the PQ trainers
+    * (same 256-vector window as [[trainQuantizer]]). */
+  private def sampleVectors(corpus: DataFrame, idCol: String,
+                            vecCol: String): Array[Seq[Float]] =
+    corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(256).collect().map(_.getSeq[Float](1))
+
+  /** Codebook training over pre-built (possibly residual) double
+    * vectors. */
+  private def trainPqOn(samples: Array[Array[Double]], m: Int, ksub: Int,
+                        dims: Int): Array[Array[Array[Double]]] = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val dsub = dims / m
-    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
-      .limit(256).collect().map(_.getSeq[Float](1))
-    require(sample.length >= ksub,
-      s"PQ training sample (${sample.length}) smaller than ksub=$ksub")
+    require(samples.length >= ksub,
+      s"PQ training sample (${samples.length}) smaller than ksub=$ksub")
     Array.tabulate(m) { s =>
-      val subs = sample.map(v => Array.tabulate(dsub)(iw => v(s * dsub + iw).toDouble))
+      val subs = samples.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       val seeds = subs.take(ksub)
       val sums = Array.fill(ksub)(new Array[Double](dsub))
       val counts = new Array[Long](ksub)
@@ -262,12 +284,20 @@ object Similarity {
     val encodeUdf = udf((v: Seq[Float]) => Array.tabulate(m) { s =>
       argminL2(cb(s), Array.tabulate(dsub)(iw => v(s * dsub + iw).toDouble))
     })
-    def sumOf(arr: Column) = aggregate(arr, lit(0.0), (s, x) => s + x)
     val (cRaw, qRaw) = ivfAssign(corpus, queries, idCol, vecCol, nlist, nprobe)
     val c = cRaw
       .withColumn("codes", encodeUdf(col("c_vec")))
       .withColumn("dq", flatten(transform(col("codes"),
         (code, s) => element_at(element_at(cbLit, s + lit(1)), code + lit(1)))))
+    scoreReconstructed(c, qRaw, k)
+  }
+
+  /** Shared ADC tail of the PQ variants: precompute the reconstruction
+    * norm per corpus row, join probed cells, score `q · dq` in the exact
+    * p30 fold order. `c` must carry (neighbor_id, cell, dq). */
+  private def scoreReconstructed(cIn: DataFrame, qRaw: DataFrame, k: Int): DataFrame = {
+    def sumOf(arr: Column) = aggregate(arr, lit(0.0), (s, x) => s + x)
+    val c = cIn
       .withColumn("nb", sumOf(transform(col("dq"), x => x * x)))
       .drop("c_vec", "codes")
     val q = qRaw.withColumn("q_vec", transform(col("q_vec"), x => x.cast("double")))
@@ -277,6 +307,42 @@ object Similarity {
     val na = sumOf(transform(col("q_vec"), a => a * a))
     topK(joined.select(col("query_id"), col("neighbor_id"),
       round(dot / (sqrt(na) * sqrt(col("nb"))), 6).as("sim")), k)
+  }
+
+  /** [[ivfPqTopK]] with FAISS's DEFAULT `by_residual=true` encoding: the
+    * codebooks are trained on, and the codes quantize, the RESIDUAL
+    * `v − centroid(cell(v))` — residual energy is much smaller than
+    * vector energy once the coarse quantizer has soaked up the cluster
+    * structure, so the same m bytes buy finer resolution on clustered
+    * data. Reconstruction adds the cell centroid back
+    * (`dq = centroid + codebook rows`); scoring is the shared ADC
+    * tail. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nlist: Int, nprobe: Int,
+                        m: Int, ksub: Int, dims: Int): DataFrame = {
+    val (cRaw, qRaw, cents) =
+      ivfAssignWithCents(corpus, queries, idCol, vecCol, nlist, nprobe)
+    val dsub = dims / m
+    val residuals = sampleVectors(corpus, idCol, vecCol).map { v =>
+      val cell = nearestCells(cents, v, 1).head
+      Array.tabulate(dims)(i => v(i).toDouble - cents(cell)(i))
+    }
+    val cb = trainPqOn(residuals, m, ksub, dims)
+    val encodeUdf = udf((v: Seq[Float], cell: Int) => Array.tabulate(m) { s =>
+      argminL2(cb(s), Array.tabulate(dsub)(iw =>
+        v(s * dsub + iw).toDouble - cents(cell)(s * dsub + iw)))
+    })
+    val centsLit = array(cents.map(cv => array(cv.map(lit): _*)): _*)
+    val cbLit = array(cb.map(sub =>
+      array(sub.map(code => array(code.map(lit): _*)): _*)): _*)
+    val c = cRaw
+      .withColumn("codes", encodeUdf(col("c_vec"), col("cell")))
+      .withColumn("dq", zip_with(
+        element_at(centsLit, col("cell") + 1),
+        flatten(transform(col("codes"),
+          (code, s) => element_at(element_at(cbLit, s + lit(1)), code + lit(1)))),
+        (a, b) => a + b))
+    scoreReconstructed(c, qRaw, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all corpus pairs with

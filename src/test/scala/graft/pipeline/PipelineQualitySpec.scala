@@ -139,6 +139,40 @@ class PipelineQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("residual PQ beats direct PQ on clustered embeddings") {
+    // FAISS's by_residual rationale: once the coarse quantizer soaks up
+    // cluster structure, residual energy is small, so the same code
+    // budget buys finer resolution. Uniform-random corpora hide this
+    // (residual ≈ vector); a CLUSTERED corpus shows it.
+    withSpark { spark =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(5)
+      val dims = 16
+      val centers = Array.fill(16)(Array.fill(dims)((rnd.nextDouble() * 10 - 5).toFloat))
+      val vecs = (1L to 500L).map { id =>
+        val c = centers(rnd.nextInt(centers.length))
+        (id, c.map(x => x + (rnd.nextGaussian() * 0.3).toFloat))
+      }.toDF("vec_id", "embedding")
+      val q = vecs.where(col("vec_id") < 20)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // nprobe = nlist ⇒ every variant sees ALL candidates: overlap
+      // differences measure quantization fidelity only
+      val full = rows(Similarity.ivfTopK(vecs, q, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 16))
+      val direct = rows(Similarity.ivfPqTopK(vecs, q, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 16, m = 8, ksub = 16, dims = dims))
+      val residual = rows(Similarity.ivfPqResidualTopK(vecs, q, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 16, m = 8, ksub = 16, dims = dims))
+      val od = direct.intersect(full).size.toDouble / full.size
+      val or = residual.intersect(full).size.toDouble / full.size
+      info(s"direct PQ overlap = $od, residual PQ overlap = $or")
+      assert(or > od, s"residual ($or) should beat direct ($od) on clustered data")
+      assert(or >= 0.6, s"residual overlap $or below contract")
+    }
+  }
+
   test("simhash pairs are within the declared Hamming bound and symmetric-free") {
     withSpark { spark =>
       val docs = graft.Tables.documents(spark, sf).select("doc_id", "text", "lang")
