@@ -340,6 +340,19 @@ object CatalogPipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** Gopher quality rules ([[graft.pipeline.QualityRules.gopherRules]])
+    * over the raw documents (minWords lowered to 10 so the synthetic
+    * short-doc corpus exercises both branches of the flag). */
+  private def p36(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.QualityRules.gopherRules(
+        Tables.documents(s, d), "doc_id", "text", minWords = 10)
+      .orderBy("doc_id")
+
+  /** C4 cleaning rules ([[graft.pipeline.QualityRules.c4Rules]]). */
+  private def p37(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.QualityRules.c4Rules(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Residual IVF+PQ ([[graft.pipeline.Similarity.ivfPqResidualTopK]]):
     * p32 with FAISS's default by_residual=true encoding. */
   private def p35(s: SparkSession, d: String): DataFrame = {
@@ -813,6 +826,44 @@ object CatalogPipeline {
               |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
               |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+    Q("p36_gopher_rules", p36,
+      Some("""WITH w AS (SELECT doc_id,
+             |            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |          FROM documents),
+             |m AS (SELECT doc_id,
+             |        CAST(len(ws) AS INT) AS n_words,
+             |        CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT)
+             |          AS sum_word_len,
+             |        CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS INT)
+             |          AS alpha_words,
+             |        CAST(len(list_filter(ws, x -> list_contains(
+             |          ['the','be','to','of','and','that','have','with'], lower(x)))) AS INT)
+             |          AS stopword_hits
+             |      FROM w)
+             |SELECT doc_id, n_words, sum_word_len, alpha_words, stopword_hits,
+             |  CASE WHEN n_words > 0 THEN round(sum_word_len / n_words, 6)
+             |       ELSE 0.0 END AS mean_word_len,
+             |  (n_words >= 10 AND n_words <= 100000
+             |   AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+             |   AND alpha_words * 5 >= n_words * 4 AND stopword_hits >= 2) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)),
+    Q("p37_c4_clean", p37,
+      Some("""SELECT doc_id,
+             |  CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS INT)
+             |    AS n_sentences,
+             |  regexp_matches(text, '[.!?"'']$') AS ends_terminal,
+             |  contains(text, '{') AS has_brace,
+             |  (contains(lower(text), 'lorem ipsum') OR contains(lower(text), 'javascript')
+             |   OR contains(lower(text), 'terms of use')
+             |   OR contains(lower(text), 'privacy policy')) AS has_boilerplate,
+             |  (regexp_matches(text, '[.!?"'']$')
+             |   AND length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) >= 3
+             |   AND NOT contains(text, '{')
+             |   AND NOT (contains(lower(text), 'lorem ipsum')
+             |            OR contains(lower(text), 'javascript')
+             |            OR contains(lower(text), 'terms of use')
+             |            OR contains(lower(text), 'privacy policy'))) AS keep
+             |FROM documents ORDER BY doc_id""".stripMargin)),
     Q("p35_ann_ivf_pq_res", p35,
       // p32's chain with the residual codebook CTEs; scoring unchanged
       Some(s"""WITH ${ivfCentsSql("embeddings")},
