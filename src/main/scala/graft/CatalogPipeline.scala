@@ -340,6 +340,17 @@ object CatalogPipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** BM25 query-driven ranking ([[graft.pipeline.Retrieval.bm25TopK]]):
+    * three topic-seed queries over the documents table, top-10 each. */
+  private def p38(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq((1, "table scan fast"), (2, "spark window agg"),
+      (3, "customer query value")).toDF("query_id", "query_text")
+    graft.pipeline.Retrieval.bm25TopK(Tables.documents(s, d), queries,
+        "doc_id", "text", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Gopher quality rules ([[graft.pipeline.QualityRules.gopherRules]])
     * over the raw documents (minWords lowered to 10 so the synthetic
     * short-doc corpus exercises both branches of the flag). */
@@ -826,6 +837,36 @@ object CatalogPipeline {
               |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
               |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+    Q("p38_bm25", p38,
+      // float-order parity: partial scores fold in lexicographic term
+      // order on both sides (list ORDER BY term ≙ sort_array over the
+      // collected (term, part) structs)
+      Some("""WITH terms AS (SELECT doc_id, word AS term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             |      x -> x <> '')) AS word FROM documents)
+             |  GROUP BY doc_id, word),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |       FROM terms GROUP BY doc_id),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dft AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+             |q(query_id, query_text) AS (VALUES
+             |  (1, 'table scan fast'), (2, 'spark window agg'),
+             |  (3, 'customer query value')),
+             |qt AS (SELECT query_id, unnest(list_distinct(list_filter(
+             |         string_split(query_text, ' '), x -> x <> ''))) AS term FROM q),
+             |p AS (SELECT qt.query_id, t.doc_id, t.term,
+             |        ln(1.0 + (s.n::DOUBLE - d.df + 0.5) / (d.df + 0.5))
+             |          * t.tf * (1.2 + 1.0)
+             |          / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS part
+             |      FROM terms t JOIN dl l USING (doc_id) JOIN dft d USING (term)
+             |           JOIN qt ON qt.term = t.term, stats s),
+             |g AS (SELECT query_id, doc_id,
+             |        round(list_sum(list(part ORDER BY term)), 6) AS score
+             |      FROM p GROUP BY query_id, doc_id)
+             |SELECT query_id, doc_id, score, rank FROM (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, doc_id) AS INT) AS rank FROM g)
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
     Q("p36_gopher_rules", p36,
       Some("""WITH w AS (SELECT doc_id,
              |            list_filter(string_split(text, ' '), x -> x <> '') AS ws

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval scoring (Robertson & Zaragoza 2009, "The Probabilistic
+  * Relevance Framework: BM25 and Beyond") — the corpus-side ranking a
+  * curation pipeline uses for query-driven subset selection ("find the
+  * documents most relevant to this topic seed list").
+  *
+  * Distributed shape (100 TB):
+  *  - ONE explode + hash-agg shuffle builds the (doc, term, tf) relation
+  *    and per-doc lengths; document frequencies reduce from it with a
+  *    second small aggregate over distinct (term, doc) rows;
+  *  - the query set is broadcast (it is small by definition), so partial
+  *    scores are map-side against the doc-term relation;
+  *  - per-(query, doc) totals fold the partials in LEXICOGRAPHIC TERM
+  *    ORDER (sort_array over collected (term, partial) structs →
+  *    left-to-right aggregate), because float addition is not
+  *    associative and Spark's aggregation order is not deterministic —
+  *    the DuckDB oracle mirrors with `list_sum(list(x ORDER BY term))`.
+  *
+  * Scores use the idf form `ln(1 + (N − df + 0.5)/(df + 0.5))`
+  * (guaranteed non-negative) with the standard k1 = 1.2, b = 0.75.
+  */
+object Retrieval {
+
+  /** Top-k BM25 documents per query. `queries` must have (query_id,
+    * query_text); scoring tokenizes both sides with the pipeline's
+    * single-space convention. Emits (query_id, doc_id, score, rank). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+               textCol: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+
+    val terms = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.words(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // corpus stats in ONE bounded aggregate: N = docs with at least one
+    // term (empty docs can match nothing anyway), avgdl exact-integer-sum
+    // over count — both engines compute sum(long)/count in double
+    val statsRow = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1)
+    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val qterms = broadcast(queries
+      .select(col("query_id"),
+        explode(array_distinct(TextAnalysis.words(col("query_text")))).as("term")))
+
+    val partial = terms
+      .join(dl, "doc_id")
+      .join(df, "term")
+      .join(qterms, "term")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+
+    val scored = partial
+      .groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("part")))).as("ps"))
+      .select(col("query_id"), col("doc_id"),
+        round(aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("part")), 6)
+          .as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

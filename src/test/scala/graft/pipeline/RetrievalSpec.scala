@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Retrieval.bm25TopK against a scalar BM25 with the same constants and
+  * fold order, including absent query terms, non-matching docs, and
+  * score-tie determinism. */
+class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("retrieval-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def scalarBm25(docs: Seq[(Long, String)], query: String,
+                         k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val tokened = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }
+    val withTerms = tokened.filter(_._2.nonEmpty)
+    val n = withTerms.size.toDouble
+    val avgdl = withTerms.map(_._2.size.toLong).sum.toDouble / withTerms.size
+    val dfm = withTerms.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val qts = query.split(" ").filter(_.nonEmpty).distinct.sorted
+    withTerms.flatMap { case (id, ws) =>
+      val tfm = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val dl = ws.size.toLong
+      val parts = qts.flatMap { t =>
+        tfm.get(t).map { tf =>
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        }
+      }
+      if (parts.isEmpty) None
+      else Some(id -> BigDecimal(parts.foldLeft(0.0)(_ + _))
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+    }.toMap
+  }
+
+  test("bm25TopK matches the scalar reference, ranks deterministically") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (1L to 80L).map { id =>
+      (id, Seq.fill(4 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val queries = Seq((1, "alpha gamma"), (2, "zeta unknownterm"), (3, "beta"))
+    val got = Retrieval.bm25TopK(docs.toDF("doc_id", "text"),
+        queries.toDF("query_id", "query_text"), "doc_id", "text", k = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+
+    queries.foreach { case (qid, qtext) =>
+      val want = scalarBm25(docs, qtext).toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      want.zipWithIndex.foreach { case ((id, s), i) =>
+        val (gid, gs) = got((qid, i + 1))
+        assert(gid == id && math.abs(gs - s) < 2e-6,
+          s"query $qid rank ${i + 1}: got ($gid, $gs), want ($id, $s)")
+      }
+    }
+    // the unknown term contributes nothing but the query still ranks by zeta
+    assert((1 to 5).forall(r => got.contains((2, r))))
+  }
+}
