@@ -27,34 +27,46 @@ object Retrieval {
 
   /** Top-k BM25 documents per query. `queries` must have (query_id,
     * query_text); scoring tokenizes both sides with the pipeline's
-    * single-space convention. Emits (query_id, doc_id, score, rank). */
+    * single-space convention. Emits (query_id, doc_id, score, rank).
+    *
+    * Plan shape — exactly ONE corpus-sized shuffle: doc length rides the
+    * explode as `size(ws)` (so no doc-length re-aggregation), the corpus
+    * stats reduce map-side to one row, and the query-term semi-join
+    * (broadcast) runs BEFORE any other join, so document frequencies and
+    * every later stage see only matching rows. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
                textCol: String, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
 
-    val terms = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.words(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    // corpus stats in ONE bounded aggregate: N = docs with at least one
-    // term (empty docs can match nothing anyway), avgdl exact-integer-sum
-    // over count — both engines compute sum(long)/count in double
-    val statsRow = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    // the one corpus shuffle: (doc, term) counts, doc length carried along
+    // (functionally dependent on doc_id — free in the grouping key)
+    val terms = toks
+      .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // corpus stats in ONE bounded map-side aggregate: N = docs with at
+    // least one term (empty docs can match nothing anyway), avgdl
+    // exact-integer-sum over count — both engines compute
+    // sum(long)/count in double
+    val statsRow = toks.select(size(col("ws")).cast("long").as("dl"))
+      .where(col("dl") > 0)
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     val nDocs = statsRow.getLong(0)
     val avgdl = statsRow.getDouble(1)
-    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
 
     val qterms = broadcast(queries
       .select(col("query_id"),
         explode(array_distinct(TextAnalysis.words(col("query_text")))).as("term")))
+    // prune to query terms FIRST; df for those terms falls out of the
+    // pruned relation — a query-vocabulary-sized aggregate
+    val qf = terms.join(qterms, "term")
+    val df = broadcast(qf.groupBy("term")
+      .agg(count_distinct(col("doc_id")).as("df")))
 
-    val partial = terms
-      .join(dl, "doc_id")
+    val partial = qf
       .join(df, "term")
-      .join(qterms, "term")
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("part",
