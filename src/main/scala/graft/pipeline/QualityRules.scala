@@ -76,7 +76,10 @@ object QualityRules {
         col(idCol),
         (length(t) - length(regexp_replace(t, "[.!?]", "")))
           .cast("int").as("n_sentences"),
-        t.rlike("""[.!?"']$""").as("ends_terminal"),
+        // \z (absolute end of input): Java's $ would also match BEFORE a
+        // trailing newline, where the oracle's RE2 $ would not — the
+        // flags must agree for any input, not just the current corpus
+        t.rlike("""[.!?"']\z""").as("ends_terminal"),
         t.contains("{").as("has_brace"),
         boilerplate.map(b => lowered.contains(b)).reduce(_ || _)
           .as("has_boilerplate"))

@@ -54,7 +54,10 @@ object Retrieval {
       .where(col("dl") > 0)
       .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     val nDocs = statsRow.getLong(0)
-    val avgdl = statsRow.getDouble(1)
+    // an all-empty corpus has no avg (null) — any placeholder works
+    // because the scoring relation is empty too; result: zero rows, not
+    // an opaque NPE at plan construction
+    val avgdl = if (statsRow.isNullAt(1)) 1.0 else statsRow.getDouble(1)
 
     val qterms = broadcast(queries
       .select(col("query_id"),

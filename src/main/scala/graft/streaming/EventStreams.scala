@@ -102,11 +102,13 @@ object EventStreams {
     * wins ties).
     *
     * Parity contract (pinned in `EventStreamsSpec`): equal to the batch
-    * operator whenever micro-batch boundaries respect event-time order
-    * (a view never arrives in a LATER batch than a purchase it should
-    * enrich) — the standard streaming as-of tradeoff; an
-    * out-of-watermark view cannot retro-enrich an already-emitted
-    * purchase. */
+    * operator whenever micro-batch boundaries respect the operator's
+    * event-time order — a view never arrives in a LATER batch than a
+    * purchase it should enrich (at equal ts that means the view's batch
+    * is no later). The standard streaming as-of tradeoffs otherwise: a
+    * late view cannot retro-enrich an already-emitted purchase, and a
+    * late purchase arriving behind a newer view emits null (the stored
+    * state is ahead of it) rather than the future view's payload. */
   def asofEnrichStream(events: Dataset[Event],
                        watermark: String = "15 minutes"): Dataset[AsofUpdate] = {
     import events.sparkSession.implicits._
@@ -125,8 +127,12 @@ object EventStreams {
                 c.ts < e.ts.getTime || (c.ts == e.ts.getTime && c.viewId < e.event_id))
               if (newer) cur = Some(LatestView(e.ts.getTime, e.event_id, e.value))
             } else if (e.event_type == "purchase") {
+              // a late-but-within-watermark purchase must not be enriched
+              // with a FUTURE view (state can be ahead of it): emit null
+              // rather than data the batch operator could never produce
+              val visible = cur.filter(_.ts <= e.ts.getTime)
               out += AsofUpdate(e.event_id, uid, e.ts,
-                cur.map(_.viewId), cur.map(_.value))
+                visible.map(_.viewId), visible.map(_.value))
             }
           }
           cur.foreach(state.update)

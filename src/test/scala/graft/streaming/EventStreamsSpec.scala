@@ -252,7 +252,11 @@ class EventStreamsSpec extends AnyFunSuite {
           kind, rnd.nextInt(100) / 4.0)
       } :+ // a user with a purchase and no views at all → null payload path
         EventStreams.Event(500L, ts(3), 9L, "purchase", 1.0))
-        .sortBy(e => (e.ts.getTime, e.event_id))
+        // the operator's own order — views BEFORE purchases at equal ts —
+        // so batch boundaries structurally honor the parity contract
+        // (sorting by bare (ts, id) only passed while no tied
+        // purchase/winning-view pair straddled a batch boundary)
+        .sortBy(e => (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
       val batches = all.grouped(80).toSeq
 
       val mem = MemoryStream[EventStreams.Event]
