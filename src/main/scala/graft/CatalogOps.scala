@@ -312,6 +312,15 @@ object CatalogOps {
           abs(col("exact_p50")) * 0.02).as("approx_within_2pct"))
       .orderBy("event_type")
 
+  /** Exact heavy hitters ([[graft.pipeline.HeavyHitters.frequentItems]]):
+    * words above 1/40 of the corpus, Misra-Gries candidates recounted
+    * exactly — the frequent-items member of the sketch family. */
+  private def x3(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.HeavyHitters.frequentItems(
+      Tables.documents(s, d).select(
+        explode(graft.pipeline.TextAnalysis.words(col("text"))).as("word")),
+      "word", k = 40)
+
   // ---- oracle SQL ---------------------------------------------------------------
 
   private def olc6For(keyExpr: String): String =
@@ -503,5 +512,15 @@ object CatalogOps {
       Some("""SELECT event_type, round(quantile_cont(value, 0.5), 4) AS exact_p50,
              |       TRUE AS approx_within_2pct
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("x3_heavy_hitters", x3,
+      // the output is EXACT (pass 2 recounts candidates), so the oracle
+      // is the plain GROUP BY / HAVING definition
+      Some("""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
+             |            x -> x <> '')) AS item FROM documents),
+             |n AS (SELECT count(*) AS total FROM w)
+             |SELECT item, CAST(count(*) AS BIGINT) AS cnt
+             |FROM w, n GROUP BY item, n.total
+             |HAVING count(*) * 40 > n.total
+             |ORDER BY item""".stripMargin)),
   )
 }
