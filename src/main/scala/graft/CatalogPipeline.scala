@@ -340,6 +340,14 @@ object CatalogPipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** DSIR data selection ([[graft.pipeline.Dsir.topKByImportance]]):
+    * English seed set as target, top-100 of the corpus by hashed-ngram
+    * log importance weight. */
+  private def p39(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Dsir.topKByImportance(Tables.documents(s, d), "doc_id",
+        "text", col("lang") === "en", k = 100)
+      .orderBy("rank")
+
   /** BM25 query-driven ranking ([[graft.pipeline.Retrieval.bm25TopK]]):
     * three topic-seed queries over the documents table, top-10 each. */
   private def p38(s: SparkSession, d: String): DataFrame = {
@@ -837,6 +845,42 @@ object CatalogPipeline {
               |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
               |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+    Q("p39_dsir", p39, {
+      // portable poly31 bucket hash of a string expression (the p3/p4
+      // nested-lambda pattern), mod 1024 feature buckets
+      def pb(s: String) =
+        s"""(list_reduce(list_prepend(0::BIGINT,
+           |   list_transform(range(length($s)),
+           |     c -> ascii(substr($s, CAST(c + 1 AS INT), 1))::BIGINT)),
+           |   (acc, x) -> (acc * 31 + x) % 1000000007) % 1024)""".stripMargin
+      Some(s"""WITH base AS (SELECT doc_id, lang,
+              |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              |       FROM documents),
+              |feat AS MATERIALIZED (SELECT doc_id, lang,
+              |  list_concat(
+              |    list_transform(ws, w -> CAST(${pb("w")} AS INT)),
+              |    list_transform(range(CASE WHEN len(ws) > 0 THEN len(ws) - 1 ELSE 0 END),
+              |      i -> CAST(${pb("(ws[i+1] || ' ' || ws[i+2])")} AS INT))) AS feats
+              |  FROM base),
+              |cnts AS (SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+              |           count(*) AS rc
+              |         FROM (SELECT lang, unnest(feats) AS b FROM feat) GROUP BY b),
+              |tot AS (SELECT CAST((SELECT coalesce(sum(tc), 0) FROM cnts) AS DOUBLE) AS nt,
+              |               CAST((SELECT coalesce(sum(rc), 0) FROM cnts) AS DOUBLE) AS nr),
+              |lw AS (SELECT list(
+              |         ln((coalesce(c.tc, 0) + 0.5) / (t.nt + 512.0))
+              |         - ln((coalesce(c.rc, 0) + 0.5) / (t.nr + 512.0))
+              |         ORDER BY r.range) AS lwl
+              |       FROM range(1024) r LEFT JOIN cnts c ON c.b = r.range, tot t),
+              |sc AS (SELECT f.doc_id,
+              |         round(coalesce(list_sum(list_transform(f.feats, x -> l.lwl[x+1])), 0.0), 6)
+              |           AS dsir_logw
+              |       FROM feat f, lw l)
+              |SELECT doc_id, dsir_logw, rank FROM (
+              |  SELECT *, CAST(row_number() OVER (ORDER BY dsir_logw DESC, doc_id) AS INT) AS rank
+              |  FROM sc)
+              |WHERE rank <= 100 ORDER BY rank""".stripMargin)
+    }),
     Q("p38_bm25", p38,
       // float-order parity: partial scores fold in lexicographic term
       // order on both sides (list ORDER BY term ≙ sort_array over the
