@@ -45,9 +45,17 @@ object Dsir {
                        isTarget: Column, k: Int,
                        buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // row-local featurization UDF (run twice over the corpus: counts +
+    // scoring). The production path for the hot-loop allergic is a
+    // MinhashBandKeys-style codegen kernel; at catalog scale the UDF is
+    // ~1 s and keeps the portable hash in one place. The coalesce keeps
+    // a NULL text from reaching the UDF as a null Seq (ScalaUDFs don't
+    // null-check reference inputs): null docs score 0.0, matching the
+    // oracle's NULL-feats coalesce.
     val featUdf = udf((ws: Seq[String]) => features(ws, buckets))
     val base = df.select(col(idCol), isTarget.as("is_target"),
-      featUdf(TextAnalysis.words(col(textCol))).as("feats"))
+      featUdf(coalesce(TextAnalysis.words(col(textCol)),
+        array().cast("array<string>"))).as("feats"))
 
     // one shuffle: per-bucket target/raw occurrence counts
     val countRows = base

@@ -24,17 +24,23 @@ import org.apache.spark.sql.functions._
 object HeavyHitters {
 
   /** Items (as strings) of `itemCol` with global count strictly greater
-    * than N/k, with their exact counts: (item, cnt), ordered by item. */
+    * than N/k, with their exact counts: (item, cnt), ordered by item.
+    *
+    * Genuinely two scans: pass 1 emits ONE bounded summary row per
+    * partition — (MG candidates, partition row count) — collected like
+    * the IVF centroid pull, so N needs no separate count() job; pass 2
+    * is the candidate recount. */
   def frequentItems(df: DataFrame, itemCol: String, k: Int): DataFrame = {
     require(k > 1, s"k must exceed 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
     val items = df.select(col(itemCol).cast("string").as("item"))
       .where(col("item").isNotNull)
-    val n = items.count()
-    val cand = items.as[String].mapPartitions { it =>
+    val summaries = items.as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap[String, Long]()
+      var localN = 0L
       it.foreach { x =>
+        localN += 1
         if (counters.contains(x)) counters(x) += 1
         else if (counters.size < k - 1) counters(x) = 1
         else {
@@ -47,8 +53,10 @@ object HeavyHitters {
           dead.result().foreach(counters.remove)
         }
       }
-      counters.keysIterator
-    }.distinct().toDF("item")
+      Iterator.single((counters.keys.toSeq, localN))
+    }.collect()
+    val n = summaries.map(_._2).sum
+    val cand = summaries.flatMap(_._1).distinct.toSeq.toDF("item")
     items.join(broadcast(cand), "item")
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * k > n)
