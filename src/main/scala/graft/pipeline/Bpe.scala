@@ -175,7 +175,11 @@ object Bpe {
 
   /** Train + encode over `df(textCol)`: the p33 catalog shape. The
     * histogram is checkpointed once and shared by both passes (the
-    * corpus shuffles exactly once). */
+    * corpus shuffles exactly once). That one histogram copy stays in
+    * the block manager until the caller drops caches — the returned
+    * DataFrame reads it lazily, so it cannot be freed here; it is the
+    * operator's working set, not a leak (train's per-round copies ARE
+    * freed internally). */
   def tokenizedVocab(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val hist = wordHistogram(df, textCol).localCheckpoint()
     encodeWords(hist, train(hist, numMerges))
