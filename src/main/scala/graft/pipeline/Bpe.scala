@@ -42,9 +42,18 @@ object Bpe {
 
   /** One corpus scan → (word, cnt) histogram; words split on single
     * spaces to match the rest of the pipeline's tokenization (and the
-    * DuckDB `string_split(text, ' ')` oracles). */
+    * DuckDB `string_split(text, ' ')` oracles).
+    *
+    * Words containing [[Sep]] (U+001F) are DROPPED here, enforcing the
+    * invariant the whole trainer rests on: `Sep` must never occur inside
+    * a symbol, or the tie-break pair string stops encoding (l, r)
+    * uniquely, `encodeWords`' toks_hash can collide, and the oracle's
+    * replace-based merge becomes ambiguous. Control-character tokens are
+    * noise in any real corpus, so filtering (mirrored in the oracle's
+    * `w` CTE) is the enforcement, not a semantic loss. */
   def wordHistogram(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(filter(split(col(textCol), " "), x => x =!= "")).as("word"))
+    df.select(explode(filter(split(col(textCol), " "),
+        x => x =!= "" && !x.contains(Sep))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** `numMerges` rounds of global argmax-pair merging over the histogram.
@@ -209,7 +218,8 @@ object Bpe {
   private def chainSql(numMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH w AS (SELECT word, count(*) AS cnt FROM (
-              |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+              |  SELECT unnest(list_filter(string_split(text, ' '),
+              |           x -> x <> '' AND NOT contains(x, $S))) AS word
               |  FROM documents) GROUP BY word),
               |s0 AS MATERIALIZED (SELECT word, $S || array_to_string(list_transform(range(length(word)),
               |         i -> word[CAST(i+1 AS INT):CAST(i+1 AS INT)]), $SS) || $S AS st, cnt

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: float sums are order-dependent, and Spark's partial
   * aggregation order is not — so component sums run in FIXED-POINT
-  * (floor(x·2^20 + 0.5) as BIGINT, the [[PortableHash.rhSignature]]
-  * trick). Integer addition is associative, which makes the means (and
+  * (floor(x·2^20 + 0.5), summed as DECIMAL(38,0) — the
+  * [[PortableHash.rhSignature]] trick, widened so the sum cannot wrap
+  * at corpus scale). Integer addition is associative, which makes the means (and
   * hence every downstream assignment) bit-identical across runs,
   * partitionings, and engines — the p34 oracle reproduces the whole
   * iteration in SQL with plain SUM.
@@ -77,17 +78,23 @@ object Clustering {
       val assignUdf = udf((v: Seq[Float]) => argminL2(cl, v))
       // (cluster, dim) → (Σ fixed-point component, cluster size): partial
       // agg collapses each partition to ≤ k·dims rows pre-shuffle
+      // fixed-point partials accumulate in DECIMAL(38,0), not BIGINT: at
+      // 100 TB, |component|·2^20 summed over billions of rows can pass
+      // 2^63, where a Long sum wraps (or throws under ANSI) while the
+      // DuckDB oracle's sum(BIGINT) silently widens to HUGEINT — the
+      // engines would diverge exactly when the data is big. decimal(38)
+      // matches HUGEINT's range to within 2x and stays associative.
       val stats = base
         .select(assignUdf(col(vecCol)).as("cl"), posexplode(col(vecCol)))
         .select(col("cl"), col("pos"),
-          floor(col("col").cast("double") * Fix + lit(0.5)).cast("long").as("fx"))
+          floor(col("col").cast("double") * Fix + lit(0.5)).cast("decimal(28,0)").as("fx"))
         .groupBy("cl", "pos")
         .agg(sum(col("fx")).as("s"), count(lit(1)).as("c"))
         .collect()
       val next = cents.map(_.clone())
       stats.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) =
-          (r.getLong(2).toDouble / Fix) / r.getLong(3).toDouble
+          (r.getDecimal(2).doubleValue / Fix) / r.getLong(3).toDouble
       }
       cents = next
     }

@@ -29,11 +29,15 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** Hashed feature sequence of a token list, in document order:
-    * unigram buckets by position, then bigram buckets by position. */
+    * unigram buckets by position, then bigram buckets by position.
+    * Hashes CODE POINTS ([[PortableHash.poly31Cp]]) because the p39
+    * oracle slices DuckDB characters — identical on BMP text, and on
+    * astral/emoji input both engines now fold one value per character
+    * instead of Spark splitting surrogates. */
   def features(ws: Seq[String], buckets: Int): Seq[Int] = {
-    val uni = ws.map(w => (PortableHash.poly31(w) % buckets).toInt)
+    val uni = ws.map(w => (PortableHash.poly31Cp(w) % buckets).toInt)
     val bi = ws.iterator.sliding(2).withPartial(false)
-      .map(p => (PortableHash.poly31(p.head + " " + p(1)) % buckets).toInt)
+      .map(p => (PortableHash.poly31Cp(p.head + " " + p(1)) % buckets).toInt)
     (uni ++ bi).toSeq
   }
 

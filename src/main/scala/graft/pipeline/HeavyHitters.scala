@@ -29,7 +29,17 @@ object HeavyHitters {
     * Genuinely two scans: pass 1 emits ONE bounded summary row per
     * partition — (MG candidates, partition row count) — collected like
     * the IVF centroid pull, so N needs no separate count() job; pass 2
-    * is the candidate recount. */
+    * is the candidate recount.
+    *
+    * REQUIRES a deterministic input: `df` is evaluated twice (summaries,
+    * then recount), and the exactness proof assumes both scans see the
+    * same rows — a `sample()` without a seed, a `rand()` filter, or a
+    * source whose files change between the scans silently voids the
+    * superset guarantee (pass 1's N and pass 2's counts would describe
+    * different datasets). Callers with such an input must materialize it
+    * first (`localCheckpoint()`); the operator does not do so itself
+    * because checkpointing the full item relation at 100 TB is the wrong
+    * default for the overwhelmingly common deterministic-scan case. */
   def frequentItems(df: DataFrame, itemCol: String, k: Int): DataFrame = {
     require(k > 1, s"k must exceed 1, got $k")
     val spark = df.sparkSession

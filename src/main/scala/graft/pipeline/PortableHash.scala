@@ -34,6 +34,23 @@ object PortableHash {
   def poly31(s: String): Long = poly(s, 31)
   def poly37(s: String): Long = poly(s, 37)
 
+  /** Polynomial rolling hash of a string's Unicode CODE POINTS mod M —
+    * what a `list_reduce` over DuckDB's code-point slicing computes.
+    * Identical to [[poly]] on BMP text (code unit == code point there);
+    * diverges only on astral/emoji input, where [[poly]] folds two
+    * surrogate units per character. Operators whose oracle slices
+    * characters in SQL (DSIR p39) must use THIS kernel; p3/p4 keep the
+    * UTF-16 [[poly]] convention because their oracles fold `ascii(...)`
+    * per UTF-16-unit position by construction. */
+  def polyCp(s: String, base: Long): Long = {
+    var h = 0L
+    val it = s.codePoints().iterator()
+    while (it.hasNext) { h = (h * base + it.nextInt()) % M }
+    h
+  }
+
+  def poly31Cp(s: String): Long = polyCp(s, 31)
+
   /** Multiplier / offset for MinHash permutation slot i: affine maps
     * h -> (a_i*h + b_i) mod M. a_i is never 0 mod M (both factors are
     * nonzero and < M, M prime). */

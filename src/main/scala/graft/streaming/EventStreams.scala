@@ -95,11 +95,19 @@ object EventStreams {
     * [[graft.operators.AsofJoin.backward]] (and the d10 catalog query):
     * every `purchase` event is emitted with the latest `view` event
     * at-or-before it for the same user. State is ONE row per key (the
-    * current latest view) — O(|keys|), not O(|events|) — so it runs
-    * indefinitely without growth; resolution inside a micro-batch sorts
-    * by (ts, side, id) exactly like the batch operator (views before
-    * purchases at equal ts → inclusive match, largest (ts, id) view
-    * wins ties).
+    * current latest view) — O(|keys|), not O(|events|) — but with no
+    * eviction that is still O(|distinct keys ever seen|): unbounded if
+    * the key domain is. `stateTtl` bounds it: a key whose latest view
+    * is older than the TTL past the watermark is evicted via an
+    * EVENT-TIME timeout (wall clock never enters the semantics), at the
+    * documented cost that a purchase arriving later than TTL after its
+    * key's last view enriches as null — exactly the row the batch
+    * operator WOULD have matched to the evicted view. Leave `stateTtl`
+    * at None only when key cardinality is bounded (users of a service,
+    * tiles of a map), which is the d10 catalog shape; resolution inside
+    * a micro-batch sorts by (ts, side, id) exactly like the batch
+    * operator (views before purchases at equal ts → inclusive match,
+    * largest (ts, id) view wins ties).
     *
     * Parity contract (pinned in `EventStreamsSpec`): equal to the batch
     * operator whenever micro-batch boundaries respect the operator's
@@ -110,33 +118,52 @@ object EventStreams {
     * late purchase arriving behind a newer view emits null (the stored
     * state is ahead of it) rather than the future view's payload. */
   def asofEnrichStream(events: Dataset[Event],
-                       watermark: String = "15 minutes"): Dataset[AsofUpdate] = {
+                       watermark: String = "15 minutes",
+                       stateTtlMs: Option[Long] = None): Dataset[AsofUpdate] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[LatestView, AsofUpdate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (uid: Long, rows: Iterator[Event], state: GroupState[LatestView]) =>
-          val sorted = rows.toSeq.sortBy(e =>
-            (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
-          var cur = state.getOption
-          val out = List.newBuilder[AsofUpdate]
-          sorted.foreach { e =>
-            if (e.event_type == "view") {
-              val newer = cur.forall(c =>
-                c.ts < e.ts.getTime || (c.ts == e.ts.getTime && c.viewId < e.event_id))
-              if (newer) cur = Some(LatestView(e.ts.getTime, e.event_id, e.value))
-            } else if (e.event_type == "purchase") {
-              // a late-but-within-watermark purchase must not be enriched
-              // with a FUTURE view (state can be ahead of it): emit null
-              // rather than data the batch operator could never produce
-              val visible = cur.filter(_.ts <= e.ts.getTime)
-              out += AsofUpdate(e.event_id, uid, e.ts,
-                visible.map(_.viewId), visible.map(_.value))
+          if (state.hasTimedOut) {
+            // TTL expiry: drop the key's latest-view row; nothing to emit
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e =>
+              (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
+            var cur = state.getOption
+            val out = List.newBuilder[AsofUpdate]
+            sorted.foreach { e =>
+              if (e.event_type == "view") {
+                val newer = cur.forall(c =>
+                  c.ts < e.ts.getTime || (c.ts == e.ts.getTime && c.viewId < e.event_id))
+                if (newer) cur = Some(LatestView(e.ts.getTime, e.event_id, e.value))
+              } else if (e.event_type == "purchase") {
+                // a late-but-within-watermark purchase must not be enriched
+                // with a FUTURE view (state can be ahead of it): emit null
+                // rather than data the batch operator could never produce
+                val visible = cur.filter(_.ts <= e.ts.getTime)
+                out += AsofUpdate(e.event_id, uid, e.ts,
+                  visible.map(_.viewId), visible.map(_.value))
+              }
             }
+            cur.foreach { c =>
+              state.update(c)
+              // event-time timeout must be set at or after the current
+              // watermark, so an already-stale view still gets one full
+              // micro-batch of grace rather than an IllegalArgumentException
+              stateTtlMs.foreach { ttl =>
+                state.setTimeoutTimestamp(
+                  math.max(c.ts + ttl, state.getCurrentWatermarkMs() + 1))
+              }
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 

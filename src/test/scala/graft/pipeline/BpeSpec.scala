@@ -89,6 +89,16 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 15)
   }
 
+  test("wordHistogram enforces the separator invariant: chr(31) words are dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, s"ok ok bad${Bpe.Sep}word ok ${Bpe.Sep}")).toDF("doc_id", "text")
+    val hist = Bpe.wordHistogram(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only the clean token survives — no symbol can ever contain Sep, so
+    // the pair tie-break string and toks_hash stay injective
+    assert(hist == Map("ok" -> 3L))
+  }
+
   test("exhaustion: single-character words yield no merges") {
     import spark.implicits._
     val hist = Seq(("a", 5L), ("b", 3L)).toDF("word", "cnt")

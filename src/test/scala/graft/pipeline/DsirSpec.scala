@@ -36,6 +36,17 @@ class DsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toMap
   }
 
+  test("features hash code points (astral text folds one value per character, like the SQL oracle)") {
+    // U+1D49C (𝒜) is one code point but two UTF-16 units; the p39 oracle
+    // slices DuckDB characters, so the Scala side must fold the code point
+    val astral = "𝒜"
+    val buckets = 1000000007 // identity modulus: feature == poly hash
+    assert(Dsir.features(Seq(astral), buckets).head == 0x1D49C)
+    // and a BMP word is unchanged vs the UTF-16 fold (shared convention)
+    assert(Dsir.features(Seq("abc"), buckets).head ==
+      (PortableHash.poly31("abc") % buckets).toInt)
+  }
+
   test("weights match the scalar reference and targets dominate the top slice") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)

@@ -238,6 +238,39 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of enrichment state TTL: an idle key is evicted by event time, a live key survives") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.asofEnrichStream(mem.toDS(), "5 minutes",
+          stateTtlMs = Some(10 * 60000L))
+        .writeStream.format("memory").queryName("asof_ttl")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // b1: user 1's only view, at minute 0 (timeout set to minute 10)
+        mem.addData(EventStreams.Event(1, ts(0), 1, "view", 7.0))
+        q.processAllAvailable()
+        // b2 advances the watermark to minute 35 (> user 1's timeout)...
+        mem.addData(EventStreams.Event(2, ts(40), 2, "view", 8.0))
+        q.processAllAvailable()
+        // ...and b3 is where that timeout actually FIRES (user 1 gets the
+        // hasTimedOut callback because it received no data this batch)
+        mem.addData(EventStreams.Event(3, ts(41), 2, "view", 9.0))
+        q.processAllAvailable()
+        // b4: user 1's purchase now finds no state → null payload (the
+        // documented TTL trade); user 2's state is within TTL and enriches
+        mem.addData(
+          EventStreams.Event(4, ts(45), 1, "purchase", 1.0),
+          EventStreams.Event(5, ts(45), 2, "purchase", 1.0))
+        q.processAllAvailable()
+        val got = spark.table("asof_ttl").collect()
+          .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+        assert(got == Map(4L -> None, 5L -> Some(3L)))
+      } finally q.stop()
+    }
+  }
+
   test("streaming as-of enrichment matches the batch operator across micro-batches") {
     withSpark { spark =>
       import spark.implicits._
