@@ -86,6 +86,42 @@ object CatalogExtra {
       .orderBy(col("dist_m"), col("c_custkey"))
       .limit(20)
 
+  /** D12 interval overlap join ([[graft.operators.RangeJoin.overlap]]):
+    * per-user view-attention windows (10 min from the view) overlapped
+    * with purchase-decision windows (5 min from the purchase) — the
+    * bucketized range join Spark lacks natively, as a plain equi-join on
+    * (user, 15-min bucket) with exactly-once pair emission. The oracle is
+    * the naive inequality join (fine at oracle SF; quadratic per key at
+    * engine scale, which is the operator's point). */
+  private def d12(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_seconds(ts)").as("start"))
+    def iv(kind: String, len: Int) = ev.where(col("event_type") === kind)
+      .select(col("event_id"), col("user_id"), col("start"),
+        (col("start") + len).as("end"))
+    graft.operators.RangeJoin.overlap(
+        iv("view", 600), iv("purchase", 300),
+        keys = Seq("user_id"), startCol = "start", endCol = "end",
+        bucketWidth = 900L)
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"), col("overlap"))
+      .orderBy("l_event_id", "r_event_id")
+  }
+
+  private val rangeJoinOracleSql =
+    """WITH v AS (SELECT event_id, user_id,
+      |            epoch_ns(ts) // 1000000000 AS s,
+      |            epoch_ns(ts) // 1000000000 + 600 AS e
+      |          FROM events WHERE event_type = 'view'),
+      |p AS (SELECT event_id, user_id,
+      |        epoch_ns(ts) // 1000000000 AS s,
+      |        epoch_ns(ts) // 1000000000 + 300 AS e
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, v.event_id AS l_event_id, p.event_id AS r_event_id,
+      |       least(v.e, p.e) - greatest(v.s, p.s) AS overlap
+      |FROM v JOIN p ON v.user_id = p.user_id AND v.s <= p.e AND p.s <= v.e
+      |ORDER BY l_event_id, r_event_id""".stripMargin
+
   /** D10/D11 shared shape: every purchase event enriched with the latest
     * view event at-or-before it for the same user — the point-in-time
     * join the reference's serving layer approximates with per-request
@@ -152,6 +188,7 @@ object CatalogExtra {
   val entries: Seq[Q] = Seq(
     Q("d10_asof_join", d10, Some(asofOracleSql)),
     Q("d11_asof_sliced", d11, Some(asofOracleSql)),
+    Q("d12_interval_join", d12, Some(rangeJoinOracleSql)),
     Q("a13_geojson_sink", a13,
       Some(s"""WITH v AS (SELECT c_custkey, ${Synth.latvLonvSql("c_custkey")},
               |  round(${Synth.latSql.format("c_custkey")}, 2) AS rlat,

@@ -321,6 +321,30 @@ object CatalogOps {
         explode(graft.pipeline.TextAnalysis.words(col("text"))).as("word")),
       "word", k = 40)
 
+  /** Count-Min sketch ([[graft.pipeline.Sketches]]): 4×256 sketch of the
+    * corpus word stream, point-estimated at the exact heavy hitters (the
+    * x3 item set) next to their true counts — demonstrating the one-sided
+    * error guarantee (cms_cnt ≥ exact_cnt, always). The exact counts
+    * exist here only because the oracle query needs both sides; the
+    * OPERATOR estimates any probe set from the depth·width-bounded
+    * sketch alone. */
+  private def x4(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.documents(s, d)
+      .select(explode(graft.pipeline.TextAnalysis.words(col("text"))).as("item"))
+    val sketch = graft.pipeline.Sketches.countMin(items, "item", depth = 4, width = 256)
+    // vocabulary-sized; materialized once for the three consumers below
+    // (total-count scalar, probe filter, exact-count join)
+    val exact = items.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+      .localCheckpoint()
+    val n = exact.agg(sum("exact_cnt")).head().getLong(0)
+    val heavy = exact.where(col("exact_cnt") * 40 > n)
+    graft.pipeline.Sketches.estimate(sketch, heavy, "item", depth = 4, width = 256)
+      .join(heavy, "item")
+      .select(col("item"), col("exact_cnt"), col("cms_cnt"),
+        (col("cms_cnt") >= col("exact_cnt")).as("admissible"))
+      .orderBy("item")
+  }
+
   // ---- oracle SQL ---------------------------------------------------------------
 
   private def olc6For(keyExpr: String): String =
@@ -522,5 +546,35 @@ object CatalogOps {
              |FROM w, n GROUP BY item, n.total
              |HAVING count(*) * 40 > n.total
              |ORDER BY item""".stripMargin)),
+    Q("x4_countmin", x4, {
+      // the portable poly31 fold over a string expression (the p3/p4
+      // pattern) and CMS row j's affine bucket map, reproduced exactly
+      def ih(s: String) =
+        s"""list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(range(length($s)),
+           |        c -> ascii(substr($s, CAST(c + 1 AS INT), 1))::BIGINT)),
+           |      (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+      val bucket =
+        "(ih * (((2*t.j+1)*1103515245) % 1000000007) + (t.j+1)*12345) % 1000000007 % 256"
+      Some(s"""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
+              |            x -> x <> '')) AS item FROM documents),
+              |h AS (SELECT item, ${ih("item")} AS ih FROM w),
+              |cells AS (SELECT t.j AS j, $bucket AS bucket FROM h, range(4) t(j)),
+              |sk AS MATERIALIZED (SELECT j, bucket, count(*) AS cnt
+              |                    FROM cells GROUP BY j, bucket),
+              |exact AS MATERIALIZED (SELECT item, count(*) AS exact_cnt
+              |                       FROM w GROUP BY item),
+              |tot AS (SELECT sum(exact_cnt) AS n FROM exact),
+              |heavy AS (SELECT item, exact_cnt FROM exact, tot
+              |          WHERE exact_cnt * 40 > tot.n),
+              |pc AS (SELECT item, t.j AS j, $bucket AS bucket
+              |       FROM (SELECT item, ${ih("item")} AS ih FROM heavy), range(4) t(j)),
+              |est AS (SELECT pc.item, min(coalesce(sk.cnt, 0)) AS cms_cnt
+              |        FROM pc LEFT JOIN sk USING (j, bucket) GROUP BY pc.item)
+              |SELECT e.item, CAST(hv.exact_cnt AS BIGINT) AS exact_cnt,
+              |       CAST(e.cms_cnt AS BIGINT) AS cms_cnt,
+              |       e.cms_cnt >= hv.exact_cnt AS admissible
+              |FROM est e JOIN heavy hv USING (item) ORDER BY item""".stripMargin)
+    }),
   )
 }

@@ -372,6 +372,21 @@ object CatalogPipeline {
     graft.pipeline.QualityRules.c4Rules(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** TF-IDF keyword extraction ([[graft.pipeline.Retrieval.tfidfKeywords]]):
+    * top-3 terms per document — the query-free corpus-labeling
+    * counterpart of p38's BM25 retrieval. */
+  private def p40(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Retrieval.tfidfKeywords(Tables.documents(s, d),
+        "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** Random-sign projection ([[graft.pipeline.Projection.project]]):
+    * 64-dim embeddings down to 16, exploded (vec_id, j, val). */
+  private def p41(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Projection.project(Tables.embeddings(s, d),
+        "vec_id", "embedding", outDims = 16)
+      .orderBy("vec_id", "j")
+
   /** Residual IVF+PQ ([[graft.pipeline.Similarity.ivfPqResidualTopK]]):
     * p32 with FAISS's default by_residual=true encoding. */
   private def p35(s: SparkSession, d: String): DataFrame = {
@@ -911,6 +926,43 @@ object CatalogPipeline {
              |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
              |    ORDER BY score DESC, doc_id) AS INT) AS rank FROM g)
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+    Q("p40_tfidf_keywords", p40,
+      // rank over the ROUNDED score on both sides (the window's order
+      // column is the emitted one), term tie-break
+      Some("""WITH toks AS (SELECT doc_id,
+             |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |       FROM documents),
+             |n AS (SELECT count(*) AS n FROM toks WHERE len(ws) > 0),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+             |         SELECT doc_id, unnest(ws) AS term FROM toks)
+             |       GROUP BY doc_id, term),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+             |        round(tf.tf * (ln((n.n + 1.0) / (dft.df + 1.0)) + 1.0), 6) AS score
+             |      FROM tf JOIN dft USING (term), n)
+             |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, rank FROM (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, term) AS INT) AS rank FROM s)
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+    Q("p41_random_projection", p41,
+      // the implicit ±1 matrix from the quadratically-mixed integer hash
+      // (see Projection.signComponent for why the plain Weyl sequence
+      // can't be the matrix); fixed-point integer dot, exact /2^20 and
+      // /√16 scalings. The sign rows are a 16×64 CTE, not per-cell
+      // recomputation.
+      Some("""WITH sg AS (SELECT j, list_transform(
+             |    list_transform(range(64),
+             |      i -> ((j * 4096 + i) * 2654435761 + 987654321) % 1000000007),
+             |    a -> CASE WHEN (a * a + a * 1103515245 + 12345) % 1000000007
+             |                   >= 500000003 THEN 1 ELSE -1 END) AS s
+             |  FROM range(16) t(j))
+             |SELECT e.vec_id, CAST(g.j AS INT) AS j,
+             |  round(list_sum(list_transform(range(len(e.embedding)), i ->
+             |    CAST(floor(e.embedding[CAST(i + 1 AS INT)]::DOUBLE * 1048576 + 0.5) AS BIGINT)
+             |      * g.s[CAST(i + 1 AS INT)]))
+             |    / 1048576.0 / 4.0, 6) AS val
+             |FROM embeddings e, sg g
+             |ORDER BY vec_id, j""".stripMargin)),
     Q("p36_gopher_rules", p36,
       Some("""WITH w AS (SELECT doc_id,
              |            list_filter(string_split(text, ' '), x -> x <> '') AS ws

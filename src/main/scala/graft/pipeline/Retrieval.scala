@@ -85,4 +85,36 @@ object Retrieval {
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Per-document top-k keyword extraction by TF-IDF — the query-free
+    * counterpart of [[bm25TopK]] (corpus labeling / topic tagging rather
+    * than retrieval): score(d, t) = tf · (ln((N+1)/(df+1)) + 1), the
+    * smoothed idf that never hits log(0) and keeps corpus-wide terms at
+    * weight ≈ tf.
+    *
+    * Plan shape: ONE corpus-sized shuffle builds (doc, term, tf);
+    * document frequencies are a vocabulary-sized aggregate OF that
+    * relation (each (doc, term) row is already distinct — no
+    * count_distinct pass over the corpus); the per-doc top-k window runs
+    * as a Partial WindowGroupLimit below the final rank (SPARK-37099 —
+    * the p29 pattern), so no doc's full term list crosses the last
+    * exchange. Emits (doc_id, term, tf, score, rank), rank ≤ k. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    val terms = toks
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // N = docs with at least one term, one bounded map-side aggregate
+    val nDocs = toks.where(size(col("ws")) > 0).count()
+    val dfRel = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = terms.join(dfRel, "term")
+      .withColumn("score",
+        round(col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("doc_id", "term", "tf", "score", "rank")
+  }
 }

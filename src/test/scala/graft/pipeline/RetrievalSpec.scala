@@ -68,4 +68,43 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the unknown term contributes nothing but the query still ranks by zeta
     assert((1 to 5).forall(r => got.contains((2, r))))
   }
+
+  test("tfidfKeywords matches a scalar tf-idf and prefers rare terms over common ones") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("common", "shared", "alpha", "beta", "gamma", "delta", "rare")
+    val docs = (1L to 60L).map { id =>
+      // 'common' in every doc; the rest sampled
+      val ws = "common" +: Seq.fill(3 + rnd.nextInt(12))(vocab(1 + rnd.nextInt(vocab.size - 1)))
+      (id, ws.mkString(" "))
+    }
+    val k = 3
+    val got = Retrieval.tfidfKeywords(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    // scalar reference with the same smoothing
+    val tokened = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }
+    val n = tokened.count(_._2.nonEmpty).toDouble
+    val dfm = tokened.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    tokened.foreach { case (id, ws) =>
+      val want = ws.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .map { case (t, tf) =>
+          (t, tf, BigDecimal(tf * (math.log((n + 1.0) / (dfm(t) + 1.0)) + 1.0))
+            .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+        }
+        .sortBy { case (t, _, s) => (-s, t) }.take(k)
+      want.zipWithIndex.foreach { case ((t, tf, s), i) =>
+        val (gt, gtf, gs) = got((id, i + 1))
+        assert(gt == t && gtf == tf && math.abs(gs - s) < 2e-6,
+          s"doc $id rank ${i + 1}: got ($gt,$gtf,$gs), want ($t,$tf,$s)")
+      }
+    }
+    // the everywhere-term never outranks an equally-frequent rarer term:
+    // its idf is the corpus floor ln((N+1)/(N+1)) + 1 = 1
+    val commonScores = got.collect { case ((_, _), ("common", tf, s)) => s / tf }
+    assert(commonScores.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
 }
