@@ -108,6 +108,34 @@ object CatalogExtra {
       .orderBy("l_event_id", "r_event_id")
   }
 
+  /** D13 Bloom semi-join ([[graft.operators.BloomJoin.semiJoin]]):
+    * lineitem pruned map-side by a Bloom filter over one nation's
+    * suppliers before the exact semi-join, then aggregated. The Bloom
+    * pass changes NOTHING semantically (no false negatives), so the
+    * oracle is the plain IN-subquery — at scale it is the difference
+    * between shuffling 1% and 100% of the fact table. */
+  private def d13(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_returnflag"), col("l_quantity"))
+    val sup = Tables.supplier(s, d).where(col("s_nationkey") === 5)
+      .select(col("s_suppkey"))
+    graft.operators.BloomJoin.semiJoin(li, sup,
+        probeKeys = Seq("l_suppkey"), buildKeys = Seq("s_suppkey"),
+        expectedItems = 10000L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"))
+      .select(col("l_returnflag"), col("n_items"), round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val bloomJoinOracleSql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+      |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+      |FROM lineitem
+      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 5)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   private val rangeJoinOracleSql =
     """WITH v AS (SELECT event_id, user_id,
       |            epoch_ns(ts) // 1000000000 AS s,
@@ -189,6 +217,7 @@ object CatalogExtra {
     Q("d10_asof_join", d10, Some(asofOracleSql)),
     Q("d11_asof_sliced", d11, Some(asofOracleSql)),
     Q("d12_interval_join", d12, Some(rangeJoinOracleSql)),
+    Q("d13_bloom_semi_join", d13, Some(bloomJoinOracleSql)),
     Q("a13_geojson_sink", a13,
       Some(s"""WITH v AS (SELECT c_custkey, ${Synth.latvLonvSql("c_custkey")},
               |  round(${Synth.latSql.format("c_custkey")}, 2) AS rlat,

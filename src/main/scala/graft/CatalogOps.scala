@@ -345,6 +345,30 @@ object CatalogOps {
       .orderBy("item")
   }
 
+  /** Mergeable HLL sketches (Datasketches, `hll_sketch_agg`/`hll_union_agg`):
+    * per-(event_type, user-shard) sketches re-aggregated by sketch UNION —
+    * the rollup pattern a 100 TB deployment stores (shard-level sketch
+    * artifacts, merged at query time instead of re-scanning raw rows; x1's
+    * one-shot approx_count_distinct cannot do this). The estimate is
+    * deterministic but algorithm-specific, so the recorded check is the
+    * exact count plus a 5%-tolerance flag, the x1 convention. */
+  private def x5(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val merged = ev
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(16)).as("shard"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as long)")
+        .as("merged_estimate"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("merged_estimate") - col("exact_users")) <=
+          greatest(col("exact_users") * 0.05, lit(2.0))).as("merged_within_5pct"))
+      .orderBy("event_type")
+  }
+
   // ---- oracle SQL ---------------------------------------------------------------
 
   private def olc6For(keyExpr: String): String =
@@ -576,5 +600,9 @@ object CatalogOps {
               |       e.cms_cnt >= hv.exact_cnt AS admissible
               |FROM est e JOIN heavy hv USING (item) ORDER BY item""".stripMargin)
     }),
+    Q("x5_hll_shard_merge", x5,
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |       TRUE AS merged_within_5pct
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
