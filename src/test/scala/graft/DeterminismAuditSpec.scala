@@ -25,7 +25,13 @@ class DeterminismAuditSpec extends AnyFunSuite {
     "p20_rep_signals", "p21_contamination", "p22_perplexity",
     "p28_shard_shuffle", "p29_domain_cap", "p30_ann_ivf_sq8",
     "pl2_ops_fold", "pl3_history_cluster",
-    "pl4_merge_scoring", "x1_sketch_distinct", "x2_sketch_quantile")
+    "pl4_merge_scoring", "x1_sketch_distinct", "x2_sketch_quantile",
+    // round 9: the sketch/join/ranking additions — CMS cell counts,
+    // HLL shard-union estimates, bucketized pair emission, Bloom
+    // prefilter + semi-join, rounded-score window ranks, fixed-point
+    // projection folds must all survive any partitioning
+    "x4_countmin", "x5_hll_shard_merge", "d12_interval_join",
+    "d13_bloom_semi_join", "p40_tfidf_keywords", "p41_random_projection")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()
