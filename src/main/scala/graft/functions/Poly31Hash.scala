@@ -8,13 +8,15 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** The portable poly31 string hash ([[graft.pipeline.PortableHash.poly31]])
-  * as a native codegen expression — for operators that hash a scalar item
-  * column on the corpus-hot path (the Count-Min sketch build) where a Scala
-  * UDF would break whole-stage codegen and an interpreted higher-order fold
-  * would re-evaluate per character. The kernel folds UTF-16 code units mod
-  * 1e9+7, exactly what the DuckDB oracles' `list_reduce(ascii(substr(...)))`
-  * computes on BMP text (the p3/p4 convention).
+/** The portable poly31 string hash as a native codegen expression — for
+  * operators that hash a scalar item column on the corpus-hot path (the
+  * Count-Min sketch build) where a Scala UDF would break whole-stage
+  * codegen and an interpreted higher-order fold would re-evaluate per
+  * character. The kernel folds Unicode CODE POINTS mod 1e9+7
+  * ([[graft.pipeline.PortableHash.poly31Cp]]) — exactly what the DuckDB
+  * oracles' `list_reduce(ascii(substr(...)))` computes on ALL text, not
+  * just BMP, so x4's estimates match the oracle even on astral/emoji
+  * items.
   */
 case class Poly31Hash(child: Expression) extends UnaryExpression {
 
@@ -40,7 +42,7 @@ object Poly31Hash {
 
   /** Row-local kernel: delegates to the shared scalar implementation so
     * the hash family has exactly one definition. */
-  def kernel(s: UTF8String): Long = graft.pipeline.PortableHash.poly31(s.toString)
+  def kernel(s: UTF8String): Long = graft.pipeline.PortableHash.poly31Cp(s.toString)
 
   val info = new ExpressionInfo(classOf[Poly31Hash].getName, "poly31_hash")
 

@@ -51,16 +51,19 @@ object BloomJoin {
   private def keyHash(cols: Seq[Column]): Column = xxhash64(cols: _*)
 
   /** ONE aggregate over the build side → serialized Bloom filter over
-    * xxhash64 of the key tuple. `expectedItems` sizes the filter (~3%
-    * false-positive rate at Spark's default bits-per-item). */
+    * xxhash64 of the key tuple, or None when the build side is empty
+    * (the aggregate yields a null blob — which doubles as the emptiness
+    * probe, so callers never pay a separate isEmpty scan). `expectedItems`
+    * sizes the filter (~3% false-positive rate at Spark's default
+    * bits-per-item). */
   def buildFilter(build: DataFrame, keys: Seq[String],
-                  expectedItems: Long): Array[Byte] = {
+                  expectedItems: Long): Option[Array[Byte]] = {
     require(keys.nonEmpty, "need at least one key column")
     register(build.sparkSession)
-    build
+    Option(build
       .select(call_function("graft_bloom_agg",
         keyHash(keys.map(col)), lit(expectedItems)).as("bf"))
-      .head().getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0))
   }
 
   /** The map-side prune: rows of `probe` whose key tuple MIGHT be in the
@@ -76,18 +79,19 @@ object BloomJoin {
     * `probeKeys` tuple appears in `build`'s `buildKeys`. Result is
     * identical to `probe.join(build, …, "left_semi")`; the Bloom pass
     * only reduces what reaches the join's exchange. An empty build side
-    * degenerates to an empty result without building a filter (the
-    * aggregate would return a null blob). */
+    * (None filter) degenerates to an empty result with no further jobs. */
   def semiJoin(probe: DataFrame, build: DataFrame,
                probeKeys: Seq[String], buildKeys: Seq[String],
                expectedItems: Long = 1000000L): DataFrame = {
     require(probeKeys.length == buildKeys.length && probeKeys.nonEmpty,
       s"key arity mismatch: $probeKeys vs $buildKeys")
-    if (build.isEmpty) return probe.limit(0)
-    val bf = buildFilter(build, buildKeys, expectedItems)
-    val cond = probeKeys.zip(buildKeys)
-      .map { case (p, b) => probe(p) === build(b) }
-      .reduce(_ && _)
-    prefilter(probe, bf, probeKeys).join(build, cond, "left_semi")
+    buildFilter(build, buildKeys, expectedItems) match {
+      case None => probe.limit(0)
+      case Some(bf) =>
+        val cond = probeKeys.zip(buildKeys)
+          .map { case (p, b) => probe(p) === build(b) }
+          .reduce(_ && _)
+        prefilter(probe, bf, probeKeys).join(build, cond, "left_semi")
+    }
   }
 }

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  private val Reserved = Seq("__bucket", "__first")
+  private val Reserved = Seq("__bucket")
 
   /** @param left        intervals, columns renamed `l_`-prefixed in the output
     * @param right       intervals, `r_`-prefixed

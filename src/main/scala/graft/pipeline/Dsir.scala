@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *  - the per-document log importance weight is a map-only fold over the
   *    doc's feature sequence against the broadcast log-ratio table.
   *
-  * Determinism: features hash with the portable [[PortableHash.poly31]]
-  * scheme (oracle-reproducible); bucket counts are integers; the
+  * Determinism: features hash with the portable [[PortableHash.poly31Cp]]
+  * code-point scheme (oracle-reproducible on all text, astral included);
+  * bucket counts are integers; the
   * log-ratio table is computed once (driver) and the per-doc sum folds
   * features in DOCUMENT ORDER — unigrams by position, then bigrams by
   * position — so the oracle reproduces every weight.

@@ -39,9 +39,11 @@ object PortableHash {
     * Identical to [[poly]] on BMP text (code unit == code point there);
     * diverges only on astral/emoji input, where [[poly]] folds two
     * surrogate units per character. Operators whose oracle slices
-    * characters in SQL (DSIR p39) must use THIS kernel; p3/p4 keep the
-    * UTF-16 [[poly]] convention because their oracles fold `ascii(...)`
-    * per UTF-16-unit position by construction. */
+    * characters in SQL must use THIS kernel (DSIR p39, the x4 CMS via
+    * `Poly31Hash`); p3/p4 retain the UTF-16 [[poly]] fold under their
+    * long-standing DOCUMENTED BMP-only oracle-parity contract — their
+    * signatures are pinned by round-1 oracles and changing the fold
+    * would re-key every minhash band and simhash bit. */
   def polyCp(s: String, base: Long): Long = {
     var h = 0L
     val it = s.codePoints().iterator()

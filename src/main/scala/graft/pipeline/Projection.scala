@@ -54,6 +54,12 @@ object Projection {
     // row-local integer fold (the PortableHash vector-math convention:
     // no builtin computes a hash-driven signed dot product)
     val projUdf = udf((v: Seq[Float]) => {
+      // (j, i) packs as j·4096 + i: a wider input would alias cell
+      // (j, 4096+t) with (j+1, t), sharing sign segments between output
+      // rows — the correlation failure the sign hash exists to prevent.
+      // Fail loudly instead of returning silently-bad geometry.
+      require(v.length <= 4096,
+        s"input dimension ${v.length} exceeds the sign hash's 4096-dim packing")
       Array.tabulate(outDims) { j =>
         var acc = 0L
         var i = 0

@@ -22,12 +22,14 @@ import org.apache.spark.sql.functions._
   *    addition — a `unionByName.groupBy.sum`, the property that makes
   *    the sketch composable across corpus shards or streaming batches.
   *
-  * Determinism: row j's hash is the affine map (poly31(item)·A_j + B_j)
+  * Determinism: row j's hash is the affine map (poly31cp(item)·A_j + B_j)
   * mod 1e9+7 mod width, with the [[PortableHash.minhashA]]/`minhashB`
-  * multipliers — pure integer math the DuckDB oracle reproduces
+  * multipliers over the CODE-POINT fold ([[PortableHash.poly31Cp]], the
+  * convention whose SQL form is DuckDB's character slicing on all text,
+  * astral included) — pure integer math the oracle reproduces
   * bit-for-bit, so estimates (not just error bounds) are exact-checkable.
-  * poly31 runs as the native codegen `poly31_hash` (no UDF on the build
-  * path).
+  * The fold runs as the native codegen `poly31_hash` (no UDF on the
+  * build path).
   */
 object Sketches {
 

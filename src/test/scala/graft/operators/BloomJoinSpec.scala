@@ -36,7 +36,7 @@ class BloomJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
 
     // the prefilter alone: a SUPERSET of matches, far smaller than probe
-    val bf = BloomJoin.buildFilter(build, Seq("bkey"), expectedItems = 1000L)
+    val bf = BloomJoin.buildFilter(build, Seq("bkey"), expectedItems = 1000L).get
     val pre = BloomJoin.prefilter(probe, bf, Seq("key")).count()
     assert(pre >= want.size,
       "bloom prefilter dropped a true match (false negative!)")
