@@ -136,6 +136,50 @@ object CatalogExtra {
       |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 5)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** D14 forward as-of join ([[graft.operators.AsofJoin.forward]]): each
+    * view enriched with the NEXT purchase at-or-after it for the same
+    * user — time-to-conversion, the mirror of d10's latest-view
+    * enrichment. Ties prefer the smallest purchase id (nearest to the
+    * forward horizon), mirrored in the oracle's `ord` ordering. */
+  private def d14(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+        col("value").as("purchase_value"))
+    graft.operators.AsofJoin.forward(views, purchases, Seq("user_id"),
+        "ts", "ts", payload = Seq("purchase_id", "purchase_value"),
+        tiebreak = "purchase_id")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_seconds(ts)").as("view_epoch"),
+        col("purchase_id"), round(col("purchase_value"), 2).as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  private val asofForwardOracleSql =
+    """WITH u AS (
+      |  SELECT user_id, ts, 0 AS side, event_id,
+      |         NULL::BIGINT AS ord, NULL::BIGINT AS p_id,
+      |         NULL::DOUBLE AS p_val
+      |  FROM events WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, NULL, event_id, event_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT *,
+      |    first_value(p_id IGNORE NULLS) OVER win AS purchase_id,
+      |    first_value(p_val IGNORE NULLS) OVER win AS m_val
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, ord
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id,
+      |       epoch_ns(ts) // 1000000000 AS view_epoch,
+      |       purchase_id, round(m_val, 2) AS purchase_value
+      |FROM w WHERE side = 0 ORDER BY event_id""".stripMargin
+
   private val rangeJoinOracleSql =
     """WITH v AS (SELECT event_id, user_id,
       |            epoch_ns(ts) // 1000000000 AS s,
@@ -218,6 +262,7 @@ object CatalogExtra {
     Q("d11_asof_sliced", d11, Some(asofOracleSql)),
     Q("d12_interval_join", d12, Some(rangeJoinOracleSql)),
     Q("d13_bloom_semi_join", d13, Some(bloomJoinOracleSql)),
+    Q("d14_asof_forward", d14, Some(asofForwardOracleSql)),
     Q("a13_geojson_sink", a13,
       Some(s"""WITH v AS (SELECT c_custkey, ${Synth.latvLonvSql("c_custkey")},
               |  round(${Synth.latSql.format("c_custkey")}, 2) AS rlat,

@@ -387,6 +387,22 @@ object CatalogPipeline {
         "vec_id", "embedding", outDims = 16)
       .orderBy("vec_id", "j")
 
+  /** Text normalization ([[graft.pipeline.TextAnalysis.normalizeText]]):
+    * NFC + control scrub + space collapse + trim + lowercase; recorded
+    * as (length, md5, changed) so the oracle hashes the normalized bytes
+    * themselves. */
+  private def p42(s: SparkSession, d: String): DataFrame = {
+    graft.functions.NfcNormalize.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        graft.pipeline.TextAnalysis.normalizeText(col("text")).as("norm"))
+      .select(col("doc_id"),
+        length(col("norm")).as("norm_len"),
+        md5(col("norm")).as("norm_hash"),
+        (col("norm") =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
   /** Residual IVF+PQ ([[graft.pipeline.Similarity.ivfPqResidualTopK]]):
     * p32 with FAISS's default by_residual=true encoding. */
   private def p35(s: SparkSession, d: String): DataFrame = {
@@ -963,6 +979,17 @@ object CatalogPipeline {
              |    / 1048576.0 / 4.0, 6) AS val
              |FROM embeddings e, sg g
              |ORDER BY vec_id, j""".stripMargin)),
+    Q("p42_text_normalize", p42,
+      Some("""SELECT doc_id,
+             |  CAST(length(norm) AS INT) AS norm_len,
+             |  md5(norm) AS norm_hash,
+             |  norm <> text AS changed
+             |FROM (SELECT doc_id, text,
+             |        lower(trim(regexp_replace(regexp_replace(
+             |          nfc_normalize(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+             |          ' +', ' ', 'g'))) AS norm
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
     Q("p36_gopher_rules", p36,
       Some("""WITH w AS (SELECT doc_id,
              |            list_filter(string_split(text, ' '), x -> x <> '') AS ws

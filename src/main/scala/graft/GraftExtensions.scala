@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
-import graft.functions.{CosineSim, GeoBandKeyExprs, HaversineM, MinhashBandKeys, NgramHashes, OlcEncodeExpr, OlcRing, PassJoinIndexKeys, PassJoinKeys, PassJoinProbeKeys, SortedIntersectSize}
+import graft.functions.{CosineSim, GeoBandKeyExprs, HaversineM, MinhashBandKeys, NfcNormalize, NgramHashes, OlcEncodeExpr, OlcRing, PassJoinIndexKeys, PassJoinKeys, PassJoinProbeKeys, Poly31Hash, SortedIntersectSize}
 import graft.plans.HaversineJoinRule
 
 /** Session-extension injector for the engine's native SQL functions, so a
@@ -56,6 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("passjoin_probe_keys"), PassJoinKeys.probeInfo,
       (exprs: Seq[Expression]) => PassJoinProbeKeys(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("poly31_hash"), Poly31Hash.info,
+      (exprs: Seq[Expression]) => Poly31Hash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"), NfcNormalize.info,
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("geo_band_key"), GeoBandKeyExprs.keyInfo,
       GeoBandKeyExprs.keyBuilder))

@@ -92,6 +92,59 @@ object AsofJoin {
     matched.select(out: _*)
   }
 
+  /** Forward as-of join — the mirror of [[backward]]: for every left row,
+    * the single right row with the SMALLEST `rightTs` ≥ the left row's
+    * `leftTs` within the key group ("the next event after this one": next
+    * purchase after a view, next maintenance after a failure). Inclusive
+    * like SQL ASOF's `<=` mirror; right-side ties on (key, ts) resolve
+    * deterministically to the SMALLEST `tiebreak` (backward takes the
+    * largest — each direction prefers the match nearest its horizon).
+    * Same one-shuffle union + running-window shape, with the frame
+    * flipped to [current, unbounded following] and `first` instead of
+    * `last`. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String,
+              payload: Seq[String], tiebreak: String): DataFrame = {
+    require(payload.nonEmpty, "as-of join with no payload columns")
+    requireNoReserved(left, right)
+    val keyCols = keys.map(col)
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(payload.contains),
+      s"payload ${payload.mkString(",")} collides with a left column")
+
+    val l = left.select(
+      keyCols :+
+        col(leftTs).as("__t") :+
+        lit(0).as("__side") :+
+        lit(null).cast(right.schema(tiebreak).dataType).as("__ord") :+
+        struct(leftCols.map(col): _*).as("__l") :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          payload.map(p => org.apache.spark.sql.types.StructField(
+            p, right.schema(p).dataType)))).as("__p"): _*)
+    val r = right.select(
+      keyCols :+
+        col(rightTs).as("__t") :+
+        lit(1).as("__side") :+
+        col(tiebreak).as("__ord") :+
+        lit(null).cast(l.schema("__l").dataType).as("__l") :+
+        struct(payload.map(col): _*).as("__p"): _*)
+
+    // left rows (side 0) sort before right rows (side 1) at equal ts, so
+    // the [current, following] frame SEES an equal-ts right row
+    // (inclusive); right ties order by __ord asc → `first` takes the
+    // smallest tiebreak
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__ord").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = l.unionByName(r)
+      .withColumn("__m", first(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+
+    val out = leftCols.map(c => col("__l").getField(c).as(c)) ++
+      payload.map(p => col("__m").getField(p).as(p))
+    matched.select(out: _*)
+  }
+
   /** [[backward]] with the hot-key escape hatch: the same result, but the
     * running-last window partitions on (keys, time-slice) instead of keys
     * alone, so one pathological key (half the fact table on a single

@@ -20,6 +20,23 @@ object TextAnalysis {
 
   def words(text: Column): Column = filter(split(text, " "), w => w =!= "")
 
+  /** Canonical text normalization (the cleaning step every corpus pass
+    * runs before dedup/tokenization, so byte-different renderings of the
+    * same text hash identically): Unicode NFC (composed form — the
+    * native `nfc_normalize` expression, since Spark has no builtin),
+    * control characters → space, space runs collapsed, trimmed,
+    * lowercased. Everything after the NFC step is builtin codegen.
+    * Case-folding note: Spark `lower` and DuckDB `lower` agree on the
+    * simple (non-locale, non-full) mapping — the contract here; text in
+    * locales with special casing (e.g. dotted/dotless I) normalizes
+    * consistently WITHIN each engine either way. Callers must register
+    * [[graft.functions.NfcNormalize]] on the session first. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(call_function("nfc_normalize", text),
+        "[\\x00-\\x1F\\x7F]", " "),
+      " +", " ")))
+
   /** Fraction of words found in `profile`. */
   def profileRatio(text: Column, profile: Seq[String]): Column = {
     val ws = words(text)

@@ -50,6 +50,35 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n${plan.take(2000)}")
   }
 
+  test("forward as-of join equals the brute-force minimum->= definition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    // small ts domain forces plenty of exact ties; right-side duplicate
+    // timestamps exercise the smallest-tiebreak-wins rule
+    val left = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+    val right = Seq.tabulate(200)(j =>
+      (1000L + j, rnd.nextInt(7).toLong, rnd.nextInt(40).toLong, rnd.nextInt(100) / 4.0))
+
+    val l = left.toDF("event_id", "user_id", "ts")
+    val r = right.toDF("purchase_id", "user_id", "ts", "purchase_value")
+    val got = AsofJoin.forward(l, r, Seq("user_id"), "ts", "ts",
+        payload = Seq("purchase_id", "purchase_value"), tiebreak = "purchase_id")
+      .collect()
+      .map(x => (x.getLong(0), (Option(x.get(3)), Option(x.get(4)))))
+      .toMap
+
+    left.foreach { case (eid, u, t) =>
+      val best = right.filter(v => v._2 == u && v._3 >= t)
+        .sortBy(v => (v._3, v._1)).headOption
+      val expect = (best.map(_._1: java.lang.Long).map(x => x: Any),
+        best.map(_._4: java.lang.Double).map(x => x: Any))
+      assert(got(eid) == expect, s"left=$eid user=$u ts=$t")
+    }
+    assert(got.size == left.size, "one output row per left row")
+    assert(got.values.exists(_._1.isEmpty),
+      "fixture should include lefts after every right (null payload)")
+  }
+
   test("backwardSliced equals backward on a skewed fixture with slice gaps") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
