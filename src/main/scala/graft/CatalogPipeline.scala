@@ -387,6 +387,15 @@ object CatalogPipeline {
         "vec_id", "embedding", outDims = 16)
       .orderBy("vec_id", "j")
 
+  /** Paragraph dedup ([[graft.pipeline.Dedup.paragraphDedup]]) over the
+    * near-dup corpus: the perturbed copy shares every full 12-word
+    * window with its original, so its paragraphs dedup away and the
+    * rebuilt copies shrink. */
+  private def p43(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Dedup.paragraphDedup(nearCorpus(s, d), "doc_id", "text",
+        paraWords = 12)
+      .orderBy("doc_id")
+
   /** Text normalization ([[graft.pipeline.TextAnalysis.normalizeText]]):
     * NFC + control scrub + space collapse + trim + lowercase; recorded
     * as (length, md5, changed) so the oracle hashes the normalized bytes
@@ -979,6 +988,28 @@ object CatalogPipeline {
              |    / 1048576.0 / 4.0, 6) AS val
              |FROM embeddings e, sg g
              |ORDER BY vec_id, j""".stripMargin)),
+    Q("p43_paragraph_dedup", p43,
+      Some(s"""WITH corpus AS ($nearCorpusSql),
+              |t AS (SELECT doc_id,
+              |        list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              |      FROM corpus),
+              |p AS (SELECT doc_id, CAST(i AS INT) AS pos,
+              |        array_to_string(ws[CAST(i*12+1 AS INT):CAST(i*12+12 AS INT)], ' ') AS para
+              |      FROM (SELECT doc_id, ws, unnest(range((len(ws) + 11) // 12)) AS i
+              |            FROM t WHERE len(ws) > 0)),
+              |k AS (SELECT doc_id, pos, para,
+              |        row_number() OVER (PARTITION BY md5(para)
+              |                           ORDER BY doc_id, pos) AS rn
+              |      FROM p),
+              |tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id),
+              |reb AS (SELECT doc_id, count(*) AS n_kept,
+              |          array_to_string(list(para ORDER BY pos), ' ') AS clean
+              |        FROM k WHERE rn = 1 GROUP BY doc_id)
+              |SELECT tot.doc_id, CAST(tot.n_paras AS BIGINT) AS n_paras,
+              |       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+              |       coalesce(md5(reb.clean), md5('')) AS clean_hash
+              |FROM tot LEFT JOIN reb USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
     Q("p42_text_normalize", p42,
       Some("""SELECT doc_id,
              |  CAST(length(norm) AS INT) AS norm_len,

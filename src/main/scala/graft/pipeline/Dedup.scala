@@ -31,6 +31,47 @@ object Dedup {
       .where(col("group_size") > 1)
   }
 
+  /** Paragraph-level exact dedup (the CCNet/C4 boilerplate pass, Wenzek
+    * et al. 2019): split each document into paragraphs, drop every
+    * paragraph whose exact content already occurred EARLIER in the corpus
+    * ((doc_id, position) order — first occurrence survives), and rebuild
+    * each document from its survivors. Returns (doc_id, n_paras, n_kept,
+    * clean_hash) with clean_hash = md5 of the rebuilt text (md5("") for a
+    * fully-deduplicated document).
+    *
+    * `paraWords` segments text into fixed-width word windows — the
+    * single-line test corpus's stand-in for real paragraph breaks; a
+    * production corpus splits on blank lines instead, same dataflow.
+    * Scale shape: paragraphs shuffle ONCE by content hash (16-byte md5 +
+    * ids — the CCNet shard-by-hash step), survivors shuffle once more by
+    * doc to reassemble; no all-pairs anything. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     paraWords: Int): DataFrame = {
+    require(paraWords > 0, s"paraWords must be positive: $paraWords")
+    val toks = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.words(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .where(col("n") > 0)
+    val paraArr = transform(
+      sequence(lit(0), floor((col("n") - 1) / lit(paraWords)).cast("int")),
+      i => array_join(slice(col("ws"), i * paraWords + 1, lit(paraWords)), " "))
+    val keyed = toks.select(col("doc_id"), posexplode(paraArr))
+      .select(col("doc_id"), col("pos"), col("col").as("para"),
+        md5(col("col")).as("ph"))
+    val w = Window.partitionBy("ph").orderBy("doc_id", "pos")
+    val kept = keyed.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    val totals = keyed.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para")), " ").as("clean"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(md5(col("clean")), md5(lit(""))).as("clean_hash"))
+  }
+
   /** Distinct n-grams over an ALREADY-MATERIALIZED words array attribute.
     * The words argument must be a plain column reference, not an expression:
     * interpreted higher-order lambdas re-evaluate their subexpressions per
