@@ -658,6 +658,21 @@ object CatalogPipeline {
     Multimodal.extractFeatures(media).orderBy("doc_id")
   }
 
+  /** Video frame sampling ([[graft.pipeline.Multimodal.videoFrameFeatures]]):
+    * GVID containers (length-prefixed real-PNG frames) decoded
+    * per-partition at stride 2 — non-sampled frames are index-skipped,
+    * never decoded. The oracle reproduces the frame pixel sums from the
+    * synthesis formula directly, no codec needed. */
+  private def p44(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .map(id => Multimodal.MediaRow(id, "video/gvid", Multimodal.synthVideoAsset(id)))
+      .toDF()
+    Multimodal.videoFrameFeatures(media, stride = 2).orderBy("doc_id")
+  }
+
   /** p23: the whole curation funnel ([[graft.api.CurationPipeline]]) on a
     * corpus with known positives for every stage: documents ∪ near copies
     * (nearCorpus) ∪ exact copies of the doc_id % 31 slice. Benchmark set =
@@ -988,6 +1003,26 @@ object CatalogPipeline {
              |    / 1048576.0 / 4.0, 6) AS val
              |FROM embeddings e, sg g
              |ORDER BY vec_id, j""".stripMargin)),
+    Q("p44_video_frames", p44,
+      Some("""WITH v AS (SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h,
+             |              6 + doc_id % 5 AS nf
+             |            FROM documents),
+             |f AS (SELECT doc_id, w, h, nf, unnest(range(nf)) AS fr FROM v),
+             |s AS (SELECT doc_id, w, h, nf, fr,
+             |        list_sum(list_transform(range(w * h),
+             |          p -> (doc_id*7 + fr*11 + 13*(p % w) + 29*(p // w)) % 256)) AS fsum
+             |      FROM f WHERE fr % 2 = 0),
+             |a AS (SELECT doc_id, max(nf) AS n_frames, count(*) AS n_sampled,
+             |        max(w) AS width, max(h) AS height, sum(fsum) AS sampled_sum,
+             |        list(fsum ORDER BY fr) AS sums
+             |      FROM s GROUP BY doc_id)
+             |SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+             |       CAST(n_sampled AS INT) AS n_sampled,
+             |       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+             |       CAST(sampled_sum AS BIGINT) AS sampled_sum,
+             |       CAST(coalesce(list_sum(list_transform(range(len(sums) - 1),
+             |         i -> abs(sums[i+2] - sums[i+1]))), 0) AS BIGINT) AS motion
+             |FROM a ORDER BY doc_id""".stripMargin)),
     Q("p43_paragraph_dedup", p43,
       Some(s"""WITH corpus AS ($nearCorpusSql),
               |t AS (SELECT doc_id,

@@ -32,7 +32,8 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // projection folds must all survive any partitioning
     "x4_countmin", "x5_hll_shard_merge", "d12_interval_join",
     "d13_bloom_semi_join", "p40_tfidf_keywords", "p41_random_projection",
-    "d14_asof_forward", "p42_text_normalize", "p43_paragraph_dedup")
+    "d14_asof_forward", "p42_text_normalize", "p43_paragraph_dedup",
+    "p44_video_frames")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()

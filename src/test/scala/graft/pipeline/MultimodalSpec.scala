@@ -48,4 +48,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(img.getWidth == (16 + 43 % 8) && img.getHeight == (12 + 43 % 5))
     assert(img.getRaster.getSample(3, 2, 0) == ((43L * 7 + 3 * 13 + 2 * 29) % 256).toInt)
   }
+
+  test("GVID container roundtrips; frame sampling decodes only strided frames") {
+    val id = 17L
+    val payload = Multimodal.synthVideoAsset(id)
+    val (fps, frames) = Multimodal.decodeVideo(payload)
+    assert(fps == 4 && frames.length == (6 + id % 5).toInt)
+    // every frame is a real decodable PNG with the per-frame formula
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val img = Multimodal.decodePng(f)
+      assert(img.getRaster.getSample(1, 1, 0) ==
+        ((id * 7 + i * 11 + 1 * 13 + 1 * 29) % 256).toInt, s"frame $i")
+    }
+    // truncated container fails loudly, not with a buffer overrun
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideo(java.util.Arrays.copyOf(payload, payload.length - 3))
+    }
+
+    // stride semantics via the scalar formula: sampled frames 0,2,4,...
+    val (w, h) = ((16 + id % 8).toInt, (12 + id % 5).toInt)
+    def frameSum(f: Int): Long = (for (y <- 0 until h; x <- 0 until w)
+      yield (id * 7 + f * 11 + x * 13 + y * 29) % 256).sum
+    val sampled = (0 until frames.length by 2).map(frameSum)
+    val expectMotion = sampled.sliding(2).collect { case Seq(a, b) => math.abs(b - a) }.sum
+    // one-row DataFrame through the real operator
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .appName("gvid-spec").getOrCreate()
+    try {
+      import spark.implicits._
+      val got = Multimodal.videoFrameFeatures(
+          Seq(Multimodal.MediaRow(id, "video/gvid", payload)).toDF(), stride = 2)
+        .head()
+      assert(got.getInt(1) == frames.length && got.getInt(2) == sampled.size)
+      assert(got.getInt(3) == w && got.getInt(4) == h)
+      assert(got.getLong(5) == sampled.sum && got.getLong(6) == expectMotion)
+    } finally spark.stop()
+  }
 }
