@@ -167,6 +167,38 @@ object EventStreams {
       }
   }
 
+  /** Native stream-stream interval join — the attribution join: every
+    * purchase paired with ALL views of the same user in the preceding
+    * `windowMs` (many-to-many, unlike [[asofEnrichStream]]'s
+    * latest-one-row state machine). This is Spark's watermarked
+    * stream-stream inner join: the time-range condition plus the two
+    * watermarks let the engine BOUND its own join state — a view is
+    * evicted as soon as the purchase watermark passes `view_ts +
+    * windowMs`, so state is O(events per window), never O(stream).
+    * Inner joins emit eagerly (no watermark wait on the output path).
+    * Self-joining one event stream into two roles is the supported
+    * stream-self-join shape. */
+  def attributionJoinStream(events: Dataset[Event],
+                            watermark: String = "10 minutes",
+                            windowMs: Long = 600000L): DataFrame = {
+    val views = events.toDF()
+      .where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events.toDF()
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(views,
+        col("v_user") === col("p_user") &&
+          col("view_ts") <= col("purchase_ts") &&
+          col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("view_id"), col("view_value"))
+  }
+
   /** Per-tile incremental materialized view — the streaming form of the
     * reference's tile-targeted cache invalidation
     * (BaseOprPlaceDataProvider.java:352-392; history caches

@@ -238,6 +238,44 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rnd = new scala.util.Random(37)
+      // fed in EVENT-TIME order: a watermarked stream-stream join is
+      // entitled to drop rows older than the watermark, so parity with
+      // the batch join holds exactly when batches respect event time
+      // (the same contract the as-of parity test documents)
+      val all = (1 to 300).map { i =>
+        val kind = if (rnd.nextInt(3) == 0) "purchase" else "view"
+        EventStreams.Event(i.toLong, ts(rnd.nextInt(60)), 1L + rnd.nextInt(4),
+          kind, rnd.nextInt(100) / 4.0)
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.attributionJoinStream(mem.toDS(), "5 minutes",
+          windowMs = 10 * 60000L)
+        .writeStream.format("memory").queryName("attr")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        all.grouped(100).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        val got = spark.table("attr").collect()
+          .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+        // batch reference: plain interval join over the full log
+        val df = all.toDF()
+        val want = df.where($"event_type" === "purchase").as("p")
+          .join(df.where($"event_type" === "view").as("v"),
+            $"v.user_id" === $"p.user_id" &&
+              $"v.ts" <= $"p.ts" &&
+              $"v.ts" >= $"p.ts" - org.apache.spark.sql.functions.expr("INTERVAL 600 SECONDS"))
+          .select($"p.event_id", $"v.event_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got == want)
+        assert(want.nonEmpty, "fixture should produce attributed pairs")
+      } finally q.stop()
+    }
+  }
+
   test("as-of enrichment state TTL: an idle key is evicted by event time, a live key survives") {
     withSpark { spark =>
       import spark.implicits._
