@@ -99,9 +99,12 @@ object AsofJoin {
     * like SQL ASOF's `<=` mirror; right-side ties on (key, ts) resolve
     * deterministically to the SMALLEST `tiebreak` (backward takes the
     * largest — each direction prefers the match nearest its horizon).
-    * Same one-shuffle union + running-window shape, with the frame
-    * flipped to [current, unbounded following] and `first` instead of
-    * `last`. */
+    * Same one-shuffle union + running-window shape as [[backward]], with
+    * the SORT reversed instead of the frame: a [current, following]
+    * frame would execute as Spark's UnboundedFollowing window, which
+    * recomputes the aggregate per row — O(n²) per key group, exactly the
+    * blow-up this operator family exists to avoid — while descending
+    * order keeps the incremental O(n) running-last scan. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
               leftTs: String, rightTs: String,
               payload: Seq[String], tiebreak: String): DataFrame = {
@@ -129,15 +132,16 @@ object AsofJoin {
         lit(null).cast(l.schema("__l").dataType).as("__l") :+
         struct(payload.map(col): _*).as("__p"): _*)
 
-    // left rows (side 0) sort before right rows (side 1) at equal ts, so
-    // the [current, following] frame SEES an equal-ts right row
-    // (inclusive); right ties order by __ord asc → `first` takes the
-    // smallest tiebreak
+    // DESCENDING time: the running frame at a left row has seen exactly
+    // the right rows with ts >= left ts. Right rows (side 1) sort before
+    // left (side 0) at equal ts under `__side` desc → inclusive match;
+    // equal-(key, ts) right rows order by __ord desc, so the running
+    // `last` holds the SMALLEST tiebreak when the left row arrives.
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__ord").asc_nulls_first)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__t").desc, col("__side").desc, col("__ord").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
-      .withColumn("__m", first(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 0)
 
     val out = leftCols.map(c => col("__l").getField(c).as(c)) ++

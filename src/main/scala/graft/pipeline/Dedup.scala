@@ -60,7 +60,12 @@ object Dedup {
         md5(col("col")).as("ph"))
     val w = Window.partitionBy("ph").orderBy("doc_id", "pos")
     val kept = keyed.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-    val totals = keyed.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+    // paragraph count is ceil(n / paraWords) — derived arithmetically on
+    // the one-row-per-doc relation, NOT by re-aggregating the exploded
+    // paragraphs (that would re-run the tokenize+md5 lineage and shuffle
+    // every paragraph row a second time just to count them)
+    val totals = toks.select(col("doc_id"),
+      (floor((col("n") - 1) / lit(paraWords)) + 1).as("n_paras"))
     val rebuilt = kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

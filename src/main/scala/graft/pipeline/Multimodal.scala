@@ -164,7 +164,9 @@ object Multimodal {
     val frames = (0 until n).map { _ =>
       require(off + 4 <= payload.length, "truncated frame index")
       val len = intLE(payload, off)
-      require(len >= 0 && off + 4 + len <= payload.length, "truncated frame")
+      // compare against the REMAINING length so a crafted 2^31-ish frame
+      // length cannot overflow `off + 4 + len` past the check
+      require(len >= 0 && len <= payload.length - off - 4, "truncated frame")
       val f = java.util.Arrays.copyOfRange(payload, off + 4, off + 4 + len)
       off += 4 + len
       f

@@ -194,7 +194,7 @@ object EventStreams {
     purchases.join(views,
         col("v_user") === col("p_user") &&
           col("view_ts") <= col("purchase_ts") &&
-          col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+          col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMs MILLISECOND"))
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("purchase_ts"), col("view_id"), col("view_value"))
   }

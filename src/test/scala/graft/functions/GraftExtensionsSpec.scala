@@ -35,7 +35,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       geo_band_keys(52.52, 13.405, 150.0) AS gbks,
           |       passjoin_index_keys('market') AS pik,
           |       passjoin_probe_keys('market') AS ppk,
-          |       minhash_band_keys(array('a', 'b', 'c'), 2, 8, 2) AS mbk
+          |       minhash_band_keys(array('a', 'b', 'c'), 2, 8, 2) AS mbk,
+          |       poly31_hash('market') AS ph,
+          |       nfc_normalize(decode(unhex('43616665CC81'), 'UTF-8')) AS nfc
           |""".stripMargin).head()
       assert(row.getString(0) == graft.geo.Olc.encode(52.52, 13.405, 6))
       assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
@@ -49,6 +51,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[String](8).sorted == PassJoinKeys.probeKeys("market").sorted)
       assert(row.getSeq[Long](9) == graft.pipeline.PortableHash.bandKeys(
         graft.pipeline.PortableHash.minhashSignature(Seq("a b", "b c"), 8).toSeq, 2))
+      assert(row.getLong(10) == graft.pipeline.PortableHash.poly31Cp("market"))
+      assert(row.getString(11) == "Caf\u00e9")
     } finally spark.stop()
   }
 }
