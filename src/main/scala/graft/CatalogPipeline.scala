@@ -396,6 +396,12 @@ object CatalogPipeline {
         paraWords = 12)
       .orderBy("doc_id")
 
+  /** Distributed Gram matrix ([[graft.pipeline.Projection.gramMatrix]]):
+    * the PCA reduce step over the embeddings, upper triangle. */
+  private def p45(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Projection.gramMatrix(Tables.embeddings(s, d), "embedding")
+      .orderBy("i", "j")
+
   /** Text normalization ([[graft.pipeline.TextAnalysis.normalizeText]]):
     * NFC + control scrub + space collapse + trim + lowercase; recorded
     * as (length, md5, changed) so the oracle hashes the normalized bytes
@@ -1003,6 +1009,19 @@ object CatalogPipeline {
              |    / 1048576.0 / 4.0, 6) AS val
              |FROM embeddings e, sg g
              |ORDER BY vec_id, j""".stripMargin)),
+    Q("p45_gram_matrix", p45,
+      // fixed-point products, HUGEINT-widened sums, one exact 2^40
+      // division back to float units — mirrors the Scala decimal sum
+      Some("""WITH q AS (SELECT vec_id,
+             |         list_transform(embedding,
+             |           x -> CAST(floor(x::DOUBLE * 1048576 + 0.5) AS BIGINT)) AS qv
+             |       FROM embeddings),
+             |c AS (SELECT t.i AS i, u.j AS j,
+             |        qv[CAST(t.i + 1 AS INT)] * qv[CAST(u.j + 1 AS INT)] AS p
+             |      FROM q, range(64) t(i), range(64) u(j) WHERE u.j >= t.i)
+             |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             |       round(CAST(sum(p) AS DOUBLE) / 1099511627776.0, 6) AS gram
+             |FROM c GROUP BY i, j ORDER BY i, j""".stripMargin)),
     Q("p44_video_frames", p44,
       Some("""WITH v AS (SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h,
              |              6 + doc_id % 5 AS nf

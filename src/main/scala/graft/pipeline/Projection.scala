@@ -45,6 +45,41 @@ object Projection {
     if (b >= M / 2) 1L else -1L
   }
 
+  /** Distributed Gram matrix — the reduce step of PCA / whitening /
+    * linear-probe training: G[i][j] = Σ_rows v_i·v_j over the corpus,
+    * upper triangle, as ONE map-side-combinable aggregate. Each row
+    * contributes its d(d+1)/2 cell products, but partial aggregation
+    * collapses every partition to ≤ d(d+1)/2 rows before the shuffle —
+    * the corpus never reshuffles and the matrix is a bounded driver
+    * artifact (like the IVF centroids) for the downstream eigensolver,
+    * which is deliberately out of engine scope (LAPACK on d×d is a
+    * driver-side concern; the DISTRIBUTED part of PCA is exactly this
+    * accumulation).
+    *
+    * Determinism: components quantize to fixed point and products sum
+    * as DECIMAL(38,0) (integer addition is associative; a Long sum
+    * could wrap at corpus scale — the k-means lesson), then one exact
+    * power-of-two division back to float units, rounded. */
+  def gramMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val cellsUdf = udf((v: Seq[Float]) => {
+      val q = v.map(PortableHash.quantize).toArray
+      val out = Array.newBuilder[(Int, Int, Long)]
+      var i = 0
+      while (i < q.length) {
+        var j = i
+        while (j < q.length) { out += ((i, j, q(i) * q(j))); j += 1 }
+        i += 1
+      }
+      out.result().toSeq
+    })
+    df.select(explode(cellsUdf(col(vecCol))).as("c"))
+      .select(col("c._1").as("i"), col("c._2").as("j"),
+        col("c._3").cast("decimal(28,0)").as("p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("s"))
+      .select(col("i"), col("j"),
+        round(col("s").cast("double") / lit(1099511627776.0), 6).as("gram"))
+  }
+
   /** Project `vecCol` (array<float>) down to `outDims`, exploded as
     * (id, j, val): val = Σ_i q(v_i)·sign(j,i) / 2^20 / √outDims. */
   def project(df: DataFrame, idCol: String, vecCol: String, outDims: Int): DataFrame = {

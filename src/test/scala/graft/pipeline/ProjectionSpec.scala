@@ -68,6 +68,25 @@ class ProjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"worst ratios: ${ratios.min}, ${ratios.max}")
   }
 
+  test("gramMatrix matches the scalar fixed-point Gram, diagonal non-negative") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vecs = (1L to 50L).map(id =>
+      (id, Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val got = Projection.gramMatrix(vecs.toDF("vec_id", "embedding"), "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 8 * 9 / 2, "upper triangle only")
+    val want = (for (i <- 0 until 8; j <- i until 8) yield {
+      val s = vecs.map { case (_, v) =>
+        PortableHash.quantize(v(i)) * PortableHash.quantize(v(j))
+      }.sum
+      (i, j) -> BigDecimal(s.toDouble / 1099511627776.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }).toMap
+    assert(got == want)
+    (0 until 8).foreach(i => assert(got((i, i)) >= 0.0, s"diag $i"))
+  }
+
   test("non-power-of-four output dimension is rejected (inexact sqrt scaling)") {
     import spark.implicits._
     val df = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
