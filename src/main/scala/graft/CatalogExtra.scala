@@ -159,6 +159,51 @@ object CatalogExtra {
       .orderBy("event_id")
   }
 
+  /** D15 tolerance-bounded as-of ([[graft.operators.AsofJoin.backwardWithin]]):
+    * d10's enrichment, but a view older than 10 minutes is too stale to
+    * attach (pandas merge_asof `tolerance`). Epoch-seconds columns on
+    * both sides so the subtraction defines the unit. */
+  private def d15(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_seconds(ts)").as("epoch"), col("event_type"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("epoch"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("epoch"),
+        col("value").as("view_value"))
+    graft.operators.AsofJoin.backwardWithin(purchases, views, Seq("user_id"),
+        "epoch", "epoch", payload = Seq("view_id", "view_value"),
+        tiebreak = "view_id", tolerance = 600L)
+      .select(col("event_id"), col("user_id"),
+        col("epoch").as("purchase_epoch"),
+        col("view_id"), round(col("view_value"), 2).as("view_value"))
+      .orderBy("event_id")
+  }
+
+  private val asofToleranceOracleSql =
+    """WITH u AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 AS e, 1 AS side, event_id,
+      |         NULL::BIGINT AS ord, NULL::BIGINT AS v_id,
+      |         NULL::DOUBLE AS v_val
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, epoch_ns(ts) // 1000000000, 0, NULL, event_id, event_id, value
+      |  FROM events WHERE event_type = 'view'),
+      |w AS (
+      |  SELECT *,
+      |    last_value(v_id IGNORE NULLS) OVER win AS m_id,
+      |    last_value(v_val IGNORE NULLS) OVER win AS m_val,
+      |    last_value(CASE WHEN side = 0 THEN e END IGNORE NULLS) OVER win AS m_ts
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY e, side, ord
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, e AS purchase_epoch,
+      |       CASE WHEN m_ts IS NOT NULL AND e - m_ts <= 600 THEN m_id END AS view_id,
+      |       CASE WHEN m_ts IS NOT NULL AND e - m_ts <= 600
+      |            THEN round(m_val, 2) END AS view_value
+      |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
+
   private val asofForwardOracleSql =
     """WITH u AS (
       |  SELECT user_id, ts, 0 AS side, event_id,
@@ -263,6 +308,7 @@ object CatalogExtra {
     Q("d12_interval_join", d12, Some(rangeJoinOracleSql)),
     Q("d13_bloom_semi_join", d13, Some(bloomJoinOracleSql)),
     Q("d14_asof_forward", d14, Some(asofForwardOracleSql)),
+    Q("d15_asof_tolerance", d15, Some(asofToleranceOracleSql)),
     Q("a13_geojson_sink", a13,
       Some(s"""WITH v AS (SELECT c_custkey, ${Synth.latvLonvSql("c_custkey")},
               |  round(${Synth.latSql.format("c_custkey")}, 2) AS rlat,

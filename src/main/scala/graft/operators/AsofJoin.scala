@@ -92,6 +92,33 @@ object AsofJoin {
     matched.select(out: _*)
   }
 
+  /** [[backward]] with a STALENESS BOUND (pandas `merge_asof`'s
+    * `tolerance`): the matched right row must also satisfy
+    * `leftTs − rightTs ≤ tolerance`, else the payload is null — "the
+    * state as of this event, unless it is too old to trust". Implemented
+    * as the plain backward join with the match's own timestamp carried
+    * through the window (one extra struct field, no second shuffle) and
+    * a map-side null-out; the timestamp columns must be numeric (epoch
+    * units — the subtraction defines the tolerance's unit). */
+  def backwardWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String,
+                     payload: Seq[String], tiebreak: String,
+                     tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be non-negative: $tolerance")
+    require(!left.columns.contains("__mt") && !right.columns.contains("__mt"),
+      "input columns collide with AsofJoin's reserved __-prefixed scratch columns")
+    // ride the right timestamp inside the payload struct under a scratch
+    // name, then age-filter each emitted payload column
+    val r2 = right.withColumn("__mt", col(rightTs))
+    val joined = backward(left, r2, keys, leftTs, rightTs,
+      payload :+ "__mt", tiebreak)
+    val fresh = col("__mt").isNotNull &&
+      (col(leftTs) - col("__mt")) <= tolerance
+    val out = left.columns.map(col) ++
+      payload.map(p => when(fresh, col(p)).otherwise(lit(null)).as(p))
+    joined.select(out.toSeq: _*)
+  }
+
   /** Forward as-of join — the mirror of [[backward]]: for every left row,
     * the single right row with the SMALLEST `rightTs` ≥ the left row's
     * `leftTs` within the key group ("the next event after this one": next

@@ -33,7 +33,7 @@ class DeterminismAuditSpec extends AnyFunSuite {
     "x4_countmin", "x5_hll_shard_merge", "d12_interval_join",
     "d13_bloom_semi_join", "p40_tfidf_keywords", "p41_random_projection",
     "d14_asof_forward", "p42_text_normalize", "p43_paragraph_dedup",
-    "p44_video_frames", "p45_gram_matrix")
+    "p44_video_frames", "p45_gram_matrix", "d15_asof_tolerance")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()

@@ -79,6 +79,41 @@ class AsofJoinSpec extends AnyFunSuite {
       "fixture should include lefts after every right (null payload)")
   }
 
+  test("backwardWithin nulls matches older than the tolerance, keeps fresh ones") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val left = Seq.tabulate(200)(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(50).toLong))
+    val right = Seq.tabulate(150)(j =>
+      (1000L + j, rnd.nextInt(6).toLong, rnd.nextInt(50).toLong, rnd.nextInt(100) / 4.0))
+    val tol = 7L
+
+    val got = AsofJoin.backwardWithin(
+        left.toDF("event_id", "user_id", "ts"),
+        right.toDF("view_id", "user_id", "ts", "view_value"),
+        Seq("user_id"), "ts", "ts",
+        payload = Seq("view_id", "view_value"), tiebreak = "view_id",
+        tolerance = tol)
+      .collect()
+      .map(x => (x.getLong(0), (Option(x.get(3)), Option(x.get(4)))))
+      .toMap
+
+    left.foreach { case (eid, u, t) =>
+      val best = right.filter(v => v._2 == u && v._3 <= t)
+        .sortBy(v => (v._3, v._1)).lastOption
+        .filter(v => t - v._3 <= tol) // the tolerance: stale matches null out
+      val expect = (best.map(_._1: java.lang.Long).map(x => x: Any),
+        best.map(_._4: java.lang.Double).map(x => x: Any))
+      assert(got(eid) == expect, s"left=$eid user=$u ts=$t")
+    }
+    // the fixture must exercise BOTH outcomes: a match nulled by age and
+    // a kept fresh one
+    val matched = left.flatMap { case (eid, u, t) =>
+      right.filter(v => v._2 == u && v._3 <= t).sortBy(v => (v._3, v._1))
+        .lastOption.map(v => (eid, t - v._3))
+    }
+    assert(matched.exists(_._2 > tol) && matched.exists(_._2 <= tol))
+  }
+
   test("backwardSliced equals backward on a skewed fixture with slice gaps") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
