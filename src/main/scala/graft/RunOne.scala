@@ -32,7 +32,7 @@ object RunOne {
               f"gc=${tm.jvmGCTime / 1e3}%5.1fs " +
               f"sRead=${tm.shuffleReadMetrics.recordsRead}%8d " +
               f"sWrite=${tm.shuffleWriteMetrics.recordsWritten}%8d " +
-              f"in=${tm.inputMetrics.recordsRead}%8d")
+              f"in=${tm.inputMetrics.recordsRead}%8d  ${si.name.take(70)}")
         }
       })
     }

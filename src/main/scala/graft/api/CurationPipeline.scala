@@ -80,11 +80,19 @@ object CurationPipeline {
     // textCol are read with the same names as the corpus's
     val bench = benchmark.select(col(idCol).as("doc_id"), col(textCol).as("text"))
 
+    // Stage outputs below are EAGERLY materialized (cache + count), not
+    // lazily cached: AQE runs the downstream consumers' exchange jobs
+    // concurrently (CompletableFuture), and concurrent first-readers of a
+    // lazy cache STAMPEDE — each recomputes the full lineage before any
+    // partition lands (the round-6 p17 shingle-cache lesson; measured
+    // here: exactKept's corpus-wide build executed 3x, exactDrop's md5
+    // window 2x, ~25 s of duplicated CPU per funnel run).
+    def eager(df: DataFrame): DataFrame = { val c = df.cache(); c.count(); c }
+
     // 1. exact duplicates: only non-canonical members of >1 groups
-    val exactDrop = Dedup.exactDuplicates(base, "doc_id", "text")
+    val exactDrop = eager(Dedup.exactDuplicates(base, "doc_id", "text")
       .where(col("doc_id") =!= col("canonical_id"))
-      .select(col("doc_id"), lit(true).as("exact_dup"))
-      .cache()
+      .select(col("doc_id"), lit(true).as("exact_dup")))
 
     // 2. near-dup clusters over the exact-canonical survivors (running it
     // on the full set would re-find every exact group as a near cluster).
@@ -95,7 +103,7 @@ object CurationPipeline {
     // universe, the survivor filter) — cache it like `survivors` below:
     // both are the materialized stage outputs a production funnel
     // checkpoints anyway
-    val exactKept = base.join(exactDrop, Seq("doc_id"), "left_anti").cache()
+    val exactKept = eager(base.join(exactDrop, Seq("doc_id"), "left_anti"))
     val resolved = Dedup.resolveByComponents(exactKept, "doc_id",
         Dedup.minhashLshPairs(exactKept, "doc_id", "text",
           cfg.ngram, cfg.numHashes, cfg.bandRows, cfg.minSim)
@@ -110,9 +118,8 @@ object CurationPipeline {
     // The survivor corpus feeds three signal passes; cache it — this is
     // the in-session stand-in for the materialization a production run
     // does anyway (the dedup output IS the pipeline's checkpoint artifact).
-    val survivors = exactKept.join(
-        resolved.where(col("near_keep")).select("doc_id"), Seq("doc_id"), "left_semi")
-      .cache()
+    val survivors = eager(exactKept.join(
+        resolved.where(col("near_keep")).select("doc_id"), Seq("doc_id"), "left_semi"))
     val contam = Dedup.contaminationFlags(survivors, bench, "doc_id", "text",
         cfg.decontamNgram, cfg.maxContamFrac)
       .select(col("doc_id"), col("contaminated_frac"),
