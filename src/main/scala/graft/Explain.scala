@@ -14,6 +14,8 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // plan printing must not execute the curation funnel's stage caches
+      .config("graft.curation.eagerStages", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

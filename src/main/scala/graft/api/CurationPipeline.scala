@@ -87,7 +87,15 @@ object CurationPipeline {
     // partition lands (the round-6 p17 shingle-cache lesson; measured
     // here: exactKept's corpus-wide build executed 3x, exactDrop's md5
     // window 2x, ~25 s of duplicated CPU per funnel run).
-    def eager(df: DataFrame): DataFrame = { val c = df.cache(); c.count(); c }
+    // Plan-only consumers (Explain, PlanAuditSpec) opt out via the session
+    // conf below — they build the frame purely to inspect its plan and
+    // must not pay the funnel's execution at construction time. The lazy
+    // fallback still marks the cache so an opted-out frame that IS later
+    // executed remains correct (it merely risks the stampede recompute).
+    val materialize = corpus.sparkSession.conf
+      .get("graft.curation.eagerStages", "true").toBoolean
+    def eager(df: DataFrame): DataFrame =
+      { val c = df.cache(); if (materialize) c.count(); c }
 
     // 1. exact duplicates: only non-canonical members of >1 groups
     val exactDrop = eager(Dedup.exactDuplicates(base, "doc_id", "text")

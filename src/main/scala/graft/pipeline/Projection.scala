@@ -63,6 +63,14 @@ object Projection {
   def gramMatrix(df: DataFrame, vecCol: String): DataFrame = {
     val cellsUdf = udf((v: Seq[Float]) => {
       val q = v.map(PortableHash.quantize).toArray
+      // The per-cell product q(i)·q(j) is Long arithmetic: a component
+      // with |q| > floor(√Long.Max) ≈ 3.037e9 (|x| ≳ 2896 in float
+      // units) could wrap the product SILENTLY while the DuckDB oracle's
+      // BIGINT multiply errors — fail loudly on the Spark side too
+      // (embeddings are unit-norm-ish in practice; this guards the
+      // contract, like project()'s 4096-dim packing require).
+      q.foreach(c => require(math.abs(c) <= 3037000499L,
+        s"gramMatrix component magnitude $c exceeds the Long product range"))
       val out = Array.newBuilder[(Int, Int, Long)]
       var i = 0
       while (i < q.length) {

@@ -16,6 +16,7 @@ class PlanAuditSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("graft.curation.eagerStages", "false")
       .appName("plan-audit")
       .getOrCreate()
     try {
@@ -46,6 +47,7 @@ class PlanAuditSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("graft.curation.eagerStages", "false")
       .appName("plan-audit-tile2")
       .getOrCreate()
     try {
@@ -87,6 +89,7 @@ class PlanAuditSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("graft.curation.eagerStages", "false")
       .appName("plan-audit-broadcast")
       .getOrCreate()
     try {
@@ -116,6 +119,7 @@ class PlanAuditSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("graft.curation.eagerStages", "false")
       .appName("plan-audit-2")
       .getOrCreate()
     try {
