@@ -402,6 +402,55 @@ object CatalogPipeline {
     graft.pipeline.Projection.gramMatrix(Tables.embeddings(s, d), "embedding")
       .orderBy("i", "j")
 
+  /** PageRank centrality ([[graft.graph.PageRank]]) over the bipartite
+    * customer↔supplier trade graph (edges: distinct (cust, supp) pairs
+    * with a lineitem, both directions; node ids disambiguated as 2k /
+    * 2k+1) — the corpus-curation domain-ranking shape run on the graph
+    * this dataset actually has. 5 iterations, 2^20 fixed-point units. */
+  private def p46(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.orders(s, d)
+      .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"),
+          (col("l_suppkey") * 2 + 1).as("dst")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("src", "dst").distinct()
+    val ed = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    graft.graph.PageRank.ranks(ed, "src", "dst", iterations = 5)
+      .select(col("node"), round(col("rank") / lit(1048576.0), 6).as("rank"))
+      .orderBy("node")
+  }
+
+  /** The p46 oracle's unrolled iteration chain: r_i from r_{i-1} with the
+    * identical integer recurrence (`//` floors like Spark's `div`; the
+    * DISTINCT src set equals the node set because the edge relation is
+    * bidirectional). MATERIALIZED per CTE — DuckDB re-inlines the chain
+    * exponentially otherwise. */
+  private def pagerankOracleSql(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST((1048576 * 15) // 100
+         |              + 85 * coalesce(s.in_sum, 0) // 100 AS BIGINT) AS rank
+         |  FROM (SELECT DISTINCT src AS node FROM ed) n
+         |  LEFT JOIN (SELECT e.dst AS node, sum(r${i - 1}.rank // e.outdeg) AS in_sum
+         |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |             GROUP BY e.dst) s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |ed AS MATERIALIZED (
+       |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+       |e AS MATERIALIZED (SELECT ed.src, ed.dst, deg.outdeg
+       |                   FROM ed JOIN deg USING (src)),
+       |r0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+       |                           CAST(1048576 AS BIGINT) AS rank FROM ed),
+       |$chain
+       |SELECT node, round(rank / 1048576.0, 6) AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
   /** Text normalization ([[graft.pipeline.TextAnalysis.normalizeText]]):
     * NFC + control scrub + space collapse + trim + lowercase; recorded
     * as (length, md5, changed) so the oracle hashes the normalized bytes
@@ -1009,6 +1058,7 @@ object CatalogPipeline {
              |    / 1048576.0 / 4.0, 6) AS val
              |FROM embeddings e, sg g
              |ORDER BY vec_id, j""".stripMargin)),
+    Q("p46_pagerank", p46, Some(pagerankOracleSql(5))),
     Q("p45_gram_matrix", p45,
       // fixed-point products, HUGEINT-widened sums, one exact 2^40
       // division back to float units — mirrors the Scala decimal sum
