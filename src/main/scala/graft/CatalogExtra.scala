@@ -129,6 +129,34 @@ object CatalogExtra {
       .orderBy("l_returnflag")
   }
 
+  /** D16 skew-salted join ([[graft.operators.SaltedJoin.inner]]):
+    * lineitem ⋈ supplier on suppkey, salted 8 ways — semantically the
+    * plain join (which is the oracle), but the exchange key is
+    * (suppkey, salt) so a hot supplier's lines spread over 8 tasks
+    * instead of one straggler. Aggregated per nation afterwards. */
+  private def d16(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("suppkey"),
+        col("l_quantity"), col("l_extendedprice"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.operators.SaltedJoin.inner(li, sup, Seq("suppkey"), salts = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
+  private val saltedJoinOracleSql =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |             AS DOUBLE), 2) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   private val bloomJoinOracleSql =
     """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
       |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
@@ -307,6 +335,7 @@ object CatalogExtra {
     Q("d11_asof_sliced", d11, Some(asofOracleSql)),
     Q("d12_interval_join", d12, Some(rangeJoinOracleSql)),
     Q("d13_bloom_semi_join", d13, Some(bloomJoinOracleSql)),
+    Q("d16_salted_join", d16, Some(saltedJoinOracleSql)),
     Q("d14_asof_forward", d14, Some(asofForwardOracleSql)),
     Q("d15_asof_tolerance", d15, Some(asofToleranceOracleSql)),
     Q("a13_geojson_sink", a13,
