@@ -420,6 +420,46 @@ object CatalogPipeline {
       .orderBy("node")
   }
 
+  /** Corpus drift ([[graft.pipeline.Drift.tokenDrift]]): token
+    * distribution shift between the even- and odd-id document halves —
+    * top-40 drifted tokens with add-one-smoothed probabilities, TV and
+    * KL contributions. Selection orders by the exact integer
+    * cross-difference, so which tokens make the cut is float-free. */
+  private def p47(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    graft.pipeline.Drift.tokenDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "text", k = 40)
+      .withColumn("diff_num", col("diff_num").cast("long"))
+  }
+
+  private val driftOracleSql =
+    """WITH wa AS (SELECT unnest(list_filter(string_split(text, ' '),
+      |                 x -> x <> '')) AS word
+      |            FROM documents WHERE doc_id % 2 = 0),
+      |wb AS (SELECT unnest(list_filter(string_split(text, ' '),
+      |                 x -> x <> '')) AS word
+      |       FROM documents WHERE doc_id % 2 = 1),
+      |ca AS (SELECT word, count(*) AS ca FROM wa GROUP BY word),
+      |cb AS (SELECT word, count(*) AS cb FROM wb GROUP BY word),
+      |j AS (SELECT coalesce(ca.word, cb.word) AS word,
+      |             coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+      |      FROM ca FULL OUTER JOIN cb ON ca.word = cb.word),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |             CAST(sum(cb) AS BIGINT) AS nb, count(*) AS v FROM j),
+      |sc AS (SELECT word, ca, cb,
+      |         CAST(ca + 1 AS HUGEINT) * (nb + v)
+      |           - CAST(cb + 1 AS HUGEINT) * (na + v) AS dn,
+      |         (ca + 1) / CAST(na + v AS DOUBLE) AS pa,
+      |         (cb + 1) / CAST(nb + v AS DOUBLE) AS pb
+      |       FROM j, t)
+      |SELECT word, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+      |       CAST(dn AS BIGINT) AS diff_num,
+      |       round(pa, 9) AS pa, round(pb, 9) AS pb,
+      |       round(abs(pa - pb), 9) AS abs_diff,
+      |       round(pa * ln(pa / pb), 9) AS kl_ab
+      |FROM sc ORDER BY abs(dn) DESC, word LIMIT 40""".stripMargin
+
   /** The p46 oracle's unrolled iteration chain: r_i from r_{i-1} with the
     * identical integer recurrence (`//` floors like Spark's `div`; the
     * DISTINCT src set equals the node set because the edge relation is
@@ -1059,6 +1099,7 @@ object CatalogPipeline {
              |FROM embeddings e, sg g
              |ORDER BY vec_id, j""".stripMargin)),
     Q("p46_pagerank", p46, Some(pagerankOracleSql(5))),
+    Q("p47_corpus_drift", p47, Some(driftOracleSql)),
     Q("p45_gram_matrix", p45,
       // fixed-point products, HUGEINT-widened sums, one exact 2^40
       // division back to float units — mirrors the Scala decimal sum
