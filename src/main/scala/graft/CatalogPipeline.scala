@@ -433,6 +433,39 @@ object CatalogPipeline {
       .withColumn("diff_num", col("diff_num").cast("long"))
   }
 
+  /** Token-budget mixture assembly ([[graft.pipeline.Sampling.tokenBudgetMix]]):
+    * per-language token budgets filled in deterministic-hash order via
+    * the two-pass distributed prefix sum (no per-domain single-task
+    * window). The oracle is the naive one-window spelling — equivalent
+    * because the hash bucket is monotone in the priority. */
+  private def p48(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.tokenBudgetMix(
+        Tables.documents(s, d), "doc_id", "lang",
+        TextAnalysis.wsTokenCount(col("text")).cast("long"),
+        budgets = Map("en" -> 4000L, "zh" -> 2000L),
+        defaultBudget = 1500L, buckets = 8)
+      .withColumnRenamed("lang", "domain")
+      .orderBy("doc_id")
+
+  private val tokenBudgetOracleSql =
+    """WITH d AS (SELECT doc_id, lang AS domain,
+      |             CAST(len(list_filter(string_split(text, ' '),
+      |               x -> x <> '')) AS BIGINT) AS n_tokens,
+      |             (doc_id % 1000000007 * 2654435761 + 987654321)
+      |               % 1000000007 AS pri
+      |           FROM documents),
+      |c AS (SELECT doc_id, domain, n_tokens,
+      |        coalesce(sum(n_tokens) OVER (PARTITION BY domain
+      |          ORDER BY pri, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |          0) AS cum_before
+      |      FROM d)
+      |SELECT doc_id, domain, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
+      |       cum_before < CASE domain WHEN 'en' THEN 4000
+      |                                WHEN 'zh' THEN 2000
+      |                                ELSE 1500 END AS kept
+      |FROM c ORDER BY doc_id""".stripMargin
+
   private val driftOracleSql =
     """WITH wa AS (SELECT unnest(list_filter(string_split(text, ' '),
       |                 x -> x <> '')) AS word
@@ -1100,6 +1133,7 @@ object CatalogPipeline {
              |ORDER BY vec_id, j""".stripMargin)),
     Q("p46_pagerank", p46, Some(pagerankOracleSql(5))),
     Q("p47_corpus_drift", p47, Some(driftOracleSql)),
+    Q("p48_token_budget_mix", p48, Some(tokenBudgetOracleSql)),
     Q("p45_gram_matrix", p45,
       // fixed-point products, HUGEINT-widened sums, one exact 2^40
       // division back to float units — mirrors the Scala decimal sum

@@ -164,4 +164,65 @@ object Sampling {
       .withColumn("chunk_id", col("chunk_base") + col("local_chunk"))
       .drop("local_chunk", "chunk_base")
   }
+
+  /** Per-domain token-budget selection — the mixture-assembly step that
+    * turns "this many tokens per domain" targets (The Pile / DoReMi
+    * application stage) into a concrete document set. Selection order is
+    * a deterministic portable hash of the id (a reproducible uniform
+    * sample of each domain), and a document is kept iff its domain's
+    * token count BEFORE it in that order is still under the budget — so
+    * the kept set always overshoots by at most one document per domain.
+    *
+    * Scale shape: the naive spelling is one running-sum window
+    * partitioned by domain — a hot domain holding half the corpus would
+    * serialize through one task. This is the two-pass distributed prefix
+    * sum instead: the hash priority is uniform, so its high bits ARE a
+    * range partitioning — `bucket = pri·B div M` is monotone in `pri`.
+    * Pass 1 computes within-(domain, bucket) running sums (each window
+    * sees ~|domain|/B rows) and per-bucket token totals; pass 2 prefixes
+    * the (domain, bucket) totals — a tiny |domains|·B relation — and
+    * broadcasts the resulting offsets back. No task ever holds more than
+    * one bucket of one domain; budgets join in as a broadcast literal
+    * relation. Token sums are Long (corpus token counts, ≤ ~10^15 at
+    * 100 TB — far from wrap).
+    */
+  def tokenBudgetMix(df: DataFrame, idCol: String, domainCol: String,
+                     tokens: Column, budgets: Map[String, Long],
+                     defaultBudget: Long, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1 && buckets <= 100000, s"buckets=$buckets")
+    val reserved = Seq("pri", "bkt", "n_tokens", "cum_in", "bucket_total",
+      "bucket_offset", "budget", "cum_before", "kept")
+    Seq(idCol, domainCol).foreach(c => require(!reserved.contains(c),
+      s"column $c collides with a reserved name"))
+    val m = lit(1000000007L)
+    val base = df.select(col(idCol), col(domainCol), tokens.as("n_tokens"))
+      // fold before the multiply (the deterministicShuffle overflow lesson)
+      .withColumn("pri",
+        pmod(pmod(col(idCol), m) * lit(2654435761L) + lit(987654321L), m))
+      .withColumn("bkt", expr(s"pri * $buckets div 1000000007").cast("int"))
+    val wIn = Window.partitionBy(domainCol, "bkt")
+      .orderBy(col("pri"), col(idCol))
+    val withIn = base.withColumn("cum_in",
+      sum("n_tokens").over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
+    // per-bucket totals from the projected base (map-side combined agg;
+    // re-scans the source rather than caching a corpus-sized relation)
+    val offsets = base.groupBy(domainCol, "bkt")
+      .agg(sum("n_tokens").as("bucket_total"))
+      .withColumn("bucket_offset", coalesce(
+        sum("bucket_total").over(Window.partitionBy(domainCol)
+          .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(domainCol), col("bkt"), col("bucket_offset"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgetDf = budgets.toSeq.toDF(domainCol, "budget")
+    withIn.join(broadcast(offsets), Seq(domainCol, "bkt"))
+      .join(broadcast(budgetDf), Seq(domainCol), "left")
+      .withColumn("cum_before",
+        col("bucket_offset") + col("cum_in") - col("n_tokens"))
+      .withColumn("kept",
+        col("cum_before") < coalesce(col("budget"), lit(defaultBudget)))
+      .select(col(idCol), col(domainCol), col("n_tokens"),
+        col("cum_before"), col("kept"))
+  }
 }

@@ -112,4 +112,54 @@ class SamplingSpec extends AnyFunSuite {
       }
     } finally spark.stop()
   }
+
+  test("tokenBudgetMix: equals the naive one-window form; windows never partition by domain alone") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // hot domain: 'en' holds 10x the rows of the others
+      val rnd = new scala.util.Random(23)
+      val docs = ((1L to 500L).map(i => (i, "en", 10L + rnd.nextInt(40))) ++
+        (1001L to 1050L).map(i => (i, "de", 10L + rnd.nextInt(40))) ++
+        (2001L to 2040L).map(i => (i, "fr", 10L + rnd.nextInt(40)))).toDF(
+        "doc_id", "lang", "nt")
+      val budgets = Map("en" -> 3000L, "de" -> 400L)
+      val mixed = Sampling.tokenBudgetMix(docs, "doc_id", "lang",
+        col("nt"), budgets, defaultBudget = 300L, buckets = 8)
+      val got = mixed.collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+
+      // naive reference: one running sum per domain in (pri, id) order
+      val m = 1000000007L
+      def pri(id: Long) = (id % m * 2654435761L + 987654321L) % m
+      val rows = docs.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)))
+      val want = rows.groupBy(_._2).flatMap { case (lang, rs) =>
+        val sorted = rs.sortBy(t => (pri(t._1), t._1))
+        val cums = sorted.scanLeft(0L)(_ + _._3)
+        sorted.zip(cums).map { case ((id, _, _), before) =>
+          id -> (before, before < budgets.getOrElse(lang, 300L))
+        }.toSeq
+      }
+      assert(got == want)
+
+      // at most one overshooting doc per domain: kept tokens minus the
+      // last kept doc stay under budget
+      val keptTok = rows.filter(t => got(t._1)._2).groupBy(_._2)
+        .map { case (l, rs) => l -> rs.map(_._3).sum }
+      keptTok.foreach { case (l, tot) =>
+        val maxDoc = rows.filter(_._2 == l).map(_._3).max
+        assert(tot < budgets.getOrElse(l, 300L) + maxDoc, s"$l overshoots")
+      }
+
+      // scale shape: every corpus-sized Window partitions by (domain,
+      // bucket) — a window keyed on the domain alone would funnel the hot
+      // domain through one task
+      val plan = mixed.queryExecution.executedPlan.toString
+      val corpusWindows = plan.split("\n").filter(l =>
+        l.contains("windowspecdefinition(lang#") && l.contains("cum_in"))
+      assert(corpusWindows.nonEmpty && corpusWindows.forall(_.contains("bkt#")),
+        s"corpus window partitioned by domain alone:\n$plan")
+    } finally spark.stop()
+  }
 }
