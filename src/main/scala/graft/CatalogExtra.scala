@@ -307,6 +307,17 @@ object CatalogExtra {
         "ts", "ts", payload = Seq("view_id", "view_value"),
         tiebreak = "view_id", sliceWidth = 86400L))
 
+  /** D17: the same join as a FIRST-CLASS physical operator
+    * ([[graft.plans.NativeAsofJoin]] — custom LogicalPlan + Strategy +
+    * SparkPlan): per-side sorts + a streaming per-partition merge,
+    * never materializing the tagged-union padded relation. Provably
+    * identical to d10, so it shares d10's oracle. */
+  private def d17(s: SparkSession, d: String): DataFrame =
+    asofPurchaseViews(s, d)((p, v) =>
+      graft.plans.NativeAsofJoin.backward(p, v, Seq("user_id"),
+        "ts", "ts", payload = Seq("view_id", "view_value"),
+        tiebreak = Seq("view_id")))
+
   /** The union+running-last DuckDB rendering (deterministic ties — not
     * DuckDB's ASOF JOIN syntax), shared verbatim by d10 and d11. */
   private val asofOracleSql =
@@ -338,6 +349,7 @@ object CatalogExtra {
     Q("d16_salted_join", d16, Some(saltedJoinOracleSql)),
     Q("d14_asof_forward", d14, Some(asofForwardOracleSql)),
     Q("d15_asof_tolerance", d15, Some(asofToleranceOracleSql)),
+    Q("d17_asof_native", d17, Some(asofOracleSql)),
     Q("a13_geojson_sink", a13,
       Some(s"""WITH v AS (SELECT c_custkey, ${Synth.latvLonvSql("c_custkey")},
               |  round(${Synth.latSql.format("c_custkey")}, 2) AS rlat,

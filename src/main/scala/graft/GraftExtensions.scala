@@ -70,5 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GeoBandKeyExprs.keysBuilder))
     // naive `haversine_m(...) < r` join conditions → tile-bucketed equi-joins
     ext.injectOptimizerRule(_ => HaversineJoinRule)
+    // the native as-of join physical operator (AsofJoinPlan → AsofJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.NativeAsofJoin.AsofJoinStrategy)
   }
 }

@@ -33,7 +33,12 @@ class DeterminismAuditSpec extends AnyFunSuite {
     "x4_countmin", "x5_hll_shard_merge", "d12_interval_join",
     "d13_bloom_semi_join", "p40_tfidf_keywords", "p41_random_projection",
     "d14_asof_forward", "p42_text_normalize", "p43_paragraph_dedup",
-    "p44_video_frames", "p45_gram_matrix", "d15_asof_tolerance")
+    "p44_video_frames", "p45_gram_matrix", "d15_asof_tolerance",
+    // late round 9: integer PageRank ranks, the salted-join aggregate,
+    // exact-integer drift selection, prefix-sum budget fill, and the
+    // native as-of merge must be partitioning-invariant by construction
+    "p46_pagerank", "d16_salted_join", "p47_corpus_drift",
+    "p48_token_budget_mix", "d17_asof_native")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()
