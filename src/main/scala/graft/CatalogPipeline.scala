@@ -407,17 +407,60 @@ object CatalogPipeline {
     * with a lineitem, both directions; node ids disambiguated as 2k /
     * 2k+1) — the corpus-curation domain-ranking shape run on the graph
     * this dataset actually has. 5 iterations, 2^20 fixed-point units. */
-  private def p46(s: SparkSession, d: String): DataFrame = {
+  private def p46(s: SparkSession, d: String): DataFrame =
+    graft.graph.PageRank.ranks(tradeEdges(s, d), "src", "dst", iterations = 5)
+      .select(col("node"), round(col("rank") / lit(1048576.0), 6).as("rank"))
+      .orderBy("node")
+
+  /** The p46/p49 shared graph: bidirectional customer↔supplier edges,
+    * one per distinct (cust, supp) pair with a lineitem; node ids
+    * disambiguated as 2k (customers) / 2k+1 (suppliers). */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val e0 = Tables.orders(s, d)
       .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"),
           (col("l_suppkey") * 2 + 1).as("dst")),
         col("o_orderkey") === col("l_orderkey"))
       .select("src", "dst").distinct()
-    val ed = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-    graft.graph.PageRank.ranks(ed, "src", "dst", iterations = 5)
-      .select(col("node"), round(col("rank") / lit(1048576.0), 6).as("rank"))
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Label-propagation communities ([[graft.graph.LabelPropagation]])
+    * over the trade graph: 4 synchronous rounds, self-vote damped,
+    * (count desc, label asc) deterministic argmax. */
+  private def p49(s: SparkSession, d: String): DataFrame =
+    graft.graph.LabelPropagation.run(tradeEdges(s, d), "src", "dst", rounds = 4)
       .orderBy("node")
+
+  /** Shared CTE prefix rendering the trade graph in DuckDB. */
+  private val tradeEdgesSqlPrefix =
+    """e0 AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |ed AS MATERIALIZED (
+      |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)""".stripMargin
+
+  /** The p49 oracle: the same synchronous recurrence unrolled — per
+    * round, neighbor votes ∪ self-vote, counted, then the
+    * (count desc, label asc) argmax per node. */
+  private def lpaOracleSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node
+         |             ORDER BY c DESC, label) AS rn
+         |    FROM (SELECT node, label, count(*) AS c
+         |          FROM (SELECT ed.dst AS node, l.label
+         |                FROM ed JOIN l${i - 1} l ON ed.src = l.node
+         |                UNION ALL SELECT node, label FROM l${i - 1})
+         |          GROUP BY node, label))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradeEdgesSqlPrefix,
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM ed),
+       |$chain
+       |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
   }
 
   /** Corpus drift ([[graft.pipeline.Drift.tokenDrift]]): token
@@ -509,11 +552,7 @@ object CatalogPipeline {
          |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
          |             GROUP BY e.dst) s USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS MATERIALIZED (
-       |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
-       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-       |ed AS MATERIALIZED (
-       |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    s"""WITH $tradeEdgesSqlPrefix,
        |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
        |e AS MATERIALIZED (SELECT ed.src, ed.dst, deg.outdeg
        |                   FROM ed JOIN deg USING (src)),
@@ -1134,6 +1173,7 @@ object CatalogPipeline {
     Q("p46_pagerank", p46, Some(pagerankOracleSql(5))),
     Q("p47_corpus_drift", p47, Some(driftOracleSql)),
     Q("p48_token_budget_mix", p48, Some(tokenBudgetOracleSql)),
+    Q("p49_label_propagation", p49, Some(lpaOracleSql(4))),
     Q("p45_gram_matrix", p45,
       // fixed-point products, HUGEINT-widened sums, one exact 2^40
       // division back to float units — mirrors the Scala decimal sum

@@ -38,7 +38,7 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // exact-integer drift selection, prefix-sum budget fill, and the
     // native as-of merge must be partitioning-invariant by construction
     "p46_pagerank", "d16_salted_join", "p47_corpus_drift",
-    "p48_token_budget_mix", "d17_asof_native")
+    "p48_token_budget_mix", "d17_asof_native", "p49_label_propagation")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()
