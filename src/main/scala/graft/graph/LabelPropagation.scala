@@ -10,20 +10,25 @@ import org.apache.spark.sql.functions._
   * oscillation sync LPA is prone to). Communities group nodes that share
   * neighborhoods — on a customer↔supplier trade graph, market segments.
   *
-  * Determinism (oracle hash-compares every row): the argmax is the
-  * lexicographic max of (count, −label) — highest vote count, smallest
-  * label on ties — computed as ONE `max(struct(...))` aggregation, no
-  * window; labels are node ids (integers), so every step is exact and
-  * partitioning-independent. A fixed round count is reported rather than
-  * convergence detection (LPA's fixed point is not unique; the bounded
-  * unrolled form is what an oracle can replay).
+  * Determinism (oracle hash-compares every row): the argmax — highest
+  * vote count, smallest label on ties — is exact integer logic spelled
+  * as max-count + equi-join + min-label, three HASH aggregations. (The
+  * compact `max(struct(count, -label))` spelling is semantically
+  * identical but structs can't hash-aggregate: Spark plans it as
+  * partial+final SortAggregate, i.e. two full sorts of the vote relation
+  * per round — verified in the plan, rejected.) A fixed round count is
+  * reported rather than convergence detection (LPA's fixed point is not
+  * unique; the bounded unrolled form is what an oracle can replay).
   *
   * Scale shape: per round, one join of the label relation against the
   * src-partitioned cached edge relation (edges never re-shuffle), then
-  * two map-side-combined aggregations — (node, label) vote counts and
-  * the per-node struct-max. Only (node, label) pairs ever move. Vote
-  * counts bound at (node, distinct neighbor labels); a hub's votes
-  * collapse map-side before the exchange.
+  * the three map-side-combined hash aggregations; the best-count join is
+  * co-partitioned (both sides exit aggregations keyed on `node`). Only
+  * (node, label) pairs ever move; a hub's votes collapse map-side before
+  * the exchange. Per-round `votes`/`labels` persists keep the plan
+  * LINEAR in rounds — each round's labels feed two consumers (the
+  * neighbor join and the self-vote), which otherwise doubles the lineage
+  * every round — and they hold node-bounded relations only.
   */
 object LabelPropagation {
 
@@ -47,10 +52,11 @@ object LabelPropagation {
         .select(col("dst").as("node"), col("label"))
         .unionByName(labels) // self-vote
         .groupBy("node", "label").agg(count(lit(1)).as("c"))
-      labels = votes
-        .groupBy("node")
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("label"))
+        .persist()
+      val best = votes.groupBy("node").agg(max(col("c")).as("c"))
+      labels = votes.join(best, Seq("node", "c"))
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .persist()
     }
     labels
   }
