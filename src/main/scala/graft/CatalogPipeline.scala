@@ -463,6 +463,40 @@ object CatalogPipeline {
        |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
   }
 
+  /** The p50 graph: distinct part pairs co-occurring in an order — the
+    * sparse, non-bipartite, triangle-rich graph this dataset offers
+    * (2000 nodes / ~116k edges at sf0.01; the trade graph is bipartite
+    * and so triangle-free). The per-order self-join is bounded by order
+    * size (≤ 7 lineitems), never quadratic in the table. */
+  private def partEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
+  /** Triangle participation counts ([[graft.graph.Triangles]]) over the
+    * part co-occurrence graph — degree-ordered (Suri–Vassilvitskii)
+    * enumeration; the oracle's naive id-ordered triple join reproduces
+    * the same exact counts. */
+  private def p50(s: SparkSession, d: String): DataFrame =
+    graft.graph.Triangles.perNode(partEdges(s, d), "u", "v").orderBy("node")
+
+  private val trianglesOracleSql =
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |x AS (SELECT a AS node FROM t
+      |      UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+      |SELECT node, count(*) AS triangles FROM x
+      |GROUP BY node ORDER BY node""".stripMargin
+
   /** Corpus drift ([[graft.pipeline.Drift.tokenDrift]]): token
     * distribution shift between the even- and odd-id document halves —
     * top-40 drifted tokens with add-one-smoothed probabilities, TV and
@@ -1174,6 +1208,7 @@ object CatalogPipeline {
     Q("p47_corpus_drift", p47, Some(driftOracleSql)),
     Q("p48_token_budget_mix", p48, Some(tokenBudgetOracleSql)),
     Q("p49_label_propagation", p49, Some(lpaOracleSql(4))),
+    Q("p50_triangles", p50, Some(trianglesOracleSql)),
     Q("p45_gram_matrix", p45,
       // fixed-point products, HUGEINT-widened sums, one exact 2^40
       // division back to float units — mirrors the Scala decimal sum
