@@ -497,6 +497,27 @@ object CatalogPipeline {
       |SELECT node, count(*) AS triangles FROM x
       |GROUP BY node ORDER BY node""".stripMargin
 
+  /** Weighted reservoir sample ([[graft.pipeline.Sampling.weightedSample]]):
+    * 10 documents per language, weight = n_chars — the length-
+    * proportional per-stratum draw a mixture builder uses for eval and
+    * inspection cuts. */
+  private def p51(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.weightedSample(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        "lang", "doc_id", col("n_chars"), k = 10)
+      .orderBy("lang", "pri", "doc_id")
+
+  private val weightedSampleOracleSql =
+    """WITH w AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    round(-ln(CAST(doc_id % 1000000007 * 2654435761 % 1000000007 + 1
+      |                   AS DOUBLE) / 1000000007.0) / n_chars, 9) AS pri
+      |  FROM documents WHERE n_chars > 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |        ORDER BY pri, doc_id) AS rn FROM w)
+      |SELECT doc_id, lang, n_chars, pri FROM r WHERE rn <= 10
+      |ORDER BY lang, pri, doc_id""".stripMargin
+
   /** Corpus drift ([[graft.pipeline.Drift.tokenDrift]]): token
     * distribution shift between the even- and odd-id document halves —
     * top-40 drifted tokens with add-one-smoothed probabilities, TV and
@@ -1209,6 +1230,7 @@ object CatalogPipeline {
     Q("p48_token_budget_mix", p48, Some(tokenBudgetOracleSql)),
     Q("p49_label_propagation", p49, Some(lpaOracleSql(4))),
     Q("p50_triangles", p50, Some(trianglesOracleSql)),
+    Q("p51_weighted_sample", p51, Some(weightedSampleOracleSql)),
     Q("p45_gram_matrix", p45,
       // fixed-point products, HUGEINT-widened sums, one exact 2^40
       // division back to float units — mirrors the Scala decimal sum

@@ -225,4 +225,43 @@ object Sampling {
       .select(col(idCol), col(domainCol), col("n_tokens"),
         col("cum_before"), col("kept"))
   }
+
+  /** Weighted sampling without replacement, k per stratum (Efraimidis &
+    * Spirtakis 2006, the exponential-keys form): each row gets priority
+    * `-ln(u)/w` — an Exp(w) race, so the k smallest priorities of a
+    * stratum are a weight-proportional sample without replacement,
+    * exactly equivalent to the classic `u^(1/w)` reservoir keys (the
+    * monotone log of the same order). `u` is the portable multiplicative
+    * hash of the id mapped to (0, 1], so the sample is reproducible
+    * across runs, engines, and cluster sizes — the property
+    * `DataFrame.sample` lacks. Non-positive weights are excluded (an
+    * Exp(w≤0) race is undefined; such rows could never win honestly).
+    *
+    * Determinism across engines: the priority is rounded to 9 decimals
+    * and the (pri, id) order is total, so the selected set only depends
+    * on ln/division agreeing to ~1e-10 relative — far coarser than the
+    * 1-ulp worst-case libm spread (the repo's standard rounded-float
+    * convention; see p38/p46 for the same reasoning).
+    *
+    * Scale shape: one stateless projection (hash, ln — all codegen
+    * builtins), then the same `row_number ≤ k` window as
+    * [[topKPerGroup]] — Catalyst's rank-limit pushdown (SPARK-37099)
+    * inserts a PARTIAL WindowGroupLimit below the exchange, so a hot
+    * stratum forwards ≤ k rows per input partition, never its corpus
+    * share. The corpus itself shuffles once, already cut to candidates.
+    */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+                     weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    val m = 1000000007L
+    val h = pmod(pmod(col(idCol), lit(m)) * lit(2654435761L), lit(m))
+    val u = (h + lit(1L)).cast("double") / lit(m.toDouble) // (0, 1]
+    val win = Window.partitionBy(col(stratumCol))
+      .orderBy(col("pri").asc, col(idCol).asc)
+    df.where(weight > 0)
+      .withColumn("pri", round(-log(u) / weight, 9))
+      .withColumn("rn", row_number().over(win))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
 }

@@ -162,4 +162,51 @@ class SamplingSpec extends AnyFunSuite {
         s"corpus window partitioned by domain alone:\n$plan")
     } finally spark.stop()
   }
+
+  test("weightedSample: matches scalar A-ES; weight-proportional; rank-limit pushed down") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      val rnd = new scala.util.Random(41)
+      // two strata; within each, ids 1-200 light (w=10), 201-240 heavy (w=500)
+      val rows = for {
+        s <- Seq("a", "b"); i <- 1L to 240L
+        id = (if (s == "a") 10000L else 20000L) + i
+      } yield (id, s, if (i <= 200) 10L + rnd.nextInt(5) else 500L + rnd.nextInt(50))
+      val df = rows.toDF("doc_id", "lang", "w")
+      val got = Sampling.weightedSample(df, "lang", "doc_id", col("w"), k = 20)
+
+      // scalar A-ES with the same portable hash + rounding convention
+      val m = 1000000007L
+      def pri(id: Long, w: Long): Double = {
+        val h = (id % m) * 2654435761L % m
+        val x = -math.log((h + 1).toDouble / m.toDouble) / w
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.map(t => (t._1, t._2, t._3, pri(t._1, t._3)))
+          .sortBy(t => (t._4, t._1)).take(20)
+      }.toSet
+      val gotSet = got.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(gotSet == want)
+
+      // heavy rows are 1/6 of each stratum but ~50x the weight: they must
+      // dominate the sample (weight-proportionality, not uniformity)
+      val heavy = gotSet.count(_._3 >= 500)
+      assert(heavy >= 30, s"heavy rows under-sampled: $heavy/40")
+
+      // SPARK-37099: a Partial WindowGroupLimit below the exchange
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+        plan.take(2000))
+
+      // zero/negative weights are excluded, never sampled
+      val withZero = (rows :+ ((99999L, "a", 0L)) :+ ((99998L, "b", -5L)))
+        .toDF("doc_id", "lang", "w")
+      val ids = Sampling.weightedSample(withZero, "lang", "doc_id", col("w"), 500)
+        .select("doc_id").as[Long].collect().toSet
+      assert(!ids.contains(99999L) && !ids.contains(99998L))
+    } finally spark.stop()
+  }
 }
