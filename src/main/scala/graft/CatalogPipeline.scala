@@ -518,6 +518,24 @@ object CatalogPipeline {
       |SELECT doc_id, lang, n_chars, pri FROM r WHERE rn <= 10
       |ORDER BY lang, pri, doc_id""".stripMargin
 
+  /** Token-distribution entropy ([[graft.pipeline.TextAnalysis.tokenEntropy]])
+    * per document — the lexical-diversity quality signal. */
+  private def p52(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val tokenEntropyOracleSql =
+    """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |             x -> x <> '')) AS word FROM documents),
+      |c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+      |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |        count(*) AS n_distinct,
+      |        sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |       round(ln(CAST(n_tokens AS DOUBLE)) - s / n_tokens, 6) AS entropy
+      |FROM a ORDER BY doc_id""".stripMargin
+
   /** Corpus drift ([[graft.pipeline.Drift.tokenDrift]]): token
     * distribution shift between the even- and odd-id document halves —
     * top-40 drifted tokens with add-one-smoothed probabilities, TV and
@@ -1231,6 +1249,7 @@ object CatalogPipeline {
     Q("p49_label_propagation", p49, Some(lpaOracleSql(4))),
     Q("p50_triangles", p50, Some(trianglesOracleSql)),
     Q("p51_weighted_sample", p51, Some(weightedSampleOracleSql)),
+    Q("p52_token_entropy", p52, Some(tokenEntropyOracleSql)),
     Q("p45_gram_matrix", p45,
       // fixed-point products, HUGEINT-widened sums, one exact 2^40
       // division back to float units — mirrors the Scala decimal sum

@@ -245,6 +245,37 @@ object TextAnalysis {
       .select(col("rank"), col("word"), col("freq"), col("cum_coverage"))
   }
 
+  /** Per-document token-distribution entropy — the lexical-diversity
+    * quality signal (low entropy = keyword-stuffed spam, boilerplate,
+    * or generated loops; near-max entropy with a big vocabulary =
+    * natural prose). Shannon entropy over the whitespace-token
+    * histogram, computed as `H = ln(n) − Σ c·ln(c) / n` so a single
+    * pass over (doc, token) counts suffices — no per-doc probability
+    * normalization pass.
+    *
+    * Distributed shape: explode words → two map-side-combined hash
+    * aggregations, (doc, token) counts then the per-doc fold. Only
+    * (doc_id, token) pairs shuffle, never text. Token-free documents
+    * have no histogram and are absent from the output (their entropy is
+    * undefined, not zero).
+    *
+    * Emits (doc_id, n_tokens, n_distinct, entropy), entropy rounded to
+    * 6 per the cross-engine float convention.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val counts = df.repartition(par)
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens").cast("double")) - col("s") / col("n_tokens"), 6)
+          .as("entropy"))
+  }
+
   /** Within-document repetition signals (the Gopher/MassiveText quality
     * rules, Rae et al. 2021 §A1.1): for each n in `ns`, the fraction of
     * characters contained in word n-grams that occur more than once in the

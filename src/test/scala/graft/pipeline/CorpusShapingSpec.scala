@@ -243,4 +243,43 @@ class CorpusShapingSpec extends AnyFunSuite {
       assert(e.getMessage.contains("width"), e.getMessage)
     } finally spark.stop()
   }
+
+  test("tokenEntropy: matches scalar Shannon entropy; extremes and empties") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      val docs = Seq(
+        (1L, "a a a a a a a a"),            // constant → H = 0
+        (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),    // uniform → H = ln 8
+        (3L, "the cat sat on the mat the end"),
+        (4L, "   "),                         // token-free → absent
+        (5L, "x")                            // single token → H = 0
+      ).toDF("doc_id", "text")
+      val got = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+
+      def scalarH(text: String): (Long, Long, Double) = {
+        val ws = text.split(" ").filter(_.nonEmpty)
+        val cs = ws.groupBy(identity).map(_._2.length)
+        val n = ws.length.toDouble
+        val h = math.log(n) - cs.map(c => c * math.log(c)).sum / n
+        (ws.length.toLong, cs.size.toLong,
+          BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      assert(!got.contains(4L))
+      Seq(1L, 2L, 3L, 5L).foreach { id =>
+        val text = Seq("a a a a a a a a", "w1 w2 w3 w4 w5 w6 w7 w8",
+          "the cat sat on the mat the end", "", "x")(id.toInt - 1)
+        assert(got(id) == scalarH(text), s"doc $id")
+      }
+      assert(got(1L)._3 == 0.0 && got(5L)._3 == 0.0)
+      assert(got(2L)._3 == BigDecimal(math.log(8.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // a doc's entropy is bounded by ln(n_distinct) (+ rounding slack)
+      got.values.foreach { case (_, d, h) =>
+        assert(h <= math.log(d.toDouble) + 5e-7)
+      }
+    } finally spark.stop()
+  }
 }
