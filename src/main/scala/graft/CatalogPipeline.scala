@@ -518,6 +518,36 @@ object CatalogPipeline {
       |SELECT doc_id, lang, n_chars, pri FROM r WHERE rn <= 10
       |ORDER BY lang, pri, doc_id""".stripMargin
 
+  /** k-core peel ([[graft.graph.KCore]]) over the part co-occurrence
+    * graph: 5 synchronous rounds at k=80 — the density filter before
+    * community analysis (at sf0.01 this converges: the 2000-node graph
+    * stabilizes to its 1857-node 80-core by round 5). */
+  private def p53(s: SparkSession, d: String): DataFrame =
+    graft.graph.KCore.prune(partEdges(s, d), "u", "v", k = 80, rounds = 5)
+      .orderBy("node")
+
+  /** The p53 oracle: the peel recurrence unrolled — per round, degrees
+    * within the previous alive set, then the ≥ k cut. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val chain = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT sym.src AS node, count(*) AS deg FROM sym
+         |  JOIN a${i - 1} x ON sym.src = x.node
+         |  JOIN a${i - 1} y ON sym.dst = y.node
+         |  GROUP BY sym.src),
+         |a$i AS MATERIALIZED (SELECT node, deg FROM d$i WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+       |  UNION ALL SELECT v, u FROM e),
+       |a0 AS (SELECT DISTINCT src AS node FROM sym),
+       |$chain
+       |SELECT node, deg FROM a$rounds ORDER BY node""".stripMargin
+  }
+
   /** Token-distribution entropy ([[graft.pipeline.TextAnalysis.tokenEntropy]])
     * per document — the lexical-diversity quality signal. */
   private def p52(s: SparkSession, d: String): DataFrame =
@@ -1250,6 +1280,7 @@ object CatalogPipeline {
     Q("p50_triangles", p50, Some(trianglesOracleSql)),
     Q("p51_weighted_sample", p51, Some(weightedSampleOracleSql)),
     Q("p52_token_entropy", p52, Some(tokenEntropyOracleSql)),
+    Q("p53_kcore", p53, Some(kcoreOracleSql(80, 5))),
     Q("p45_gram_matrix", p45,
       // fixed-point products, HUGEINT-widened sums, one exact 2^40
       // division back to float units — mirrors the Scala decimal sum
