@@ -604,5 +604,69 @@ object CatalogOps {
       Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
              |       TRUE AS merged_within_5pct
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("x7_kmv_intersect", x7, {
+      // the same poly31 code-point fold as x4, over the customer id
+      def ih(s: String) =
+        s"""list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(range(length($s)),
+           |        c -> ascii(substr($s, CAST(c + 1 AS INT), 1))::BIGINT)),
+           |      (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+      Some(s"""WITH u AS (SELECT DISTINCT
+              |    strftime(date_trunc('month', o_orderdate), '%Y-%m') AS key,
+              |    CAST(o_custkey AS VARCHAR) AS item FROM orders),
+              |hs AS (SELECT DISTINCT key,
+              |         (${ih("item")} * 1103515245 + 12345) % 1000000007 AS ih
+              |       FROM u),
+              |sk AS MATERIALIZED (SELECT key, ih FROM
+              |  (SELECT key, ih, row_number() OVER (PARTITION BY key
+              |     ORDER BY ih) AS rn FROM hs) WHERE rn <= 128),
+              |mo AS (SELECT DISTINCT key FROM sk),
+              |pairs AS (SELECT a.key AS key_a, b.key AS key_b
+              |          FROM mo a JOIN mo b ON b.key = strftime(
+              |            (a.key || '-01')::DATE + INTERVAL 1 MONTH, '%Y-%m')),
+              |mg AS (SELECT key_a, key_b, ih,
+              |         max(in_a) AS in_a, max(in_b) AS in_b FROM (
+              |         SELECT p.key_a, p.key_b, s.ih, 1 AS in_a, 0 AS in_b
+              |         FROM pairs p JOIN sk s ON s.key = p.key_a
+              |         UNION ALL
+              |         SELECT p.key_a, p.key_b, s.ih, 0, 1
+              |         FROM pairs p JOIN sk s ON s.key = p.key_b)
+              |       GROUP BY key_a, key_b, ih),
+              |tk AS (SELECT * FROM (SELECT *, row_number() OVER (
+              |         PARTITION BY key_a, key_b ORDER BY ih) AS rn FROM mg)
+              |       WHERE rn <= 128),
+              |ag AS (SELECT key_a, key_b, count(*) AS msz, max(ih) AS theta,
+              |         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+              |                       THEN 1 ELSE 0 END) AS BIGINT) AS rho
+              |       FROM tk GROUP BY key_a, key_b)
+              |SELECT key_a, key_b,
+              |  CASE WHEN msz < 128 THEN msz
+              |       ELSE 127000000889 // theta END AS union_est,
+              |  CASE WHEN msz < 128 THEN rho
+              |       ELSE rho * (127000000889 // theta) // 128
+              |       END AS inter_est,
+              |  rho, msz
+              |FROM ag ORDER BY key_a""".stripMargin)
+    }),
   )
+
+  /** KMV sketch pipeline ([[graft.pipeline.Sketches.kmv]] /
+    * `kmvIntersect`): per-month distinct-customer sketches (k = 128)
+    * from orders, intersected for consecutive month pairs — the
+    * "returning users month-over-month" rollup a 100 TB deployment
+    * answers from stored per-shard sketch artifacts instead of
+    * re-scanning raw rows (HLL can't intersect; KMV can). Estimates are
+    * pure integer math, oracle-checked exactly. */
+  private def x7(s: SparkSession, d: String): DataFrame = {
+    val ords = Tables.orders(s, d).select(
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("key"),
+      col("o_custkey").cast("string").as("item"))
+    val sk = graft.pipeline.Sketches.kmv(ords, "key", "item", k = 128)
+    val months = sk.select("key").distinct()
+    val pairs = months.select(col("key").as("key_a"))
+      .join(months.select(col("key").as("key_b")),
+        expr("key_b = date_format(add_months(to_date(key_a || '-01'), 1), 'yyyy-MM')"))
+    graft.pipeline.Sketches.kmvIntersect(sk, pairs, k = 128)
+      .orderBy("key_a")
+  }
 }

@@ -73,4 +73,56 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // item's min is 0 w.h.p. (and never negative by construction)
     assert(est("zzz-unseen") == 0L)
   }
+
+  test("kmv: small sets are exact; a sketch holds at most k ranked hashes") {
+    import spark.implicits._
+    val rows = (1 to 50).map(i => ("a", s"item$i")) ++
+      (26 to 120).map(i => ("b", s"item$i"))
+    val sk = Sketches.kmv(rows.toDF("grp", "it"), "grp", "it", k = 64)
+    val perKey = sk.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perKey("a") == 50 && perKey("b") == 64)
+    val pairs = Seq(("a", "b")).toDF("key_a", "key_b")
+    val est = Sketches.kmvIntersect(sk, pairs, k = 64).collect().head
+    // |A∪B| = 120 > k: estimate regime for the union; ρ counts shared
+    // hashes among the 64 smallest of the union
+    val unionEst = est.getAs[Long]("union_est")
+    val interEst = est.getAs[Long]("inter_est")
+    assert(math.abs(unionEst - 120) <= 40, s"union_est=$unionEst")
+    assert(math.abs(interEst - 25) <= 15, s"inter_est=$interEst")
+
+    // exact regime: tiny disjoint-ish sets, union under k
+    val tiny = Seq(("x", "p"), ("x", "q"), ("x", "r"),
+      ("y", "q"), ("y", "r"), ("y", "s")).toDF("grp", "it")
+    val tsk = Sketches.kmv(tiny, "grp", "it", k = 64)
+    val t = Sketches.kmvIntersect(tsk, Seq(("x", "y")).toDF("key_a", "key_b"), 64)
+      .collect().head
+    assert(t.getAs[Long]("union_est") == 4 && t.getAs[Long]("inter_est") == 2)
+  }
+
+  test("kmv: estimate accuracy at k=128 over 2000-element sets; merge = sketch of union") {
+    import spark.implicits._
+    val a = (1 to 2000).map(i => ("a", s"doc$i"))
+    val b = (1501 to 3500).map(i => ("b", s"doc$i")) // |∩|=500, |∪|=3500
+    val sk = Sketches.kmv((a ++ b).toDF("grp", "it"), "grp", "it", k = 128)
+    val est = Sketches.kmvIntersect(sk,
+      Seq(("a", "b")).toDF("key_a", "key_b"), k = 128).collect().head
+    val u = est.getAs[Long]("union_est"); val i = est.getAs[Long]("inter_est")
+    // σ ≈ |∪|/√(k−2) ≈ 312; allow 3σ
+    assert(math.abs(u - 3500) <= 950, s"union_est=$u")
+    assert(math.abs(i - 500) <= 300, s"inter_est=$i")
+
+    // the k smallest of the two sketches' union IS the union's sketch
+    val whole = (a ++ b).map { case (_, it) => ("w", it) }
+    val wholeSk = Sketches.kmv(whole.toDF("grp", "it"), "grp", "it", k = 128)
+      .select("ih").as[Long].collect().toSet
+    val mergedTop = sk.select("ih").distinct().as[Long].collect()
+      .sorted.take(128).toSet
+    assert(mergedTop == wholeSk)
+
+    // SPARK-37099: the per-group cut runs as a Partial WindowGroupLimit
+    val plan = sk.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      plan.take(2000))
+  }
 }
