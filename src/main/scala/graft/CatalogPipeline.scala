@@ -548,6 +548,40 @@ object CatalogPipeline {
        |SELECT node, deg FROM a$rounds ORDER BY node""".stripMargin
   }
 
+  /** Multi-source BFS hop distances ([[graft.graph.Bfs]]) over the trade
+    * graph from a 1-in-100 customer seed set — the seed-distance cut a
+    * crawl/curation pipeline applies ("keep pages within k hops of a
+    * trusted seed"). 3 hops; the bipartite graph alternates customer/
+    * supplier layers, so each hop is a real frontier. */
+  private def p54(s: SparkSession, d: String): DataFrame = {
+    val seeds = Tables.customer(s, d)
+      .where(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    graft.graph.Bfs.distances(tradeEdges(s, d), "src", "dst",
+        seeds, "node", maxHops = 3)
+      .orderBy("node")
+  }
+
+  /** The p54 oracle: the frontier recurrence unrolled — per hop, the
+    * distinct neighbors of the previous frontier not yet visited. */
+  private def bfsOracleSql(hops: Int): String = {
+    val chain = (1 to hops).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT ed.dst AS node
+         |  FROM ed JOIN f${i - 1} f ON ed.src = f.node
+         |  WHERE ed.dst NOT IN (SELECT node FROM v${i - 1})),
+         |v$i AS MATERIALIZED (SELECT node, dist FROM v${i - 1}
+         |  UNION ALL SELECT node, $i AS dist FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradeEdgesSqlPrefix,
+       |f0 AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+       |       WHERE c_custkey % 100 = 0),
+       |v0 AS (SELECT node, 0 AS dist FROM f0),
+       |$chain
+       |SELECT node, CAST(dist AS INT) AS dist FROM v$hops
+       |ORDER BY node""".stripMargin
+  }
+
   /** Token-distribution entropy ([[graft.pipeline.TextAnalysis.tokenEntropy]])
     * per document — the lexical-diversity quality signal. */
   private def p52(s: SparkSession, d: String): DataFrame =
@@ -823,6 +857,15 @@ object CatalogPipeline {
         Tables.documents(s, d), "doc_id", "text", topK = 50, alpha = 0.5)
       .orderBy("doc_id")
 
+  /** Interpolated Kneser–Ney bigram scoring
+    * ([[graft.pipeline.TextAnalysis.knBigramScore]]): the KenLM-family
+    * quality signal — discounted bigram ML interpolated with the
+    * continuation distribution. Same 50-word vocab + unk convention as
+    * p22, so the two LMs are directly comparable. */
+  private def p58(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.knBigramScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Gopher repetition signals over the raw documents table — the small
     * vocabulary makes repeated 2/3-grams common, so the rule has teeth. */
   private def p20(s: SparkSession, d: String): DataFrame =
@@ -862,6 +905,90 @@ object CatalogPipeline {
         pmod(col("doc_id") * lit(2654435761L), lit(10000L)))
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
+
+  /** Temperature-flattened language rebalance at T = 2
+    * ([[graft.pipeline.Sampling.temperatureBalance]]): keep rate
+    * √(c_min/c_l) per language — the multilingual-LM mixture rule —
+    * membership by the p14 portable bucket hash. */
+  private def p55(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.temperatureBalance(
+        Tables.documents(s, d).select("doc_id", "lang"), "lang",
+        pmod(col("doc_id") * lit(2654435761L), lit(10000L)))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
+  /** URL corpus: deterministic messy URLs (mixed-case scheme/host, www,
+    * default and explicit ports, utm params, fragments, trailing slashes)
+    * so canonicalization has known work in both engines, and the %97 path
+    * bucket forces genuine cross-doc canon collisions for the dedup flag. */
+  private def urlCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), concat(
+      lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+      when(col("doc_id") % 4 === 0, lit(":443"))
+        .when(col("doc_id") % 4 === 1, lit(":8443")).otherwise(lit("")),
+      lit("/Path/"), (col("doc_id") % 97).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("?utm_source=feed&ref="), (col("doc_id") % 11).cast("string")))
+        .when(col("doc_id") % 5 === 1, lit("?utm_campaign=x")).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("#sec-"), col("doc_id").cast("string"))).otherwise(lit("")))
+      .as("url"))
+
+  // NB: no line may start with "||" — re-embedded in a stripMargin oracle
+  private val urlCorpusSql =
+    """SELECT doc_id,
+      | 'HTTPS://WWW.Site' || (doc_id % 7) || '.COM' ||
+      | CASE WHEN doc_id % 4 = 0 THEN ':443'
+      |      WHEN doc_id % 4 = 1 THEN ':8443' ELSE '' END ||
+      | '/Path/' || (doc_id % 97) ||
+      | CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      | CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=' || (doc_id % 11)
+      |      WHEN doc_id % 5 = 1 THEN '?utm_campaign=x' ELSE '' END ||
+      | CASE WHEN doc_id % 6 = 0 THEN '#sec-' || doc_id ELSE '' END AS url
+      |FROM documents""".stripMargin
+
+  /** URL canonicalization + first-occurrence dedup
+    * ([[graft.pipeline.Urls.dedupByCanonical]]) over the synthetic messy
+    * URL corpus. */
+  private def p56(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Urls.dedupByCanonical(urlCorpus(s, d), "doc_id", "url")
+      .orderBy("doc_id")
+
+  /** Quote-containment join ([[graft.pipeline.Dedup.containmentJoin]]):
+    * every 5th document truncated to its first 20 words plays the quote
+    * side (id offset by 10^6), the full table the corpus side — each
+    * truncated probe is genuinely contained in its source, the asymmetric
+    * case Jaccard dedup structurally misses. Trigrams, t = 0.8. */
+  private def p57(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val probes = docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(filter(split(col("text"), " "), w => w =!= ""),
+          1, 20), " ").as("text"))
+    graft.pipeline.Dedup.containmentJoin(probes, docs, "doc_id", "text",
+        n = 3, minCont = 0.8)
+      .orderBy("q_id", "c_id")
+  }
+
+  /** Incremental dedup ([[graft.pipeline.Dedup.incrementalDedup]]): the
+    * documents table plays the existing corpus; the "new crawl" is every
+    * 4th doc with its last 3 words dropped (near-dups, id +10^6) plus
+    * every 10th doc verbatim (exact dups, id +2·10^6). Bigrams, 64
+    * hashes × 4 rows, t = 0.8 — the p3 conventions, cross-corpus. */
+  private def p59(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val w = filter(split(col("text"), " "), x => x =!= "")
+    val perturbed = docs.where(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(w, lit(1), greatest(size(w) - 3, lit(1))), " ").as("text"))
+    val copies = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    graft.pipeline.Dedup.incrementalDedup(
+        perturbed.unionByName(copies), docs.select("doc_id", "text"),
+        "doc_id", "text", n = 2, numHashes = 64, bandRows = 4, minSim = 0.8)
+      .orderBy("doc_id")
+  }
 
   /** Token-budget sequence packing, shard(source)-parallel: 2048-token
     * sequences filled in doc_id order; chunk ids globally unique via
@@ -1281,6 +1408,196 @@ object CatalogPipeline {
     Q("p51_weighted_sample", p51, Some(weightedSampleOracleSql)),
     Q("p52_token_entropy", p52, Some(tokenEntropyOracleSql)),
     Q("p53_kcore", p53, Some(kcoreOracleSql(80, 5))),
+    Q("p54_bfs", p54, Some(bfsOracleSql(3))),
+    Q("p59_incremental_dedup", p59,
+      // p3's signature/band machinery over the old ∪ new union, with
+      // candidates restricted to new×old; exact flag via text equality
+      // (≙ the Spark side's md5 equality)
+      Some("""WITH ws0 AS (SELECT doc_id, text,
+             |          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |        FROM documents),
+             |base AS (
+             |  SELECT doc_id, text, 0 AS is_new FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |         array_to_string(ws[1:greatest(len(ws) - 3, 1)], ' '), 1
+             |  FROM ws0 WHERE doc_id % 4 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, text, 1 FROM documents
+             |  WHERE doc_id % 10 = 0),
+             |g AS (SELECT doc_id, is_new, text,
+             |        list_distinct(list_transform(range(len(w) - 1),
+             |          i -> w[i+1] || ' ' || w[i+2])) AS grams
+             |      FROM (SELECT doc_id, is_new, text,
+             |              list_filter(string_split(text, ' '), x -> x <> '') AS w
+             |            FROM base)),
+             |hh AS (SELECT doc_id, is_new, grams,
+             |        list_transform(grams, s ->
+             |          list_reduce(list_prepend(0::BIGINT,
+             |            list_transform(range(length(s)),
+             |              c -> ascii(substr(s, CAST(c + 1 AS INT), 1))::BIGINT)),
+             |            (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+             |       FROM g WHERE len(grams) > 0),
+             |sig AS (SELECT doc_id, is_new,
+             |         list_transform(range(64), i -> list_min(list_transform(hs, h ->
+             |           ((((2*i+1) * 1103515245) % 1000000007) * h
+             |            + (((i+1) * 12345) % 1000000007)) % 1000000007))) AS sig
+             |        FROM hh),
+             |banded AS (SELECT doc_id, is_new,
+             |            unnest(list_transform(range(16), t ->
+             |              list_reduce(list_prepend((t+1)::BIGINT, sig[t*4+1 : t*4+4]),
+             |                (acc, x) -> (acc * 31 + x) % 1000000007))) AS band_key
+             |           FROM sig),
+             |ex AS (SELECT nn.doc_id, min(o.doc_id) AS exact_src
+             |       FROM base nn JOIN base o
+             |         ON nn.is_new = 1 AND o.is_new = 0 AND nn.text = o.text
+             |       GROUP BY nn.doc_id),
+             |cand AS (SELECT DISTINCT a.doc_id AS id, b.doc_id AS o_id
+             |         FROM banded a JOIN banded b ON a.band_key = b.band_key
+             |         WHERE a.is_new = 1 AND b.is_new = 0),
+             |j AS (SELECT c.id, c.o_id,
+             |        round(len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+             |              (len(ga.grams) + len(gb.grams)
+             |               - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
+             |      FROM cand c JOIN hh ga ON ga.doc_id = c.id
+             |                  JOIN hh gb ON gb.doc_id = c.o_id),
+             |best AS (SELECT id, o_id, jaccard,
+             |           row_number() OVER (PARTITION BY id
+             |             ORDER BY jaccard DESC, o_id) AS rn
+             |         FROM j WHERE jaccard >= 0.8)
+             |SELECT nn.doc_id, e.exact_src, b.o_id AS near_src,
+             |       b.jaccard AS near_jaccard
+             |FROM (SELECT doc_id FROM base WHERE is_new = 1) nn
+             |LEFT JOIN ex e ON e.doc_id = nn.doc_id
+             |LEFT JOIN best b ON b.id = nn.doc_id AND b.rn = 1
+             |ORDER BY nn.doc_id""".stripMargin)),
+    Q("p58_kneser_ney", p58,
+      // float-order parity: the probability is ONE fixed-shape double
+      // expression over integer counts (identical IEEE op order spelled
+      // on both sides), and per-doc log-probs fold in POSITION order
+      // (sort_array+aggregate ≙ list_sum(list ... ORDER BY pos))
+      Some("""WITH t AS (SELECT doc_id,
+             |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |       FROM documents),
+             |tk0 AS (SELECT doc_id, unnest(list_transform(range(len(ws)),
+             |          i -> {'pos': i, 'w': ws[CAST(i + 1 AS INT)]})) AS u
+             |        FROM t),
+             |tok AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM tk0),
+             |v AS (SELECT w FROM (
+             |        SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+             |        FROM tok GROUP BY w) WHERE rn <= 50),
+             |m AS (SELECT doc_id, pos,
+             |        CASE WHEN w IN (SELECT w FROM v) THEN w ELSE '' END AS tok
+             |      FROM tok),
+             |bg AS (SELECT doc_id, pos, tok,
+             |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS tok2
+             |       FROM m),
+             |b AS (SELECT * FROM bg WHERE tok2 IS NOT NULL),
+             |cb AS (SELECT tok, tok2, count(*) AS cb FROM b GROUP BY tok, tok2),
+             |cu AS (SELECT tok, count(*) AS cu FROM b GROUP BY tok),
+             |n1f AS (SELECT tok, count(*) AS n1f FROM cb GROUP BY tok),
+             |n1b AS (SELECT tok2, count(*) AS n1b FROM cb GROUP BY tok2),
+             |n1t AS (SELECT count(*) AS n1t FROM cb),
+             |sc AS (SELECT b.doc_id, b.pos,
+             |         ln(greatest(cb.cb::DOUBLE - 0.75, 0.0) / cu.cu
+             |            + 0.75 * n1f.n1f / cu.cu
+             |              * (n1b.n1b::DOUBLE / n1t.n1t)) AS logp
+             |       FROM b JOIN cb USING (tok, tok2) JOIN cu USING (tok)
+             |            JOIN n1f USING (tok) JOIN n1b USING (tok2), n1t),
+             |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+             |          list_sum(list(logp ORDER BY pos)) AS lsum
+             |        FROM sc GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+             |  coalesce(round(a.lsum, 6), 0.0) AS kn_logp,
+             |  coalesce(round(exp(-a.lsum / a.n_bigrams), 6), 0.0) AS kn_ppl
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+    Q("p57_containment", p57,
+      // blocking is an exactness-preserving optimization, so the oracle
+      // brute-forces: probes × corpus exact trigram containment (the
+      // result set, not the plan, is the contract)
+      Some("""WITH w AS (SELECT doc_id,
+             |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |       FROM documents),
+             |q AS (SELECT doc_id + 1000000 AS q_id, ws[1:20] AS ws
+             |      FROM w WHERE doc_id % 5 = 0),
+             |qg AS (SELECT q_id, list_distinct(list_transform(range(len(ws) - 2),
+             |         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+             |       FROM q WHERE len(ws) >= 3),
+             |cg AS (SELECT doc_id AS c_id,
+             |         list_distinct(list_transform(range(len(ws) - 2),
+             |           i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+             |       FROM w WHERE len(ws) >= 3),
+             |s AS (SELECT q.q_id, c.c_id,
+             |        round(len(list_intersect(q.grams, c.grams))::DOUBLE
+             |              / len(q.grams), 6) AS containment
+             |      FROM qg q, cg c WHERE q.q_id <> c.c_id)
+             |SELECT q_id, c_id, containment FROM s
+             |WHERE containment >= 0.8 ORDER BY q_id, c_id""".stripMargin)),
+    Q("p55_temperature_mix", p55,
+      // rate = √(c_min/c_l): division and sqrt are IEEE-correctly-rounded
+      // in both engines, so the floor'd threshold is bit-identical (the
+      // reason α is fixed at 0.5 — pow is not correctly rounded)
+      Some("""WITH sizes AS (SELECT lang, count(*) AS stratum_n
+             |               FROM documents GROUP BY lang),
+             |t AS (SELECT lang,
+             |        CAST(floor(sqrt((SELECT min(stratum_n) FROM sizes)::DOUBLE
+             |                        / stratum_n) * 10000) AS BIGINT) AS threshold
+             |      FROM sizes)
+             |SELECT d.doc_id, d.lang,
+             |  CAST((d.doc_id * 2654435761) % 10000 AS BIGINT) AS bucket
+             |FROM documents d JOIN t USING (lang)
+             |WHERE (d.doc_id * 2654435761) % 10000 < t.threshold
+             |ORDER BY doc_id""".stripMargin)),
+    Q("p56_url_dedup", p56,
+      // step-for-step mirror of Urls.canonicalUrl: every Spark builtin
+      // used (split_part, substring, rtrim-with-charset, startswith,
+      // array filter/join) has an identically-behaved DuckDB twin
+      Some(s"""WITH u AS ($urlCorpusSql),
+              |p1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM u),
+              |p2 AS (SELECT doc_id, nofrag,
+              |         split_part(nofrag, '://', 1) AS schemeraw,
+              |         substring(nofrag,
+              |           length(split_part(nofrag, '://', 1)) + 4) AS rest
+              |       FROM p1),
+              |p3 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hp
+              |       FROM p2),
+              |p4 AS (SELECT *, lower(schemeraw) AS scheme,
+              |         lower(split_part(hp, ':', 1)) AS host0,
+              |         split_part(hp, ':', 2) AS port,
+              |         substring(rest, length(hp) + 1) AS pathq
+              |       FROM p3),
+              |p5 AS (SELECT *,
+              |         CASE WHEN starts_with(host0, 'www.')
+              |              THEN substring(host0, 5) ELSE host0 END AS host,
+              |         split_part(pathq, '?', 1) AS path,
+              |         split_part(pathq, '?', 2) AS query
+              |       FROM p4),
+              |p6 AS (SELECT *,
+              |         array_to_string(list_filter(string_split(query, '&'),
+              |           x -> x <> '' AND NOT starts_with(x, 'utm_')), '&') AS cq,
+              |         CASE WHEN rtrim(path, '/') = '' THEN '/'
+              |              ELSE rtrim(path, '/') END AS cpath,
+              |         (port <> ''
+              |          AND NOT (lower(schemeraw) = 'https' AND port = '443')
+              |          AND NOT (lower(schemeraw) = 'http' AND port = '80')) AS keepport
+              |       FROM p5),
+              |c AS (SELECT doc_id,
+              |        CASE WHEN contains(nofrag, '://')
+              |                  AND schemeraw <> '' AND host <> ''
+              |          THEN scheme || '://' || host ||
+              |               CASE WHEN keepport THEN ':' || port ELSE '' END ||
+              |               cpath ||
+              |               CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+              |        END AS canon_url FROM p6)
+              |SELECT doc_id,
+              |  split_part(split_part(split_part(canon_url, '://', 2), '/', 1),
+              |             ':', 1) AS host,
+              |  canon_url,
+              |  CAST(CASE WHEN row_number() OVER (PARTITION BY canon_url
+              |         ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS INT) AS is_dup
+              |FROM c ORDER BY doc_id""".stripMargin)),
     Q("p45_gram_matrix", p45,
       // fixed-point products, HUGEINT-widened sums, one exact 2^40
       // division back to float units — mirrors the Scala decimal sum

@@ -250,6 +250,162 @@ object Dedup {
       .where(col("jaccard") >= minSim)
   }
 
+  /** Incremental (cross-snapshot) dedup — the production shape for a
+    * continuously-crawled corpus: flag each NEW document that duplicates
+    * the EXISTING corpus, exactly (byte-identical text) or nearly
+    * (verified n-gram Jaccard ≥ t via MinHash banding), WITHOUT ever
+    * pairing the old corpus against itself. Self-join dedup (p1/p3) is
+    * O(corpus²) work per crawl; this is O(new × collisions) — the old
+    * side contributes one md5 projection and one band-key index, both
+    * reusable artifacts a real deployment would persist between crawls.
+    *
+    * Returns every new row with `exact_src` (smallest old id with
+    * identical text, null if none) and `near_src`/`near_jaccard` (the
+    * best-Jaccard old match at ≥ minSim, ties to the smallest old id,
+    * nulls if none). Banding, hashing, and verification reuse the
+    * [[minhashLshPairs]] machinery (portable [[PortableHash]] signatures,
+    * native [[graft.functions.MinhashBandKeys]]/[[graft.functions.NgramHashes]]
+    * kernels, codegen'd merge-walk verify), so an external oracle
+    * reproduces every flag and score bit-for-bit.
+    *
+    * Scale shape (100 TB old + daily new): only (id, band-key) and
+    * (id, md5) pairs shuffle for candidate generation; gram arrays join
+    * back only for the candidate set. Neither corpus text ever shuffles.
+    */
+  def incrementalDedup(newDf: DataFrame, oldDf: DataFrame, idCol: String,
+                       textCol: String, n: Int, numHashes: Int, bandRows: Int,
+                       minSim: Double): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must divide into bands")
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.SortedIntersectSize.register(newDf.sparkSession)
+    graft.functions.NgramHashes.register(newDf.sparkSession)
+    graft.functions.MinhashBandKeys.register(newDf.sparkSession)
+    val par = newDf.sparkSession.sparkContext.defaultParallelism
+    // same two load-bearing exchanges + eager cache as minhashLshPairs
+    def prep(df: DataFrame): DataFrame = {
+      val g = df.repartition(par)
+        .select(col(idCol).as("id"), md5(col(textCol)).as("h"),
+          filter(split(col(textCol), " "), w => w =!= "").as("words"))
+        .repartition(par, col("id"))
+        .select(col("id"), col("h"),
+          call_function("ngram_hashes", col("words"), lit(n)).as("grams"),
+          call_function("minhash_band_keys", col("words"),
+            lit(n), lit(numHashes), lit(bandRows)).as("bands"))
+        .withColumn("sz", size(col("grams")))
+        .cache()
+      g.count()
+      g
+    }
+    val nw = prep(newDf)
+    val od = prep(oldDf)
+
+    val exact = nw.select(col("id"), col("h"))
+      .join(od.select(col("h"), col("id").as("o_id")), Seq("h"))
+      .groupBy("id").agg(min(col("o_id")).as("exact_src"))
+
+    val nb = nw.where(col("sz") > 0)
+      .select(col("id"), explode(col("bands")).as("band_key"))
+    val ob = od.where(col("sz") > 0)
+      .select(col("id").as("o_id"), explode(col("bands")).as("band_key"))
+    val cand = nb.join(ob, "band_key").select("id", "o_id").distinct()
+    val near = cand
+      .join(nw.select(col("id"), col("grams").as("a_grams"),
+        col("sz").as("a_sz")), "id")
+      .join(od.select(col("id").as("o_id"), col("grams").as("b_grams"),
+        col("sz").as("b_sz")), "o_id")
+      .withColumn("inter",
+        expr("sorted_intersect_size(a_grams, b_grams)").cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 6))
+      .where(col("jaccard") >= minSim)
+    val best = near
+      .withColumn("rn", row_number().over(Window.partitionBy("id")
+        .orderBy(col("jaccard").desc, col("o_id"))))
+      .where(col("rn") === 1)
+      .select(col("id"), col("o_id").as("near_src"),
+        col("jaccard").as("near_jaccard"))
+
+    newDf.select(col(idCol).as("id"))
+      .join(exact, Seq("id"), "left")
+      .join(best, Seq("id"), "left")
+      .select(col("id").as(idCol), col("exact_src"),
+        col("near_src"), col("near_jaccard"))
+  }
+
+  /** Exact n-gram CONTAINMENT join — quote/excerpt detection, the
+    * asymmetric near-dup case symmetric Jaccard blocking structurally
+    * misses: a 20-word quote inside a 2000-word article has Jaccard
+    * ≈ 0.01 but containment 1.0. Containment(q in c) =
+    * |grams(q) ∩ grams(c)| / |grams(q)|.
+    *
+    * Exact prefix blocking by pigeonhole: if containment ≥ t then at most
+    * ⌊(1−t)·|q|⌋ of q's grams are missing from c, so among the first
+    * ⌊(1−t)·|q|⌋+1 grams of q (in the fixed hash-sorted order) at least
+    * one appears in c — candidates are (query-prefix gram) ⋈ (corpus
+    * inverted index), complete by construction. Two further exact prunes
+    * ride the join: |c| ≥ t·|q| (c must hold the overlap), and the PPJoin
+    * positional bound min(i,j)+1+min(|q|−i−1, |c|−j−1) ≥ t·|q| (shared
+    * grams sort consistently on both sides).
+    *
+    * Scale shape (100 TB): the query side is the small one (quotes, eval
+    * probes, suspected excerpts) — only its prefixes explode; the corpus
+    * side contributes one inverted-index shuffle keyed by gram (the same
+    * cost as the gram-frequency pass every set-similarity operator pays).
+    * Verification re-joins the bounded candidate set against the cached
+    * per-doc sorted hash arrays and runs the codegen'd merge walk
+    * ([[graft.functions.SortedIntersectSize]]). On an adversarially
+    * Zipf-skewed corpus, compose with [[ngramJaccardPairs]]'s
+    * rarest-first heavy-hitter reorder so hot grams leave the prefixes;
+    * the plain hash order is the right default everywhere else.
+    */
+  def containmentJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      textCol: String, n: Int, minCont: Double): DataFrame = {
+    require(minCont > 0 && minCont <= 1, s"minCont=$minCont")
+    graft.functions.SortedIntersectSize.register(queries.sparkSession)
+    graft.functions.NgramHashes.register(queries.sparkSession)
+    val par = queries.sparkSession.sparkContext.defaultParallelism
+    def shingle(df: DataFrame): DataFrame = df
+      .repartition(par)
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), " "), w => w =!= "").as("words"))
+      .select(col("id"),
+        call_function("ngram_hashes", col("words"), lit(n)).as("grams"))
+      .withColumn("sz", size(col("grams")))
+      .where(col("sz") > 0)
+    val q = shingle(queries).persist()
+    val c = shingle(corpus).persist()
+
+    // prefix ⌊(1−t)·sz⌋+1, clamped into [1, sz]
+    val prefLen = least(
+      (floor(col("sz").cast("double") * lit(1 - minCont) + lit(1e-9)) + 1)
+        .cast("int"), col("sz"))
+    val qpref = q.select(col("id").as("q_id"), col("sz").as("q_sz"),
+        posexplode(slice(col("grams"), lit(1), prefLen)))
+      .toDF("q_id", "q_sz", "q_pos", "gram")
+    val cindex = c.select(col("id").as("c_id"), col("sz").as("c_sz"),
+        posexplode(col("grams")))
+      .toDF("c_id", "c_sz", "c_pos", "gram")
+      .repartition(par, col("gram"))
+    val needed = col("q_sz").cast("double") * lit(minCont) - lit(1e-9)
+    val posBound = least(col("q_pos"), col("c_pos")) + 1 +
+      least(col("q_sz") - col("q_pos") - 1, col("c_sz") - col("c_pos") - 1)
+    val cand = qpref.join(cindex,
+        qpref("gram") === cindex("gram") && col("q_id") =!= col("c_id") &&
+          col("c_sz").cast("double") >= needed &&
+          posBound.cast("double") >= needed)
+      .select(col("q_id"), col("c_id")).distinct()
+
+    cand
+      .join(q.select(col("id").as("q_id"), col("grams").as("q_grams"),
+        col("sz").as("q_sz")), "q_id")
+      .join(c.select(col("id").as("c_id"), col("grams").as("c_grams")), "c_id")
+      .withColumn("inter",
+        expr("sorted_intersect_size(q_grams, c_grams)").cast("double"))
+      .select(col("q_id"), col("c_id"),
+        round(col("inter") / col("q_sz"), 6).as("containment"))
+      .where(col("containment") >= minCont)
+  }
+
   /** MinHash+LSH near-duplicate pairs, verified with exact n-gram Jaccard.
     * numHashes must be divisible by bandRows. Pipeline:
     * shingle → signature (map-only) → band explode → bucket join on band

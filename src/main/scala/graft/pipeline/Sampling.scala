@@ -66,6 +66,42 @@ object Sampling {
       .drop("threshold")
   }
 
+  /** Temperature-flattened mixture rebalance at T = 2 (α = 0.5) — the
+    * multilingual-LM sampling rule (Conneau & Lample 2019; mBERT/XLM-R):
+    * stratum shares flattened from the natural distribution q_l toward
+    * uniform, realized by down-sampling only. With α = 0.5 the per-stratum
+    * keep rate collapses to a closed form: rate_l = √(c_min / c_l) — the
+    * smallest stratum keeps everything, a stratum 100× larger keeps 10×
+    * the smallest COUNT (not 100×), which is exactly the α-temperature
+    * mixture restricted to rates ≤ 1.
+    *
+    * α is FIXED at 0.5 rather than a parameter because the rate must be
+    * bit-reproducible across engines: IEEE 754 requires correctly-rounded
+    * `sqrt` and division (so √(c_min/c_l) is identical everywhere), while
+    * `pow(x, 1-α)` is NOT correctly rounded and may differ by ulps between
+    * libms — a row at a threshold boundary would then flip membership
+    * between engines. General-α callers compose [[sampleByRates]] with
+    * rates computed in their own controlled numeric environment.
+    *
+    * Scale shape: identical to [[stratifiedBalance]] — one tiny stratum
+    * count aggregate, thresholds broadcast back, the corpus itself streams
+    * through a stateless filter with no shuffle.
+    */
+  def temperatureBalance(df: DataFrame, stratumCol: String, bucket: Column,
+                         buckets: Int = 10000): DataFrame = {
+    val sizes = df.groupBy(stratumCol).agg(count(lit(1)).as("stratum_n"))
+    val minN = min(col("stratum_n")).over(Window.partitionBy()) // tiny: |strata| rows
+    val thresholds = sizes
+      .select(col(stratumCol), col("stratum_n"), minN.as("min_n"))
+      .select(col(stratumCol), col("stratum_n"),
+        floor(sqrt(col("min_n").cast("double") / col("stratum_n")) * buckets)
+          .as("threshold"))
+    df.withColumn("bucket", bucket)
+      .join(broadcast(thresholds), stratumCol)
+      .where(col("bucket") < col("threshold"))
+      .drop("threshold")
+  }
+
   /** Skew-aware top-k per group: the best `k` rows of every group under
     * the total order (`score` desc, `tieId` asc) — per-domain quality
     * caps à la RefinedWeb (Penedo et al. 2023).

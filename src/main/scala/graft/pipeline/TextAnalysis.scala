@@ -184,6 +184,78 @@ object TextAnalysis {
         coalesce(col("perplexity"), lit(0.0)).as("perplexity"))
   }
 
+  /** Interpolated Kneser–Ney bigram language-model scoring — the LM family
+    * production corpus filters actually train (KenLM, the CCNet quality
+    * signal, is modified KN): unlike [[bigramPerplexity]]'s add-α, KN
+    * discounts every observed bigram by a fixed D and backs off to the
+    * CONTINUATION distribution (how many distinct contexts a word follows,
+    * not how often it occurs) — the correction that stops high-frequency
+    * but context-locked words ("Francisco") from inflating backoff mass.
+    *
+    *   p(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) + D·N1+(w1·)/c(w1·) · pc(w2)
+    *   pc(w2)   = N1+(·w2) / N1+(··)
+    *
+    * with c(w1·) the bigram-start count and N1+ distinct-type counts.
+    * Everything is a hash aggregation over the bigram relation — five
+    * count tables, all map-side combinable, only (token-pair, count) rows
+    * shuffle; the corpus text never re-shuffles after tokenization.
+    *
+    * Determinism across engines: every probability is one fixed-shape
+    * double expression over integer counts (identical IEEE ops in
+    * identical order), and the per-document fold sums log-probs in
+    * POSITION order via an ordered-list fold (the p38/BM25 convention) —
+    * no engine-dependent summation order anywhere.
+    */
+  def knBigramScore(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 50, discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val Unk = "" // see bigramPerplexity: the one impossible token
+    val docs = df.repartition(par)
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .repartition(par, col("doc_id"))
+    val tokens = docs.select(col("doc_id"), posexplode(col("ws")))
+      .toDF("doc_id", "pos", "w")
+    val vocab = tokens.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topK)
+      .select(col("w"), lit(true).as("in_vocab"))
+    val mapped = tokens.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("in_vocab"), col("w")).otherwise(lit(Unk)).as("tok"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = mapped
+      .withColumn("tok2", lead("tok", 1).over(byPos))
+      .where(col("tok2").isNotNull)
+    val cb = bigrams.groupBy("tok", "tok2").agg(count(lit(1)).as("cb"))
+    val cu = bigrams.groupBy("tok").agg(count(lit(1)).as("cu")) // c(w1·)
+    val n1f = cb.groupBy("tok").agg(count(lit(1)).as("n1f"))    // N1+(w1·)
+    val n1b = cb.groupBy("tok2").agg(count(lit(1)).as("n1b"))   // N1+(·w2)
+    val n1t = cb.agg(count(lit(1)).as("n1t"))                   // N1+(··)
+    // every doc bigram exists in every count table by construction
+    val scored = bigrams
+      .join(cb, Seq("tok", "tok2"))
+      .join(cu, Seq("tok")).join(n1f, Seq("tok"))
+      .join(n1b, Seq("tok2")).crossJoin(broadcast(n1t))
+      .withColumn("logp", log(
+        greatest(col("cb").cast("double") - lit(discount), lit(0.0))
+          / col("cu")
+          + lit(discount) * col("n1f") / col("cu")
+            * (col("n1b").cast("double") / col("n1t"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        aggregate(
+          sort_array(collect_list(struct(col("pos"), col("logp")))),
+          lit(0.0), (acc, x) => acc + x.getField("logp")).as("lsum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lsum"), 6).as("kn_logp"),
+        round(exp(-col("lsum") / col("n_bigrams")), 6).as("kn_ppl"))
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        coalesce(col("kn_logp"), lit(0.0)).as("kn_logp"),
+        coalesce(col("kn_ppl"), lit(0.0)).as("kn_ppl"))
+  }
+
   /** PII patterns shared by the scrub and its oracle: plain ASCII regexes
     * that mean the same thing to Java regex (Spark) and RE2 (DuckDB). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -38,7 +38,12 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // exact-integer drift selection, prefix-sum budget fill, and the
     // native as-of merge must be partitioning-invariant by construction
     "p46_pagerank", "d16_salted_join", "p47_corpus_drift",
-    "p48_token_budget_mix", "d17_asof_native", "p49_label_propagation")
+    "p48_token_budget_mix", "d17_asof_native", "p49_label_propagation",
+    // this session: frontier sets, broadcast-threshold sampling, window
+    // dedup flags, prefix-blocked containment, and the ordered KN fold
+    // must all be partitioning-invariant
+    "p54_bfs", "p55_temperature_mix", "p56_url_dedup", "p57_containment",
+    "p58_kneser_ney")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()

@@ -191,6 +191,48 @@ class PipelineQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("containment join is exact: matches brute-force, catches what Jaccard misses") {
+    // The pigeonhole prefix + size + positional filters in containmentJoin
+    // claim zero false negatives for the ASYMMETRIC measure. Stress with
+    // short probes cut from long docs (containment ≈ 1, Jaccard ≈ 0).
+    withSpark { spark =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(99)
+      val vocab = Vector.tabulate(30)(i => s"w$i")
+      def doc(len: Int): String =
+        Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val corpus = (1 to 80).map(i => (i.toLong, doc(30 + rnd.nextInt(60))))
+      // probes: leading words of every 4th doc (true quotes), plus noise
+      val probes = corpus.collect { case (id, t) if id % 4 == 0 =>
+        (id + 5000L, t.split(" ").take(8 + rnd.nextInt(6)).mkString(" "))
+      } ++ (1 to 10).map(i => (9000L + i, doc(10)))
+      val got = Dedup.containmentJoin(probes.toDF("doc_id", "text"),
+          corpus.toDF("doc_id", "text"), "doc_id", "text", 3, 0.8)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      def grams(t: String): Set[String] =
+        t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      val want = (for {
+        (qi, qt) <- probes; (ci, ct) <- corpus
+        qg = grams(qt); cg = grams(ct)
+        if qg.nonEmpty && cg.nonEmpty && qi != ci
+        c = (qg & cg).size.toDouble / qg.size
+        r = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if r >= 0.8
+      } yield ((qi, ci), r)).toMap
+      assert(want.nonEmpty, "fixture generated no qualifying pairs")
+      // every true quote's source must be present — the asymmetric catch
+      assert(corpus.collect { case (id, _) if id % 4 == 0 => id }
+        .forall(id => want.contains((id + 5000L, id))))
+      assert(got.keySet == want.keySet,
+        s"missing=${(want.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- want.keySet).take(5)}")
+      want.foreach { case (k, c) =>
+        assert(math.abs(got(k) - c) < 1e-6, s"containment mismatch at $k")
+      }
+    }
+  }
+
   test("prefix-filter join is exact: matches brute-force all-pairs Jaccard") {
     // The AllPairs/PPJoin prefix + positional filters in ngramJaccardPairs
     // claim zero false negatives. Pin that against a brute-force oracle on

@@ -67,6 +67,44 @@ class SamplingSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("temperatureBalance: √(min/c) keep rates, scalar-exact, broadcast plan") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // 1600 en, 400 de, 100 fr → rates √(100/1600)=0.25, √(100/400)=0.5, 1
+      val docs = ((1L to 1600L).map(i => (i, "en")) ++
+        (2001L to 2400L).map(i => (i, "de")) ++
+        (3001L to 3100L).map(i => (i, "fr"))).toDF("doc_id", "lang")
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(10000L))
+      val out = Sampling.temperatureBalance(docs, "lang", bucket)
+        .select("doc_id", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+
+      // scalar oracle: keep iff bucket < floor(√(min/c)·10000)
+      val counts = Map("en" -> 1600L, "de" -> 400L, "fr" -> 100L)
+      def keep(id: Long, lang: String): Boolean =
+        math.floorMod(id * 2654435761L, 10000L) <
+          math.floor(math.sqrt(100.0 / counts(lang)) * 10000).toLong
+      val expected = ((1L to 1600L).map((_, "en")) ++
+        (2001L to 2400L).map((_, "de")) ++
+        (3001L to 3100L).map((_, "fr"))).filter(x => keep(x._1, x._2)).toSet
+      assert(out == expected)
+
+      // temperature shape: en keeps ~400 of 1600 (rate .25), de ~200 of
+      // 400 (rate .5), fr everything — flattened, NOT equalized
+      val byLang = out.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(byLang("fr") == 100, s"fr ${byLang("fr")}")
+      assert(byLang("en") > byLang("de"), s"flattening must preserve order: $byLang")
+      assert(byLang("en") >= 320 && byLang("en") <= 480, s"en ${byLang("en")}")
+      assert(byLang("de") >= 160 && byLang("de") <= 240, s"de ${byLang("de")}")
+
+      // scale shape: thresholds broadcast; the corpus never shuffles
+      val plan = Sampling.temperatureBalance(docs, "lang", bucket)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    } finally spark.stop()
+  }
+
   test("packSequences: matches scalar greedy cumsum; chunk ids globally unique") {
     val spark = session()
     import spark.implicits._
