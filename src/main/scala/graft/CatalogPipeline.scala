@@ -917,6 +917,58 @@ object CatalogPipeline {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
 
+  /** UniMax mixture assembly ([[graft.pipeline.Sampling.unimaxBudgets]] →
+    * [[graft.pipeline.Sampling.tokenBudgetMix]]): the epoch-capped
+    * waterfilling allocation (20 000-token budget, 1-epoch cap — tail
+    * languages keep everything, the head language gets the uniform
+    * remainder), then the standard two-pass budget fill. The allocation
+    * table is a bounded |langs| driver artifact, exactly like p48's
+    * budget map. */
+  private def p60(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = TextAnalysis.wsTokenCount(col("text")).cast("long")
+    val alloc = graft.pipeline.Sampling.unimaxBudgets(
+        docs, "lang", toks, budget = 20000L, maxEpochs = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    graft.pipeline.Sampling.tokenBudgetMix(
+        docs, "doc_id", "lang", toks, budgets = alloc, defaultBudget = 0L,
+        buckets = 8)
+      .orderBy("doc_id")
+  }
+
+  private val unimaxOracleSql =
+    """WITH d AS (SELECT doc_id, lang,
+      |             CAST(len(list_filter(string_split(text, ' '),
+      |               x -> x <> '')) AS BIGINT) AS n_tokens,
+      |             (doc_id % 1000000007 * 2654435761 + 987654321)
+      |               % 1000000007 AS pri
+      |           FROM documents),
+      |sz AS (SELECT lang, sum(n_tokens) AS t FROM d GROUP BY lang),
+      |rk AS (SELECT lang, t,
+      |         row_number() OVER (ORDER BY t, lang) AS i,
+      |         coalesce(sum(t) OVER (ORDER BY t, lang
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS s_before,
+      |         count(*) OVER () AS n
+      |       FROM sz),
+      |cp AS (SELECT *, t * (n - i + 1) + s_before <= 20000 AS capped
+      |       FROM rk),
+      |al AS (SELECT lang, CASE WHEN capped THEN t
+      |         ELSE (20000 - (SELECT coalesce(sum(t), 0) FROM cp WHERE capped))
+      |              // (n - (SELECT count(*) FROM cp WHERE capped)) END
+      |         AS budget
+      |       FROM cp),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |        coalesce(sum(n_tokens) OVER (PARTITION BY lang
+      |          ORDER BY pri, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |          0) AS cum_before
+      |      FROM d)
+      |SELECT c.doc_id, c.lang, c.n_tokens,
+      |       CAST(c.cum_before AS BIGINT) AS cum_before,
+      |       c.cum_before < al.budget AS kept
+      |FROM c JOIN al USING (lang) ORDER BY c.doc_id""".stripMargin
+
   /** URL corpus: deterministic messy URLs (mixed-case scheme/host, www,
     * default and explicit ports, utm params, fragments, trailing slashes)
     * so canonicalization has known work in both engines, and the %97 path
@@ -1409,6 +1461,7 @@ object CatalogPipeline {
     Q("p52_token_entropy", p52, Some(tokenEntropyOracleSql)),
     Q("p53_kcore", p53, Some(kcoreOracleSql(80, 5))),
     Q("p54_bfs", p54, Some(bfsOracleSql(3))),
+    Q("p60_unimax_mix", p60, Some(unimaxOracleSql)),
     Q("p59_incremental_dedup", p59,
       // p3's signature/band machinery over the old ∪ new union, with
       // candidates restricted to new×old; exact flag via text equality

@@ -262,6 +262,64 @@ object Sampling {
         col("cum_before"), col("kept"))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151) —
+    * the epoch-capped waterfilling that replaced temperature sampling for
+    * large multilingual mixtures: split a total token `budget` as evenly
+    * as possible across strata, except that no stratum may contribute
+    * more than `maxEpochs` passes over its own data. Head languages stop
+    * soaking up the pie (they get the uniform share), tail languages are
+    * protected from over-repetition (the epoch cap).
+    *
+    * Exact closed form instead of the paper's sequential loop: with
+    * strata ascending by token count (`t_i = c_i·maxEpochs`, prefix sums
+    * `S_i`), a stratum is epoch-capped iff `t_i·(n−i+1) + S_{i−1} ≤ B` —
+    * the loop's `t ≤ U/k` share test cross-multiplied, so it is the
+    * EXACT rational condition with no per-step floor (a floor'd running
+    * share would leak remainder tokens to later strata and break the
+    * prefix property). That set is a PREFIX of the ascending order —
+    * `t` ascending makes the left side monotone in `i` — so the loop's
+    * state collapses into two window functions, and the remaining budget
+    * splits as `(B − S_j) div (n−j)` over the `n−j` uncapped strata
+    * (the ≤ n−j−1 remainder tokens stay unallocated, documented and
+    * engine-exact). All arithmetic is integer cross-multiplication, so
+    * no rounding can disagree with an external oracle at an allocation
+    * boundary.
+    *
+    * Scale shape: ONE map-side-combined count aggregate over the corpus
+    * (|strata| rows out), then the allocation itself is window math over
+    * that tiny relation — no driver loop, no collect. Returns one row
+    * per stratum: (stratum, stratum_tokens, alloc_tokens, epoch_capped).
+    */
+  def unimaxBudgets(df: DataFrame, stratumCol: String, tokens: Column,
+                    budget: Long, maxEpochs: Int): DataFrame = {
+    require(budget > 0 && maxEpochs > 0, s"budget=$budget maxEpochs=$maxEpochs")
+    val sizes = df.groupBy(stratumCol)
+      .agg(sum(tokens).as("stratum_tokens"))
+      .withColumn("t", col("stratum_tokens") * maxEpochs)
+    val asc = Window.orderBy(col("t").asc, col(stratumCol).asc)
+    val all = Window.partitionBy()
+    val ranked = sizes
+      .withColumn("i", row_number().over(asc))
+      .withColumn("s_before", coalesce(
+        sum("t").over(asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("epoch_capped",
+        col("t") * (col("n") - col("i") + 1) + col("s_before") <= budget)
+    // j = |capped prefix|, S_j = its token mass: two tiny scalars window-
+    // aggregated over the |strata| relation (no second pass, no collect)
+    ranked
+      .withColumn("j", sum(when(col("epoch_capped"), 1L).otherwise(0L)).over(all))
+      .withColumn("s_j", coalesce(
+        sum(when(col("epoch_capped"), col("t"))).over(all), lit(0L)))
+      .withColumn("alloc_tokens", when(col("epoch_capped"), col("t"))
+        // `div` is true integral division (Spark's `/` would widen to
+        // double and drift from the oracle's `//` above 2^53)
+        .otherwise(expr(s"($budget - s_j) div (n - j)"))
+        .cast("long"))
+      .select(col(stratumCol), col("stratum_tokens"), col("alloc_tokens"),
+        col("epoch_capped"))
+  }
+
   /** Weighted sampling without replacement, k per stratum (Efraimidis &
     * Spirtakis 2006, the exponential-keys form): each row gets priority
     * `-ln(u)/w` — an Exp(w) race, so the k smallest priorities of a

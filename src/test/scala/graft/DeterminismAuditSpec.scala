@@ -43,7 +43,9 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // dedup flags, prefix-blocked containment, and the ordered KN fold
     // must all be partitioning-invariant
     "p54_bfs", "p55_temperature_mix", "p56_url_dedup", "p57_containment",
-    "p58_kneser_ney")
+    "p58_kneser_ney",
+    // integer waterfilling + the p48 budget-fill machinery
+    "p60_unimax_mix")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()

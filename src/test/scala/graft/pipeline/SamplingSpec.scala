@@ -201,6 +201,57 @@ class SamplingSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("unimaxBudgets: equals the sequential waterfilling loop; integer-exact") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // per-lang token masses with a fat head; docs of 10 tokens each
+      val masses = Map("en" -> 1200L, "zh" -> 400L, "de" -> 350L,
+        "fr" -> 380L, "es" -> 90L)
+      val docs = masses.toSeq.flatMap { case (l, t) =>
+        (1L to t / 10).map(i => (l, 10L))
+      }.toDF("lang", "nt")
+
+      // the sequential waterfilling loop with the EXACT rational share
+      // condition (t ≤ U/k via cross-multiplication — the operator's
+      // semantics; a floor'd per-step share would leak remainder tokens
+      // to later strata): once one stratum is uncapped, all larger ones
+      // are too, and they split the remainder by integer division
+      def loopAlloc(budget: Long, e: Int): Map[String, (Long, Boolean)] = {
+        var u = budget
+        var k = masses.size.toLong
+        val out = scala.collection.mutable.Map[String, (Long, Boolean)]()
+        var capping = true
+        masses.toSeq.sortBy(t => (t._2 * e, t._1)).foreach { case (l, c) =>
+          if (capping && c * e * k <= u) { out(l) = (c * e, true); u -= c * e; k -= 1 }
+          else { capping = false; out(l) = (u / k, false) }
+        }
+        out.toMap
+      }
+      def got(budget: Long, e: Int): Map[String, (Long, Boolean)] =
+        Sampling.unimaxBudgets(docs, "lang", col("nt"), budget, e)
+          .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3)))
+          .toMap
+
+      // mixed capped/uncapped, all-capped (huge budget), none-capped
+      // (tiny budget: pure uniform split), and a 2-epoch cap
+      for ((b, e) <- Seq((1500L, 1), (99999L, 1), (300L, 1), (2800L, 2))) {
+        val want = loopAlloc(b, e)
+        val g = got(b, e)
+        assert(g == want, s"budget=$b epochs=$e: $g vs $want")
+        assert(g.values.map(_._1).sum <= b, s"over-allocated at budget=$b")
+      }
+
+      // the closed form's defining shape at budget 1500: es (90·5+0) and
+      // de (350·4+90) fit their epoch cap, fr breaks the chain
+      // (380·3+440 > 1500), so fr/zh/en split the remainder uniformly —
+      // (1500−440) div 3 = 353 each
+      val g = got(1500L, 1)
+      assert(g("es") == ((90L, true)) && g("de") == ((350L, true)))
+      Seq("fr", "zh", "en").foreach(l => assert(g(l) == ((353L, false)), s"$l: ${g(l)}"))
+    } finally spark.stop()
+  }
+
   test("weightedSample: matches scalar A-ES; weight-proportional; rank-limit pushed down") {
     val spark = session()
     import spark.implicits._
