@@ -359,6 +359,88 @@ object CatalogPipeline {
       .orderBy("query_id", "rank")
   }
 
+  /** Hybrid retrieval ([[graft.pipeline.Retrieval.rrfFuse]]):
+    * query-by-example over the first five documents — BM25 on their
+    * text (self-match dropped, then re-ranked) fused with exact
+    * embedding-cosine neighbors by reciprocal-rank fusion. The two
+    * systems genuinely disagree (lexical overlap vs embedding geometry),
+    * so the fused list is a real reordering of both. */
+  private def p61(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val e = Tables.embeddings(s, d)
+    val probes = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    // k = 21 then drop the self-match and re-rank: every query keeps a
+    // full 20 lexical neighbors whether or not it ranked itself first
+    val lex = graft.pipeline.Retrieval.bm25TopK(docs, probes, "doc_id", "text", k = 21)
+      .where(col("doc_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rank") <= 20)
+    val dense = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", 20)
+      .withColumnRenamed("neighbor_id", "doc_id")
+    graft.pipeline.Retrieval.rrfFuse(lex, dense, k = 10)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("dense_rank"), col("rrf"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val hybridRrfOracleSql =
+    """WITH terms AS (SELECT doc_id, word AS term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |      x -> x <> '')) AS word FROM documents)
+      |  GROUP BY doc_id, word),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM terms GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      |dft AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+      |q AS (SELECT doc_id AS query_id, text AS query_text
+      |      FROM documents WHERE doc_id < 5),
+      |qt AS (SELECT query_id, unnest(list_distinct(list_filter(
+      |         string_split(query_text, ' '), x -> x <> ''))) AS term FROM q),
+      |p AS (SELECT qt.query_id, t.doc_id, t.term,
+      |        ln(1.0 + (s.n::DOUBLE - d.df + 0.5) / (d.df + 0.5))
+      |          * t.tf * (1.2 + 1.0)
+      |          / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS part
+      |      FROM terms t JOIN dl l USING (doc_id) JOIN dft d USING (term)
+      |           JOIN qt ON qt.term = t.term, stats s),
+      |g AS (SELECT query_id, doc_id,
+      |        round(list_sum(list(part ORDER BY term)), 6) AS score
+      |      FROM p GROUP BY query_id, doc_id),
+      |l0 AS (SELECT query_id, doc_id, score,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, doc_id) AS r0
+      |       FROM g),
+      |l1 AS (SELECT query_id, doc_id, score FROM l0
+      |       WHERE r0 <= 21 AND doc_id <> query_id),
+      |lex AS (SELECT query_id, doc_id,
+      |          CAST(row_number() OVER (PARTITION BY query_id
+      |            ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+      |        FROM l1 QUALIFY lex_rank <= 20),
+      |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+      |       FROM embeddings WHERE vec_id < 5),
+      |ds AS (SELECT qv.query_id, e.vec_id AS doc_id,
+      |         round(list_cosine_similarity(qv.v, e.embedding::DOUBLE[]), 6) AS sim
+      |       FROM embeddings e CROSS JOIN qv
+      |       WHERE e.vec_id <> qv.query_id),
+      |dense AS (SELECT query_id, doc_id,
+      |            CAST(row_number() OVER (PARTITION BY query_id
+      |              ORDER BY sim DESC, doc_id) AS INT) AS dense_rank
+      |          FROM ds QUALIFY dense_rank <= 20),
+      |f AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+      |        coalesce(l.doc_id, d.doc_id) AS doc_id,
+      |        l.lex_rank, d.dense_rank,
+      |        round(coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0)
+      |              + coalesce(1.0::DOUBLE / (60 + d.dense_rank), 0.0), 9) AS rrf
+      |      FROM lex l FULL OUTER JOIN dense d
+      |        ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+      |SELECT query_id, doc_id, lex_rank, dense_rank, rrf, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM f)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Gopher quality rules ([[graft.pipeline.QualityRules.gopherRules]])
     * over the raw documents (minWords lowered to 10 so the synthetic
     * short-doc corpus exercises both branches of the flag). */
@@ -1462,6 +1544,7 @@ object CatalogPipeline {
     Q("p53_kcore", p53, Some(kcoreOracleSql(80, 5))),
     Q("p54_bfs", p54, Some(bfsOracleSql(3))),
     Q("p60_unimax_mix", p60, Some(unimaxOracleSql)),
+    Q("p61_hybrid_rrf", p61, Some(hybridRrfOracleSql)),
     Q("p59_incremental_dedup", p59,
       // p3's signature/band machinery over the old ∪ new union, with
       // candidates restricted to new×old; exact flag via text equality

@@ -86,6 +86,42 @@ object Retrieval {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * per-query rankings — the standard score-free way to combine a
+    * lexical (BM25) and a dense (embedding-cosine) retriever into one
+    * hybrid list: rrf(q, d) = Σ_systems 1/(c + rank_s(q, d)), with a
+    * document absent from one system contributing only the other term.
+    * Rank-based fusion needs no score normalization across systems —
+    * which is the whole point: BM25 scores and cosine similarities are
+    * not commensurable.
+    *
+    * Determinism: ranks are integers, each reciprocal is one
+    * correctly-rounded double division, and the sum is a FIXED
+    * two-term expression (lexical term first) — bit-identical across
+    * engines; ties on the fused score break by doc id.
+    *
+    * Scale shape: both inputs are already top-k relations (|queries|·k
+    * rows — bounded, never corpus-sized), so the full-outer fusion join
+    * and the final rank window are trivially small; the heavy lifting
+    * stays inside the upstream retrievers. `c = 60` is the constant the
+    * paper found robust and everyone ships.
+    */
+  def rrfFuse(lexical: DataFrame, dense: DataFrame, k: Int,
+              c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && c >= 0, s"k=$k c=$c")
+    val l = lexical.select(col("query_id"), col("doc_id"),
+      col("rank").as("lex_rank"))
+    val r = dense.select(col("query_id"), col("doc_id"),
+      col("rank").as("dense_rank"))
+    val fused = l.join(r, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("dense_rank")), lit(0.0)), 9))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Per-document top-k keyword extraction by TF-IDF — the query-free
     * counterpart of [[bm25TopK]] (corpus labeling / topic tagging rather
     * than retrieval): score(d, t) = tf · (ln((N+1)/(df+1)) + 1), the

@@ -44,8 +44,9 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // must all be partitioning-invariant
     "p54_bfs", "p55_temperature_mix", "p56_url_dedup", "p57_containment",
     "p58_kneser_ney",
-    // integer waterfilling + the p48 budget-fill machinery
-    "p60_unimax_mix")
+    // integer waterfilling + the p48 budget-fill machinery; integer-rank
+    // fusion of two deterministic top-k relations
+    "p60_unimax_mix", "p61_hybrid_rrf")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()

@@ -107,4 +107,40 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val commonScores = got.collect { case ((_, _), ("common", tf, s)) => s / tf }
     assert(commonScores.forall(s => math.abs(s - 1.0) < 1e-9))
   }
+
+  test("rrfFuse matches scalar reciprocal-rank fusion; single-system docs score one term") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // overlapping but disagreeing rankings: docs 1-6 lexical, 4-9 dense
+    val lex = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3), (1L, 4L, 4),
+      (1L, 5L, 5), (1L, 6L, 6),
+      (2L, 10L, 1), (2L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 6L, 1), (1L, 5L, 2), (1L, 4L, 3), (1L, 7L, 4),
+      (1L, 8L, 5), (1L, 9L, 6),
+      (2L, 11L, 1), (2L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(lex, dense, k = 5)
+      .select("query_id", "doc_id", "rrf", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    def term(r: Option[Int]) = r.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+    val lexM = Map((1L, 1L) -> 1, (1L, 2L) -> 2, (1L, 3L) -> 3, (1L, 4L) -> 4,
+      (1L, 5L) -> 5, (1L, 6L) -> 6, (2L, 10L) -> 1, (2L, 11L) -> 2)
+    val denseM = Map((1L, 6L) -> 1, (1L, 5L) -> 2, (1L, 4L) -> 3, (1L, 7L) -> 4,
+      (1L, 8L) -> 5, (1L, 9L) -> 6, (2L, 11L) -> 1, (2L, 12L) -> 2)
+    val want = (lexM.keySet ++ denseM.keySet).toSeq.map { k =>
+      val s = BigDecimal(term(lexM.get(k)) + term(denseM.get(k)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (k._1, k._2, s)
+    }.groupBy(_._1).flatMap { case (q, xs) =>
+      xs.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex.map {
+        case ((_, d, s), i) => (q, i + 1) -> (d, s)
+      }
+    }
+    assert(got == want)
+
+    // both-system docs (4,5,6) must outrank every single-system doc for
+    // query 1 -- the defining consensus property of RRF
+    val top3 = (1 to 3).map(r => got((1L, r))._1).toSet
+    assert(top3 == Set(4L, 5L, 6L), s"consensus docs not on top: $top3")
+  }
 }
