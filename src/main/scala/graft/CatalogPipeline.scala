@@ -441,6 +441,63 @@ object CatalogPipeline {
       |    ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM f)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** MMR diversified re-ranking ([[graft.pipeline.Similarity.mmrTopK]]):
+    * 4-of-12 greedy selection per query at λ = 0.7 over the embedding
+    * corpus — the retrieval→context-window diversification step. */
+  private def p62(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.mmrTopK(e, e.where(col("vec_id") < 3), "vec_id", "embedding",
+        candK = 12, k = 4, lambda = 0.7)
+      .orderBy("query_id", "sel_rank")
+  }
+
+  /** The p62 oracle: the greedy loop unrolled — per round, the argmax of
+    * `λ·rel − (1−λ)·max sim-to-selected` over the not-yet-selected
+    * candidates. `a0` is an empty seed so every round has the same
+    * shape; `1.0 − 0.7` is COMPUTED in both engines (a hand-typed 0.3
+    * is a different double). */
+  private def mmrOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT query_id, doc_id, $r AS sel_rank, mmr_raw FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY mmr_raw DESC, doc_id) AS rn FROM (
+         |    SELECT c.query_id, c.doc_id,
+         |      0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE)
+         |        * coalesce(m.maxsim, 0.0::DOUBLE) AS mmr_raw
+         |    FROM cand c
+         |    LEFT JOIN (SELECT p.query_id, p.a_id, max(p.dsim) AS maxsim
+         |               FROM pair p JOIN a${r - 1} s
+         |                 ON s.query_id = p.query_id AND s.doc_id = p.b_id
+         |               GROUP BY p.query_id, p.a_id) m
+         |      ON m.query_id = c.query_id AND m.a_id = c.doc_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM a${r - 1} s
+         |      WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id)))
+         |  WHERE rn = 1),
+         |a$r AS MATERIALIZED (SELECT * FROM a${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+       |            FROM embeddings WHERE vec_id < 3),
+       |sc AS (SELECT qv.query_id, e.vec_id AS doc_id,
+       |         round(list_cosine_similarity(qv.v, e.embedding::DOUBLE[]), 6) AS rel
+       |       FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+       |cand AS MATERIALIZED (SELECT query_id, doc_id, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, doc_id) AS rn FROM sc)
+       |  WHERE rn <= 12),
+       |cv AS MATERIALIZED (SELECT c.query_id, c.doc_id, e.embedding::DOUBLE[] AS v
+       |      FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id),
+       |pair AS MATERIALIZED (SELECT a.query_id, a.doc_id AS a_id,
+       |        b.doc_id AS b_id, round(list_cosine_similarity(a.v, b.v), 6) AS dsim
+       |      FROM cv a JOIN cv b
+       |        ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+       |a0 AS (SELECT query_id, doc_id, 0 AS sel_rank, 0.0::DOUBLE AS mmr_raw
+       |       FROM cand WHERE 1 = 0),
+       |$rounds
+       |SELECT query_id, doc_id, CAST(sel_rank AS INT) AS sel_rank,
+       |       round(mmr_raw, 9) AS mmr
+       |FROM a$k ORDER BY query_id, sel_rank""".stripMargin
+  }
+
   /** Gopher quality rules ([[graft.pipeline.QualityRules.gopherRules]])
     * over the raw documents (minWords lowered to 10 so the synthetic
     * short-doc corpus exercises both branches of the flag). */
@@ -1545,6 +1602,7 @@ object CatalogPipeline {
     Q("p54_bfs", p54, Some(bfsOracleSql(3))),
     Q("p60_unimax_mix", p60, Some(unimaxOracleSql)),
     Q("p61_hybrid_rrf", p61, Some(hybridRrfOracleSql)),
+    Q("p62_mmr_diversify", p62, Some(mmrOracleSql(4))),
     Q("p59_incremental_dedup", p59,
       // p3's signature/band machinery over the old ∪ new union, with
       // candidates restricted to new×old; exact flag via text equality

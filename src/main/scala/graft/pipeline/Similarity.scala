@@ -385,6 +385,95 @@ object Similarity {
     *
     * Returns one row per corpus vector: (vec_id, cell, cluster_id, keep).
     */
+  /** MMR — Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein 1998): greedily select `k` of the `candK` most relevant
+    * candidates, each round taking the candidate maximizing
+    * `λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — relevance traded
+    * against redundancy with what is already picked. The de-facto
+    * re-ranking step between retrieval and a RAG context window (near-
+    * identical passages waste the budget) and the per-query counterpart
+    * of SemDeDup's corpus-level pruning.
+    *
+    * Scale shape: the ONLY corpus-sized work is the relevance pass
+    * (delegated to [[bruteForceTopK]] — swap in [[ivfTopK]] upstream for
+    * the ANN path); everything after runs on bounded relations —
+    * candidates are |Q|·candK rows, pairwise sims |Q|·candK², and each
+    * of the k greedy rounds is a join + one argmax hash-aggregate over
+    * those. No collect anywhere; per-round localCheckpoints keep the
+    * k-round plan flat (the [[graft.pipeline.Bpe]] convention).
+    *
+    * Determinism: every pairwise sim is rounded to 6 decimals (the p5
+    * parity contract), and the MMR score is a fixed expression over
+    * those rounded doubles — `λ·rel − (1−λ)·maxsim` with `1−λ` COMPUTED
+    * (both engines evaluate `1.0 − λ` to the same double; a hand-typed
+    * decimal literal would not round-trip identically). Ties break by
+    * doc id, so the selection is a pure function of the inputs.
+    *
+    * Returns (query_id, doc_id, sel_rank 1..k, mmr rounded to 6).
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, candK: Int, k: Int,
+              lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && candK >= k, s"candK=$candK k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda")
+    graft.functions.CosineSim.register(corpus.sparkSession)
+    val lam = lit(lambda)
+    val oneMinusLam = lit(1.0) - lit(lambda)
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, candK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("sim").as("rel"))
+      .localCheckpoint()
+    val vecs = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
+    val cv = cand.join(vecs, "doc_id")
+      .select(col("query_id"), col("doc_id"), col("v"))
+    val pair = cv.select(col("query_id"), col("doc_id").as("a_id"), col("v").as("va"))
+      .join(cv.select(col("query_id"), col("doc_id").as("b_id"), col("v").as("vb")),
+        "query_id")
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        round(cosine(col("va"), col("vb")), 6).as("dsim"))
+      .localCheckpoint()
+    val wPick = Window.partitionBy("query_id")
+      .orderBy(col("mmr_raw").desc, col("doc_id"))
+    // round 1: empty selected set, the redundancy term is zero — same
+    // formula, maxsim = 0
+    var selected = cand
+      .withColumn("mmr_raw", lam * col("rel") - oneMinusLam * lit(0.0))
+      .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+      .select(col("query_id"), col("doc_id"), lit(1).as("sel_rank"),
+        col("mmr_raw"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val remaining = cand.join(selected.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_anti")
+      // redundancy term: for every remaining candidate, its max rounded
+      // sim to the already-selected set (joins spelled via renames so no
+      // ambiguous refs)
+      val simToSel = pair
+        .join(selected.select(col("query_id"), col("doc_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy("query_id", "a_id")
+        .agg(max(col("dsim")).as("maxsim"))
+        .withColumnRenamed("a_id", "doc_id")
+      val pick = remaining
+        .join(simToSel, Seq("query_id", "doc_id"), "left")
+        .withColumn("mmr_raw",
+          lam * col("rel") - oneMinusLam * coalesce(col("maxsim"), lit(0.0)))
+        .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+        .select(col("query_id"), col("doc_id"), lit(r).as("sel_rank"),
+          col("mmr_raw"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    // mmr rounds to NINE decimals, not the repo's usual six: round-1
+    // scores are exactly λ·rel with rel already 6-decimal, so their
+    // exact decimal expansion has 7 digits — at scale 6 every second
+    // value sits ON a rounding midpoint and the two engines' round()
+    // implementations disagree at 1 ulp. At scale 9 the exact value is
+    // representable and no midpoint exists.
+    selected.select(col("query_id"), col("doc_id"), col("sel_rank"),
+      round(col("mmr_raw"), 9).as("mmr"))
+  }
+
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     nlist: Int, minSim: Double): DataFrame = {
     graft.functions.CosineSim.register(corpus.sparkSession)

@@ -46,7 +46,9 @@ class DeterminismAuditSpec extends AnyFunSuite {
     "p58_kneser_ney",
     // integer waterfilling + the p48 budget-fill machinery; integer-rank
     // fusion of two deterministic top-k relations
-    "p60_unimax_mix", "p61_hybrid_rrf")
+    "p60_unimax_mix", "p61_hybrid_rrf",
+    // greedy argmax over rounded-6 sims with id tie-breaks
+    "p62_mmr_diversify")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()

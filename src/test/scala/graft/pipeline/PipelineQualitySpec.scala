@@ -280,4 +280,63 @@ class PipelineQualitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("MMR matches the scalar greedy reference and genuinely diversifies") {
+    withSpark { spark =>
+      val e = graft.Tables.embeddings(spark, sf)
+      val got = Similarity.mmrTopK(e, e.where(col("vec_id") < 3),
+          "vec_id", "embedding", candK = 12, k = 4, lambda = 0.7)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3)))
+        .toMap
+
+      // scalar reference: same rounded-6 cosine (identical fold order as
+      // the native expression), same greedy argmax with id tie-break
+      val vecs = e.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1 }
+        BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val lam = 0.7; val oneMinus = 1.0 - 0.7
+      val want = (0L until 3L).flatMap { q =>
+        val rel = vecs.keys.filter(_ != q).toSeq
+          .map(d => d -> cos(vecs(q), vecs(d)))
+          .sortBy { case (d, s) => (-s, d) }.take(12)
+        val selected = scala.collection.mutable.ArrayBuffer[Long]()
+        (1 to 4).map { r =>
+          val scoredRem = rel.filterNot(t => selected.contains(t._1)).map {
+            case (d, s) =>
+              val ms = if (selected.isEmpty) 0.0
+                else selected.map(sd => cos(vecs(d), vecs(sd))).max
+              (d, lam * s - oneMinus * ms)
+          }
+          val (bd, bs) = scoredRem.minBy { case (d, sc) => (-sc, d) }
+          selected += bd
+          (q, r) -> (bd, BigDecimal(bs).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.toMap
+      assert(got == want)
+
+      // diversification: with a near-duplicate of the top hit injected as
+      // a candidate, plain top-k keeps both copies adjacent, MMR pushes
+      // the copy out of the early picks
+      val top1 = got((0L, 1))._1
+      val dup = e.where(col("vec_id") === top1)
+        .select((col("vec_id") + 7000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"),
+          col("label"))
+      val corpus2 = e.unionByName(dup)
+      val mmr2 = Similarity.mmrTopK(corpus2, e.where(col("vec_id") === 0),
+          "vec_id", "embedding", candK = 12, k = 4, lambda = 0.7)
+        .collect().map(r => r.getLong(1)).toSet
+      assert(mmr2.contains(top1) ^ mmr2.contains(top1 + 7000000L),
+        s"MMR kept both near-identical copies in 4 picks: $mmr2")
+    }
+  }
 }
