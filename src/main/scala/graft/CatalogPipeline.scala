@@ -498,6 +498,55 @@ object CatalogPipeline {
        |FROM a$k ORDER BY query_id, sel_rank""".stripMargin
   }
 
+  /** Multinomial Naive Bayes language classifier
+    * ([[graft.pipeline.NaiveBayes.trainPredict]]): trained and applied
+    * on the documents table (predicting `lang` from text) — the
+    * deterministic closed-form member of the fastText-classifier family
+    * every curation pipeline runs. Same 50-word vocab + unk convention
+    * as p22/p58. */
+  private def p63(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.NaiveBayes.trainPredict(
+        Tables.documents(s, d), "doc_id", "text", "lang", vocabK = 50)
+      .orderBy("doc_id")
+
+  private val naiveBayesOracleSql =
+    """WITH t AS (SELECT doc_id, lang,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |       FROM documents),
+      |tk0 AS (SELECT doc_id, lang, unnest(list_transform(range(len(ws)),
+      |          i -> {'pos': i, 'w': ws[CAST(i + 1 AS INT)]})) AS u
+      |        FROM t),
+      |tok AS (SELECT doc_id, lang, u.pos AS pos, u.w AS w FROM tk0),
+      |wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+      |vocab AS (SELECT w FROM (
+      |    SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM wc)
+      |  WHERE rn <= 50),
+      |m AS (SELECT doc_id, lang, pos,
+      |        CASE WHEN w IN (SELECT w FROM vocab) THEN w ELSE '' END AS tok
+      |      FROM tok),
+      |cls AS (SELECT lang AS c, count(*) AS n_docs FROM documents GROUP BY lang),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |ct AS (SELECT lang AS c, tok, count(*) AS cnt FROM m GROUP BY lang, tok),
+      |tc AS (SELECT c, sum(cnt) AS t_c FROM ct GROUP BY c),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM m),
+      |terms AS (SELECT m.doc_id, cl.c, m.pos,
+      |    ln((coalesce(ct.cnt, 0) + 1)::DOUBLE / (tc.t_c + v.v)::DOUBLE) AS term
+      |  FROM m CROSS JOIN (SELECT c FROM cls) cl
+      |  LEFT JOIN ct ON ct.c = cl.c AND ct.tok = m.tok
+      |  JOIN tc ON tc.c = cl.c, v),
+      |sums AS (SELECT doc_id, c, list_sum(list(term ORDER BY pos)) AS lsum
+      |         FROM terms GROUP BY doc_id, c),
+      |fr AS (SELECT d.doc_id, d.lang, cl.c,
+      |         ln(cl.n_docs::DOUBLE / n.n::DOUBLE)
+      |           + coalesce(s.lsum, 0.0::DOUBLE) AS logp
+      |       FROM documents d CROSS JOIN cls cl
+      |       LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.c = cl.c, n),
+      |r AS (SELECT doc_id, lang, c, logp, row_number() OVER (
+      |        PARTITION BY doc_id ORDER BY logp DESC, c) AS rn
+      |      FROM fr)
+      |SELECT doc_id, lang, c AS pred, round(logp, 6) AS logp
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Gopher quality rules ([[graft.pipeline.QualityRules.gopherRules]])
     * over the raw documents (minWords lowered to 10 so the synthetic
     * short-doc corpus exercises both branches of the flag). */
@@ -1603,6 +1652,7 @@ object CatalogPipeline {
     Q("p60_unimax_mix", p60, Some(unimaxOracleSql)),
     Q("p61_hybrid_rrf", p61, Some(hybridRrfOracleSql)),
     Q("p62_mmr_diversify", p62, Some(mmrOracleSql(4))),
+    Q("p63_naive_bayes", p63, Some(naiveBayesOracleSql)),
     Q("p59_incremental_dedup", p59,
       // p3's signature/band machinery over the old ∪ new union, with
       // candidates restricted to new×old; exact flag via text equality

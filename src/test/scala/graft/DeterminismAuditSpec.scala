@@ -47,8 +47,9 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // integer waterfilling + the p48 budget-fill machinery; integer-rank
     // fusion of two deterministic top-k relations
     "p60_unimax_mix", "p61_hybrid_rrf",
-    // greedy argmax over rounded-6 sims with id tie-breaks
-    "p62_mmr_diversify")
+    // greedy argmax over rounded-6 sims with id tie-breaks; integer-count
+    // NB model + position-ordered log folds
+    "p62_mmr_diversify", "p63_naive_bayes")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()
