@@ -888,6 +888,52 @@ object CatalogPipeline {
        |FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Personalized PageRank / TrustRank
+    * ([[graft.graph.PageRank.personalizedRanks]]) over the trade graph
+    * from the p54 seed set — the weighted closeness-to-trusted-seeds
+    * ranking next to p54's hard hop cut. Same integer recurrence and
+    * fixed-point output convention as p46. */
+  private def p64(s: SparkSession, d: String): DataFrame = {
+    val seeds = Tables.customer(s, d)
+      .where(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    graft.graph.PageRank.personalizedRanks(tradeEdges(s, d), "src", "dst",
+        seeds, "node", iterations = 5)
+      .select(col("node"), round(col("rank") / lit(1048576.0), 6).as("rank"))
+      .orderBy("node")
+  }
+
+  /** The p64 oracle: the p46 chain with the teleport restricted to the
+    * seed flag (initial mass and the per-round base term zero off-seed). */
+  private def pprOracleSql(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST(CASE WHEN n.is_seed THEN (1048576 * 15) // 100 ELSE 0 END
+         |              + 85 * coalesce(s.in_sum, 0) // 100 AS BIGINT) AS rank
+         |  FROM nd n
+         |  LEFT JOIN (SELECT e.dst AS node, sum(r${i - 1}.rank // e.outdeg) AS in_sum
+         |             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |             GROUP BY e.dst) s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradeEdgesSqlPrefix,
+       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+       |e AS MATERIALIZED (SELECT ed.src, ed.dst, deg.outdeg
+       |                   FROM ed JOIN deg USING (src)),
+       |sd AS (SELECT DISTINCT c_custkey * 2 AS node, true AS seed_flag
+       |       FROM customer WHERE c_custkey % 100 = 0),
+       |nd AS MATERIALIZED (SELECT n.node,
+       |        coalesce(sd.seed_flag, false) AS is_seed
+       |      FROM (SELECT DISTINCT src AS node FROM ed) n
+       |      LEFT JOIN sd USING (node)),
+       |r0 AS MATERIALIZED (SELECT node,
+       |        CAST(CASE WHEN is_seed THEN 1048576 ELSE 0 END AS BIGINT) AS rank
+       |      FROM nd),
+       |$chain
+       |SELECT node, round(rank / 1048576.0, 6) AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
   /** Text normalization ([[graft.pipeline.TextAnalysis.normalizeText]]):
     * NFC + control scrub + space collapse + trim + lowercase; recorded
     * as (length, md5, changed) so the oracle hashes the normalized bytes
@@ -1653,6 +1699,7 @@ object CatalogPipeline {
     Q("p61_hybrid_rrf", p61, Some(hybridRrfOracleSql)),
     Q("p62_mmr_diversify", p62, Some(mmrOracleSql(4))),
     Q("p63_naive_bayes", p63, Some(naiveBayesOracleSql)),
+    Q("p64_personalized_pagerank", p64, Some(pprOracleSql(5))),
     Q("p59_incremental_dedup", p59,
       // p3's signature/band machinery over the old ∪ new union, with
       // candidates restricted to new×old; exact flag via text equality

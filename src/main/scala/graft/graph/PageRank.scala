@@ -39,7 +39,31 @@ object PageRank {
     * receiving the teleport base). */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iterations: Int, scaleBits: Int = 20,
-            dampingPct: Int = 85): DataFrame = {
+            dampingPct: Int = 85): DataFrame =
+    ranksImpl(edges, srcCol, dstCol, None, iterations, scaleBits, dampingPct)
+
+  /** Personalized PageRank / TrustRank (Gyöngyi, Garcia-Molina & Pedersen
+    * 2004): identical recurrence, but ALL teleport mass returns to the
+    * `sources` seed set instead of spreading uniformly — initial rank and
+    * the per-round base term are nonzero only for seeds. The result
+    * measures closeness-to-trusted-seeds rather than global centrality:
+    * the spam-demotion / seed-expansion ranking of web-corpus curation
+    * (the weighted companion of [[Bfs]]'s hard hop cut). Same integer
+    * determinism and partition-once scale shape as [[ranks]]; seeds
+    * absent from the graph are ignored (they have no edges to push mass
+    * through). Returns (node, rank) over the same node set as [[ranks]],
+    * zero-rank nodes included — reachability is the caller's signal. */
+  def personalizedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+                        sources: DataFrame, sourceCol: String,
+                        iterations: Int, scaleBits: Int = 20,
+                        dampingPct: Int = 85): DataFrame = {
+    val seeds = sources.select(col(sourceCol).cast("long").as("node")).distinct()
+    ranksImpl(edges, srcCol, dstCol, Some(seeds), iterations, scaleBits, dampingPct)
+  }
+
+  private def ranksImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                        seeds: Option[DataFrame], iterations: Int,
+                        scaleBits: Int, dampingPct: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"iterations=$iterations")
     require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct=$dampingPct")
     val scale = 1L << scaleBits
@@ -53,12 +77,28 @@ object PageRank {
       .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(col("src"))
       .persist()
-    // all endpoints: sinks (no out-edges) still hold rank mass
-    val nodes = e.select(col("src").as("node"))
+    // all endpoints: sinks (no out-edges) still hold rank mass; in the
+    // personalized form each node carries its seed flag (broadcast-joined
+    // once — the seed relation is a curation artifact, tiny by design)
+    val nodes0 = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().repartition(col("node")).persist()
+      .distinct()
+    val nodes = seeds match {
+      case Some(sd) => nodes0
+        .join(broadcast(sd.withColumn("is_seed", lit(true))), Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+        .repartition(col("node")).persist()
+      case None => nodes0.withColumn("is_seed", lit(true))
+        .repartition(col("node")).persist()
+    }
+    // uniform: every node starts at 1.0 and receives the teleport base;
+    // personalized: only seeds do
+    val init = if (seeds.isDefined) when(col("is_seed"), scale).otherwise(0L)
+      else lit(scale)
+    val baseTerm = if (seeds.isDefined) when(col("is_seed"), base).otherwise(0L)
+      else lit(base)
 
-    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    var ranks = nodes.select(col("node"), init.as("rank"))
     for (_ <- 1 to iterations) {
       val inSums = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -66,7 +106,7 @@ object PageRank {
         .groupBy("node").agg(sum(col("c")).as("in_sum"))
       ranks = nodes.join(inSums, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr(s"$dampingPct * coalesce(in_sum, 0L) div 100"))
+          (baseTerm + expr(s"$dampingPct * coalesce(in_sum, 0L) div 100"))
             .as("rank"))
     }
     ranks

@@ -49,7 +49,9 @@ class DeterminismAuditSpec extends AnyFunSuite {
     "p60_unimax_mix", "p61_hybrid_rrf",
     // greedy argmax over rounded-6 sims with id tie-breaks; integer-count
     // NB model + position-ordered log folds
-    "p62_mmr_diversify", "p63_naive_bayes")
+    "p62_mmr_diversify", "p63_naive_bayes",
+    // the p46 integer recurrence with a seed-restricted teleport
+    "p64_personalized_pagerank")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()

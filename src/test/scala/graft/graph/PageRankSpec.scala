@@ -75,4 +75,43 @@ class PageRankSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == run(edges, 3))
   }
+
+  test("personalizedRanks: scalar parity; mass localizes around seeds") {
+    import spark.implicits._
+    // two communities bridged by one edge; seed only in community A
+    val a = for { i <- 0L to 9L; j <- 0L to 9L if i != j } yield (i, j)
+    val b = for { i <- 20L to 29L; j <- 20L to 29L if i != j } yield (i, j)
+    val edges = (a ++ b :+ (9L -> 20L)).distinct
+    val seeds = Seq(0L)
+    val got = PageRank.personalizedRanks(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("node"), "node", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // scalar reference: same recurrence, teleport restricted to seeds
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = edges.groupBy(_._1).map { case (s2, es) => s2 -> es.size.toLong }
+    val base = Scale * 15 / 100
+    val seedSet = seeds.toSet
+    var r = nodes.map(n => n -> (if (seedSet(n)) Scale else 0L)).toMap
+    (1 to 5).foreach { _ =>
+      val sums = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s2, _) => r(s2) / outdeg(s2) }.sum
+      }
+      r = nodes.map(n =>
+        n -> ((if (seedSet(n)) base else 0L) + 85 * sums.getOrElse(n, 0L) / 100)).toMap
+    }
+    assert(got == r)
+
+    // locality: every community-A node outranks every community-B node,
+    // and B is not all-zero (mass crosses the bridge) -- the TrustRank
+    // behavior uniform PageRank cannot produce on a symmetric graph
+    val aRanks = (0L to 9L).map(got); val bRanks = (20L to 29L).map(got)
+    assert(aRanks.min > bRanks.max, s"A ${aRanks.min} vs B ${bRanks.max}")
+    assert(bRanks.sum > 0, "no mass crossed the bridge")
+    // uniform ranks on this near-symmetric graph are near-equal across
+    // communities -- confirm personalization is what separates them
+    val uni = run(edges, 5)
+    val uniA = (0L to 9L).map(uni).sum; val uniB = (20L to 29L).map(uni).sum
+    assert(math.abs(uniA - uniB).toDouble / uniB < 0.5)
+  }
 }
