@@ -131,6 +131,50 @@ object CatalogGeo {
       .orderBy("c_custkey")
   }
 
+  /** G16 Hilbert layout key (beyond ref): the stronger-locality companion
+    * to [[g15]] — consecutive keys are edge-adjacent cells, so
+    * Hilbert-sorted files give a bbox scan strictly fewer file runs than
+    * Morton's diagonal jumps ([[geo.GeoFunctions.hilbertKey]]). */
+  private def g16(s: SparkSession, d: String): DataFrame = {
+    val tiles = customerGeo(s, d).select(col("c_custkey"),
+      GeoFunctions.tileX(lit(10.0), col("lon")).cast("long").as("tile_x"),
+      GeoFunctions.tileY(lit(10.0), GeoFunctions.checkLat(col("lat"))).cast("long").as("tile_y"))
+    tiles
+      .withColumn("hkey", GeoFunctions.hilbertKey(col("tile_x"), col("tile_y"), 10))
+      .withColumn("file_bucket", shiftright(col("hkey"), 8))
+      .orderBy("c_custkey")
+  }
+
+  /** The g16 oracle: the xy→d rotate-and-accumulate recurrence unrolled
+    * into one CTE per bit (all-integer CASE logic; every step reads the
+    * PREVIOUS step's x/y, exactly like the Spark fold). */
+  private def hilbertOracleSql(bits: Int): String = {
+    val steps = (0 until bits).map { i =>
+      val k = bits - 1 - i
+      s"""h${i + 1} AS (SELECT c_custkey, tile_x, tile_y,
+         |  CASE WHEN ((y >> $k) & 1) = 0 THEN
+         |    CASE WHEN ((x >> $k) & 1) = 1 THEN (1::BIGINT << $k) - 1 - y ELSE y END
+         |  ELSE x END AS x,
+         |  CASE WHEN ((y >> $k) & 1) = 0 THEN
+         |    CASE WHEN ((x >> $k) & 1) = 1 THEN (1::BIGINT << $k) - 1 - x ELSE x END
+         |  ELSE y END AS y,
+         |  d + (1::BIGINT << ${2 * k}) * xor(3 * ((x >> $k) & 1), (y >> $k) & 1) AS d
+         |FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT c_custkey,
+       |    CAST(floor((($custLonSql) + 180.0) / 360.0 * pow(2.0, 10.0)) AS BIGINT) AS tile_x,
+       |    CAST(floor((1.0 - ln(tan(radians(least(greatest($custLatSql, -85.0511), 85.0511)))
+       |      + 1.0 / cos(radians(least(greatest($custLatSql, -85.0511), 85.0511)))) / pi())
+       |      / 2.0 * pow(2.0, 10.0)) AS BIGINT) AS tile_y
+       |  FROM customer),
+       |h0 AS (SELECT c_custkey, tile_x, tile_y, tile_x AS x, tile_y AS y,
+       |       0::BIGINT AS d FROM t),
+       |$steps
+       |SELECT c_custkey, tile_x, tile_y, d AS hkey, d >> 8 AS file_bucket
+       |FROM h$bits ORDER BY c_custkey""".stripMargin
+  }
+
   /** G9/G10 bbox containment + lat/lon normalization (QuadRect.java:23-69;
     * OsmMapUtils.java:62-93) over deliberately out-of-range inputs. */
   private def g9(s: SparkSession, d: String): DataFrame = {
@@ -364,6 +408,7 @@ object CatalogGeo {
               |      FROM t)
               |SELECT c_custkey, tile_x, tile_y, zkey, zkey >> 8 AS file_bucket
               |FROM z ORDER BY c_custkey""".stripMargin)),
+    Q("g16_hilbert_layout", g16, Some(hilbertOracleSql(10))),
     Q("g9_bbox_normalize", g9,
       Some("""SELECT c_custkey,
              |  ((((CAST(c_custkey * 13 % 720 AS DOUBLE) - 360.0) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) AS lon,

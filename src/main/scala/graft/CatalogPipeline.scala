@@ -1381,6 +1381,104 @@ object CatalogPipeline {
       .orderBy("doc_id")
   }
 
+  /** CCNet perplexity bucketing
+    * ([[graft.pipeline.TextAnalysis.ccnetBuckets]]): the p22 bigram LM
+    * score split into per-language head/middle/tail by value cutoffs read
+    * off the perplexity histogram — never an NTILE over a whole
+    * language's documents in one task. */
+  private def p65(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.ccnetBuckets(Tables.documents(s, d), "doc_id", "text",
+        "lang", topK = 50, alpha = 0.5)
+      .orderBy("doc_id")
+
+  /** Sorted-neighborhood dedup blocking
+    * ([[graft.pipeline.Dedup.sortedNeighborhood]]): window 4 over the
+    * 12-char lowercase prefix — the sort-adjacency complement to the
+    * p3 LSH buckets. */
+  private def p66(s: SparkSession, d: String): DataFrame =
+    Dedup.sortedNeighborhood(Tables.documents(s, d), "doc_id",
+        lower(substring(col("text"), 1, 12)), window = 4)
+      .orderBy("a_id", "b_id")
+
+  /** Top principal direction
+    * ([[graft.pipeline.Projection.powerIteration]]): 3 power-iteration
+    * rounds over the p45 distributed Gram matrix — the eigensolve half
+    * of PCA, run on the d×d reduce artifact, not the corpus. */
+  private def p67(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Projection.powerIteration(
+      graft.pipeline.Projection.gramMatrix(Tables.embeddings(s, d),
+        "embedding"), dims = 64, rounds = 3)
+
+  /** Rendezvous-hash sharding
+    * ([[graft.pipeline.Sampling.rendezvousShard]]): highest-random-weight
+    * placement over 8 shards — consistent placement (≈1/(S+1) keys move
+    * on grow) next to p28's mod hashing, computed entirely inside one
+    * codegen'd projection. */
+  private def p68(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sampling.rendezvousShard(Tables.documents(s, d),
+        "doc_id", nShards = 8)
+      .orderBy("doc_id")
+
+  /** PMI co-occurrence ([[graft.pipeline.TextAnalysis.pmiCooccurrence]]):
+    * document-level association over the top-30 vocabulary. */
+  private def p69(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pmiCooccurrence(Tables.documents(s, d), "doc_id", "text",
+        vocabK = 30, minPairs = 2)
+      .orderBy("w1", "w2")
+
+  /** HyperBall neighborhood function ([[graft.graph.HyperBall]]) over
+    * the trade graph: KMV-sketched ball sizes for r = 0..3 at k = 16 —
+    * the effective-diameter / spam-mass primitive, with the sketch made
+    * of portable integer hashes so the oracle replays every round. */
+  private def p71(s: SparkSession, d: String): DataFrame =
+    graft.graph.HyperBall.neighborhood(tradeEdges(s, d), "src", "dst",
+        rounds = 3, k = 16)
+      .orderBy("node", "r")
+
+  /** The p71 oracle: the KMV merge recurrence unrolled — per round,
+    * sketches flow along edges, union with self, distinct, bottom-k by
+    * row_number; estimates read msz/θ per round with the kmvIntersect
+    * integer estimator. */
+  private def hyperballOracleSql(rounds: Int, k: Int): String = {
+    val km = (k - 1).toLong * 1000000007L
+    val chain = (1 to rounds).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT node, ih FROM (
+         |  SELECT node, ih, row_number() OVER (PARTITION BY node
+         |    ORDER BY ih) AS rn
+         |  FROM (SELECT DISTINCT node, ih FROM (
+         |    SELECT ed.dst AS node, s.ih FROM ed JOIN s${i - 1} s ON ed.src = s.node
+         |    UNION SELECT node, ih FROM s${i - 1})))
+         |  WHERE rn <= $k)""".stripMargin
+    }.mkString(",\n")
+    val ests = (0 to rounds).map { r =>
+      s"""SELECT node, $r AS r, count(*) AS msz,
+         |  CASE WHEN count(*) < $k THEN count(*)
+         |       ELSE $km // max(ih) END AS ball_est
+         |FROM s$r GROUP BY node""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $tradeEdgesSqlPrefix,
+       |n0 AS (SELECT DISTINCT src AS node FROM ed),
+       |hh AS (SELECT node,
+       |         ((node % 1000000007) * 2654435761 + 987654321) % 1000000007 AS h
+       |       FROM n0),
+       |s0 AS MATERIALIZED (SELECT node,
+       |        (h * h + h * 1103515245 + 12345) % 1000000007 AS ih
+       |      FROM hh),
+       |$chain
+       |SELECT node, CAST(r AS INT) AS r, CAST(msz AS BIGINT) AS msz,
+       |       CAST(ball_est AS BIGINT) AS ball_est
+       |FROM ($ests)
+       |ORDER BY node, r""".stripMargin
+  }
+
+  /** Per-dimension z-score standardization
+    * ([[graft.pipeline.Projection.standardize]]): fixed-point moment
+    * sums → broadcast (d-row) statistics → stateless z map. */
+  private def p70(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Projection.standardize(Tables.embeddings(s, d),
+        "vec_id", "embedding")
+      .orderBy("vec_id", "i")
+
   val entries: Seq[Q] = Seq(
     Q("p1_exact_dedup", p1,
       Some(s"""WITH corpus AS ($exactCorpusSql),
@@ -2526,5 +2624,150 @@ object CatalogPipeline {
               |SELECT doc_id, cluster_id, contaminated_frac, lang, n_tokens,
               |       quality_score, drop_reason, drop_reason = 'kept' AS keep
               |FROM fin ORDER BY doc_id""".stripMargin)),
+    Q("p71_hyperball", p71, Some(hyperballOracleSql(3, 16))),
+    Q("p70_embed_standardize", p70,
+      // fixed-point moment sums (HUGEINT in DuckDB = decimal in Spark),
+      // then the identical two-division mean / E[q²]−E[q]² / z shape
+      Some("""WITH q AS (SELECT vec_id,
+             |         list_transform(embedding,
+             |           x -> CAST(floor(x::DOUBLE * 1048576 + 0.5) AS BIGINT)) AS qv
+             |       FROM embeddings),
+             |e AS (SELECT vec_id, i, qv[CAST(i + 1 AS INT)] AS q
+             |      FROM q, range(64) t(i)),
+             |m AS (SELECT i, sum(q) AS s1, sum(q * q) AS s2, count(*) AS n
+             |      FROM e GROUP BY i),
+             |v AS (SELECT i,
+             |        CAST(s1 AS DOUBLE) / 1048576.0 / n AS mean,
+             |        CAST(s2 AS DOUBLE) / 1099511627776.0 / n AS msq
+             |      FROM m),
+             |vv AS (SELECT i, mean, msq - mean * mean AS var FROM v)
+             |SELECT e.vec_id, CAST(e.i AS INT) AS i,
+             |  round(CASE WHEN vv.var > 0 THEN
+             |    (e.q / 1048576.0 - vv.mean) / sqrt(vv.var) ELSE 0.0 END, 6) AS z
+             |FROM e JOIN vv USING (i) ORDER BY vec_id, i""".stripMargin)),
+    Q("p65_ccnet_buckets", p65,
+      // p22's perplexity core, then histogram-cumulate → integer-exact
+      // tercile thresholds ((n+2)//3, (2n+2)//3) → value-compare buckets
+      Some("""WITH w AS (SELECT doc_id,
+             |            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |          FROM documents),
+             |tok AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM (
+             |          SELECT doc_id, unnest(list_transform(range(len(ws)),
+             |            i -> {'pos': i, 'w': ws[i+1]})) AS t
+             |          FROM w)),
+             |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+             |vocab AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT 50),
+             |mapped AS (SELECT t.doc_id, t.pos,
+             |             CASE WHEN v.w IS NOT NULL THEN t.w ELSE '' END AS tok
+             |           FROM tok t LEFT JOIN vocab v USING (w)),
+             |big AS (SELECT doc_id, tok,
+             |          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS tok2
+             |        FROM mapped),
+             |bi AS (SELECT * FROM big WHERE tok2 IS NOT NULL),
+             |bc AS (SELECT tok, tok2, count(*) AS cb FROM bi GROUP BY tok, tok2),
+             |cu AS (SELECT tok, count(*) AS cuc FROM mapped GROUP BY tok),
+             |sc AS (SELECT bi.doc_id,
+             |         ln((bc.cb + 0.5) / (cu.cuc + 0.5 * 51)) AS logp
+             |       FROM bi JOIN bc USING (tok, tok2) JOIN cu USING (tok)),
+             |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+             |          round(exp(-avg(logp)), 6) AS perplexity
+             |        FROM sc GROUP BY doc_id),
+             |ppl AS (SELECT d.doc_id, d.lang,
+             |          CAST(coalesce(a.n_bigrams, 0) AS INT) AS n_bigrams,
+             |          coalesce(a.perplexity, 0.0) AS perplexity
+             |        FROM documents d LEFT JOIN agg a USING (doc_id)),
+             |hist AS (SELECT lang, perplexity, count(*) AS c
+             |         FROM ppl GROUP BY lang, perplexity),
+             |cum AS (SELECT lang, perplexity,
+             |          sum(c) OVER (PARTITION BY lang ORDER BY perplexity) AS cum
+             |        FROM hist),
+             |n AS (SELECT lang, count(*) AS n FROM ppl GROUP BY lang),
+             |cuts AS (SELECT cum.lang,
+             |           min(CASE WHEN cum >= (n + 2) // 3 THEN perplexity END) AS cut1,
+             |           min(CASE WHEN cum >= (2 * n + 2) // 3 THEN perplexity END) AS cut2
+             |         FROM cum JOIN n USING (lang) GROUP BY cum.lang)
+             |SELECT p.doc_id, p.lang, p.n_bigrams, p.perplexity,
+             |  CASE WHEN p.perplexity <= c.cut1 THEN 'head'
+             |       WHEN p.perplexity <= c.cut2 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM ppl p JOIN cuts c USING (lang) ORDER BY doc_id""".stripMargin)),
+    Q("p66_sorted_neighborhood", p66,
+      Some("""WITH k AS (SELECT doc_id, substr(lower(text), 1, 12) AS key
+             |           FROM documents),
+             |r AS (SELECT doc_id, key,
+             |        row_number() OVER (ORDER BY key, doc_id) AS rn
+             |      FROM k)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |       a.key AS a_key, b.key AS b_key,
+             |       CAST(b.rn - a.rn AS INT) AS rank_dist
+             |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+             |ORDER BY a_id, b_id""".stripMargin)),
+    Q("p67_pca_power", p67,
+      // the p45 gram CTE symmetrized, then 3 unrolled matvec+normalize
+      // rounds; every double sum folds in explicit index order and every
+      // round re-rounds to 9, mirroring the Scala ordered-fold exactly
+      Some("""WITH q AS (SELECT vec_id,
+             |         list_transform(embedding,
+             |           x -> CAST(floor(x::DOUBLE * 1048576 + 0.5) AS BIGINT)) AS qv
+             |       FROM embeddings),
+             |c AS (SELECT t.i AS i, u.j AS j,
+             |        qv[CAST(t.i + 1 AS INT)] * qv[CAST(u.j + 1 AS INT)] AS p
+             |      FROM q, range(64) t(i), range(64) u(j) WHERE u.j >= t.i),
+             |g AS (SELECT i, j,
+             |        round(CAST(sum(p) AS DOUBLE) / 1099511627776.0, 6) AS gram
+             |      FROM c GROUP BY i, j),
+             |fm AS (SELECT i, j, gram FROM g
+             |       UNION ALL
+             |       SELECT j AS i, i AS j, gram FROM g WHERE i <> j),
+             |r1 AS (SELECT i, round(list_sum(list(gram * 0.125 ORDER BY j)), 9) AS raw
+             |       FROM fm GROUP BY i),
+             |n1 AS (SELECT round(sqrt(list_sum(list(raw * raw ORDER BY i))), 9) AS nrm
+             |       FROM r1),
+             |v1 AS (SELECT i AS k, round(raw / nrm, 9) AS v FROM r1, n1),
+             |r2 AS (SELECT f.i, round(list_sum(list(f.gram * v.v ORDER BY f.j)), 9) AS raw
+             |       FROM fm f JOIN v1 v ON v.k = f.j GROUP BY f.i),
+             |n2 AS (SELECT round(sqrt(list_sum(list(raw * raw ORDER BY i))), 9) AS nrm
+             |       FROM r2),
+             |v2 AS (SELECT i AS k, round(raw / nrm, 9) AS v FROM r2, n2),
+             |r3 AS (SELECT f.i, round(list_sum(list(f.gram * v.v ORDER BY f.j)), 9) AS raw
+             |       FROM fm f JOIN v2 v ON v.k = f.j GROUP BY f.i),
+             |n3 AS (SELECT round(sqrt(list_sum(list(raw * raw ORDER BY i))), 9) AS nrm
+             |       FROM r3),
+             |v3 AS (SELECT i AS k, round(raw / nrm, 9) AS v, nrm FROM r3, n3)
+             |SELECT CAST(k AS INT) AS i, v AS component, nrm AS lambda
+             |FROM v3 ORDER BY i""".stripMargin)),
+    Q("p68_hrw_shard", p68,
+      Some("""WITH s AS (SELECT doc_id, unnest(range(8)) AS s FROM documents),
+             |a AS (SELECT doc_id, s,
+             |        ((doc_id % 1000000007) * 2654435761 + s * 40503
+             |         + 987654321) % 1000000007 AS a
+             |      FROM s),
+             |w AS (SELECT doc_id, s,
+             |        (a * a + a * 1103515245 + 12345) % 1000000007 AS wt
+             |      FROM a)
+             |SELECT doc_id, CAST(s AS INT) AS shard, wt AS weight FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY wt DESC, s DESC) AS rn FROM w)
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+    Q("p69_pmi_cooccur", p69,
+      Some("""WITH t AS (SELECT doc_id,
+             |            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |          FROM documents),
+             |allw AS (SELECT unnest(ws) AS w FROM t),
+             |vocab AS (SELECT w FROM (
+             |    SELECT w, count(*) AS c FROM allw GROUP BY w
+             |    ORDER BY c DESC, w LIMIT 30)),
+             |dw AS (SELECT DISTINCT doc_id, w FROM (
+             |    SELECT doc_id, unnest(ws) AS w FROM t)),
+             |iv AS (SELECT doc_id, w FROM dw JOIN vocab USING (w)),
+             |cw AS (SELECT w, count(*) AS cw FROM iv GROUP BY w),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |p AS (SELECT a.w AS w1, b.w AS w2, count(*) AS cab
+             |      FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.w < b.w
+             |      GROUP BY a.w, b.w HAVING count(*) >= 2)
+             |SELECT w1, w2, cab, c1.cw AS c1, c2.cw AS c2,
+             |  round(ln(n.n::DOUBLE * cab / (c1.cw * c2.cw)), 6) AS pmi
+             |FROM p JOIN cw c1 ON c1.w = p.w1 JOIN cw c2 ON c2.w = p.w2, n
+             |ORDER BY w1, w2""".stripMargin)),
   )
 }

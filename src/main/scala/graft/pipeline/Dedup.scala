@@ -611,6 +611,59 @@ object Dedup {
     * Transitivity is the point: A≈B and B≈C dedup {A,B,C} to one doc even
     * when A,C were never compared (LSH won't compare every pair at scale).
     */
+  /** Sorted-neighborhood blocking (Hernández–Stolfo SNM): sort the corpus
+    * by a cheap blocking key, slide a window of `w` records, and emit
+    * every in-window pair as a dedup candidate — the classic complement
+    * to hash blocking (LSH buckets miss near-misses that SORT adjacent,
+    * e.g. typo'd prefixes; SNM catches exactly those).
+    *
+    * Distributed total rank without a global sort on one task:
+    * `repartitionByRange(key, id)` range-partitions the corpus, the
+    * per-partition rank is a window over `spark_partition_id()` (each
+    * task sorts only its own range), and per-partition row counts —
+    * a ≤numPartitions-row relation — cumulate into offsets that add to
+    * the local rank. The corpus itself is sorted once, partition-local.
+    * Global rank is well-defined regardless of where the range
+    * boundaries fall because (key, id) is a total order.
+    *
+    * Pair generation never self-joins on an inequality: ranks bucket by
+    * ⌊(rank−1)/(w−1)⌋, the right side replicates into its own and the
+    * PREVIOUS bucket, and the equi-join on bucket + a rank-distance
+    * filter yields exactly the pairs with 1 ≤ rank_b − rank_a ≤ w−1 —
+    * shuffle volume 2·N tiny (id, key, rank) rows, text never moves. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, key: Column,
+                         window: Int): DataFrame = {
+    require(window >= 2, s"window=$window must be >= 2")
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val b = window - 1
+    val keyed = df.select(col(idCol).as("id"), key.as("key"))
+      .repartitionByRange(par, col("key"), col("id"))
+      .withColumn("pid", spark_partition_id())
+    val localW = Window.partitionBy("pid").orderBy("key", "id")
+    val local = keyed.withColumn("lrn", row_number().over(localW))
+    // per-partition counts: ≤ par rows — the one single-partition window
+    // in the operator runs over THIS relation, never the corpus
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum("cnt").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "off")
+    val ranked = local.join(broadcast(offsets), Seq("pid"))
+      .select(col("id"), col("key"), (col("off") + col("lrn")).as("rn"))
+    val aSide = ranked.select(col("id").as("a_id"), col("key").as("a_key"),
+      col("rn").as("a_rn"), expr(s"(rn - 1) div $b").as("bucket"))
+    val bSide = ranked.select(col("id").as("b_id"), col("key").as("b_key"),
+        col("rn").as("b_rn"), expr(s"(rn - 1) div $b").as("bk"))
+      .select(col("b_id"), col("b_key"), col("b_rn"),
+        explode(array(col("bk"), col("bk") - 1)).as("bucket"))
+    aSide.join(bSide, Seq("bucket"))
+      .where((col("b_rn") - col("a_rn")).between(1, b))
+      .select(col("a_id"), col("b_id"), col("a_key"), col("b_key"),
+        (col("b_rn") - col("a_rn")).cast("int").as("rank_dist"))
+  }
+
   def resolveByComponents(corpus: DataFrame, idCol: String,
                           pairs: DataFrame): DataFrame = {
     val labels = graft.geo.ConnectedComponents.label(

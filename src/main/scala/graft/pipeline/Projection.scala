@@ -116,4 +116,86 @@ object Projection {
     df.select(col(idCol), posexplode(projUdf(col(vecCol))))
       .select(col(idCol), col("pos").as("j"), round(col("col"), 6).as("val"))
   }
+
+  /** Per-dimension z-score standardization of an embedding column — the
+    * whitening prep every similarity/clustering pipeline runs so no
+    * dimension dominates the metric. Moments come from FIXED-POINT
+    * integer sums (the [[gramMatrix]] discipline): components quantize
+    * to ⌊v·2²⁰+½⌋, Σq and Σq² accumulate as decimals (map-side
+    * combinable, 64 groups — overflow-free at any corpus size), and
+    * mean/variance divide back in one fixed expression shape, so both
+    * engines standardize with bit-identical statistics. The moment
+    * table is a broadcast artifact (d rows); the z-map itself is
+    * stateless per row.
+    *
+    * var = E[q²]−E[q]² (exact population variance on the quantized
+    * grid); a zero-variance dimension standardizes to 0 rather than
+    * NaN. */
+  def standardize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = df.select(col(idCol).as("vec_id"), posexplode(col(vecCol)))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1048576.0 + 0.5)
+          .cast("decimal(19,0)").as("q"))
+    val m = e.groupBy("i").agg(
+      sum(col("q")).as("s1"),
+      sum(col("q") * col("q")).as("s2"),
+      count(lit(1)).as("n"))
+    val v = m.select(col("i"),
+        (col("s1").cast("double") / 1048576.0 / col("n")).as("mean"),
+        (col("s2").cast("double") / 1099511627776.0 / col("n")).as("msq"))
+      .withColumn("variance", col("msq") - col("mean") * col("mean"))
+    e.join(broadcast(v), Seq("i"))
+      .select(col("vec_id"), col("i").cast("int").as("i"),
+        round(when(col("variance") > 0,
+          (col("q").cast("double") / 1048576.0 - col("mean"))
+            / sqrt(col("variance"))).otherwise(0.0), 6).as("z"))
+  }
+
+  /** Top principal direction by power iteration over the DISTRIBUTED Gram
+    * matrix — the PCA step [[gramMatrix]] exists to feed: the corpus-sized
+    * work (the Σ v·vᵀ reduce) happened there; the iteration itself runs on
+    * the d×d relation (≤ d² rows — for d=64, four thousand), so each round
+    * is a join + hash-agg over a broadcast-sized input. `rounds` is fixed
+    * and small (power iteration on a PSD Gram converges geometrically in
+    * the λ₂/λ₁ gap; pipelines run 3–10 rounds).
+    *
+    * Returns one row per dimension: (i, component of the unit eigenvector
+    * after the last round, λ estimate = ‖G·v‖ of that round — for a unit v
+    * this is the Rayleigh-quotient-style top-eigenvalue estimate).
+    *
+    * Determinism across engines: every matvec/norm sum folds in explicit
+    * index order (sort_array + ordered fold, the p38/BM25 convention —
+    * DuckDB mirrors with `list_sum(list(… ORDER BY …))`), and each round's
+    * vector re-rounds to 9 decimals, so both engines iterate on identical
+    * doubles. The start vector is the uniform 1/√d (never orthogonal to
+    * the top eigenvector of a PSD Gram unless the data is degenerate). */
+  def powerIteration(gram: DataFrame, dims: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val spark = gram.sparkSession
+    import spark.implicits._
+    // symmetrize the upper triangle into the full matrix
+    val full = gram.unionByName(
+      gram.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("gram")))
+    val v0 = (0 until dims).map(i =>
+        (i, math.rint(1.0 / math.sqrt(dims.toDouble) * 1e9) / 1e9))
+      .toDF("k", "v")
+    val vFinal = (1 to rounds).foldLeft((v0, v0.sparkSession.emptyDataFrame)) {
+      case ((v, _), _) =>
+        val raw = full.join(v, full("j") === v("k"))
+          .groupBy("i")
+          .agg(round(aggregate(
+            sort_array(collect_list(struct(col("j"), (col("gram") * col("v")).as("t")))),
+            lit(0.0), (acc, x) => acc + x.getField("t")), 9).as("raw"))
+        val norm = raw.agg(round(sqrt(aggregate(
+            sort_array(collect_list(struct(col("i"), (col("raw") * col("raw")).as("t")))),
+            lit(0.0), (acc, x) => acc + x.getField("t"))), 9).as("nrm"))
+        val vNext = raw.crossJoin(broadcast(norm))
+          .select(col("i").as("k"), round(col("raw") / col("nrm"), 9).as("v"),
+            col("nrm"))
+        (vNext.select("k", "v"), vNext)
+    }._2
+    vFinal.select(col("k").cast("int").as("i"), col("v").as("component"),
+      col("nrm").as("lambda")).orderBy("i")
+  }
 }

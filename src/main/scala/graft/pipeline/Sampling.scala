@@ -358,4 +358,33 @@ object Sampling {
       .where(col("rn") <= k)
       .drop("rn")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * consistent-placement complement to [[deterministicShuffle]]'s mod
+    * hashing: each row goes to `argmax over s of mix(id, s)`, so growing
+    * the fleet from S to S+1 shards moves only ~1/(S+1) of the keys
+    * (mod hashing reshuffles (S−1)/S of them — at 100 TB that is the
+    * difference between an incremental top-up and a full rewrite).
+    *
+    * Pure column expression: the per-row argmax folds over
+    * `sequence(0, S−1)` inside whole-stage codegen — NO shuffle, no UDF,
+    * no explode. The weight is the repo's portable quadratic mix
+    * (mod 1e9+7 integer math, every intermediate < 2.7e18, reproducible
+    * bit-for-bit in the DuckDB oracle); ties (≈ S/1e9 likely) break to
+    * the larger shard id via the struct max ordering, mirrored in the
+    * oracle's ORDER BY. */
+  def rendezvousShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 100000, s"nShards=$nShards")
+    val m = 1000000007L
+    val weights = transform(sequence(lit(0), lit(nShards - 1)), s => {
+      val a = pmod(
+        pmod(col(idCol), lit(m)) * lit(2654435761L) + s * lit(40503L)
+          + lit(987654321L), lit(m))
+      val b = pmod(a * a + a * lit(1103515245L) + lit(12345L), lit(m))
+      struct(b.as("wt"), s.cast("int").as("shard"))
+    })
+    df.select(col(idCol).as("doc_id"),
+      array_max(weights).getField("shard").as("shard"),
+      array_max(weights).getField("wt").as("weight"))
+  }
 }

@@ -453,6 +453,98 @@ object TextAnalysis {
         col("col.chunk_hash").as("chunk_hash"))
   }
 
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus-trained bigram LM ([[bigramPerplexity]]), then split each
+    * language into head / middle / tail by per-language perplexity
+    * tercile CUTOFF VALUES (CCNet §4.3 keeps the low-perplexity "head"
+    * and samples the middle; the tail is gibberish).
+    *
+    * Scale shape — cutoffs by value, not by NTILE rank: an NTILE over
+    * `partitionBy(lang)` would sort every document of a language inside
+    * ONE task (a few-language 100 TB corpus = a handful of giant
+    * partitions). Instead the per-language perplexity HISTOGRAM
+    * (`groupBy(lang, perplexity)` — map-side combinable, bounded by
+    * distinct rounded values) is cumulated, the two tercile cutoffs are
+    * read off it (smallest value whose cumulative count reaches ⌈n/3⌉ /
+    * ⌈2n/3⌉, exact integer thresholds), and documents bucket by a
+    * broadcast compare. The full corpus never sorts and never
+    * re-shuffles after scoring; ties on a cutoff value all land in the
+    * lower bucket in both engines (value-deterministic, unlike NTILE's
+    * arbitrary tie split). */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+                   langCol: String, topK: Int = 50,
+                   alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(bigramPerplexity(df, idCol, textCol, topK, alpha), Seq("doc_id"))
+    // histogram of distinct rounded perplexities per language: the only
+    // relation the cumulative window ever sorts (≤ distinct-value rows)
+    val hist = scored.groupBy("lang", "perplexity").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy("lang").orderBy("perplexity")))
+    val n = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    // ⌈n/3⌉ = (n+2) div 3 in exact integer math (same literal form in
+    // the DuckDB oracle — no double division anywhere near the cutoff)
+    val cuts = cum.join(n, Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        min(when(col("cum") >= expr("(n + 2) div 3"), col("perplexity")))
+          .as("cut1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("perplexity")))
+          .as("cut2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("perplexity"),
+        when(col("perplexity") <= col("cut1"), lit("head"))
+          .when(col("perplexity") <= col("cut2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Pointwise mutual information over in-document word co-occurrence —
+    * the classic distributional-semantics association score (phrase
+    * mining, collocation detection, embedding pre-analysis):
+    *
+    *   pmi(a,b) = ln( N · c(a,b) / (c(a) · c(b)) )
+    *
+    * where c(a,b) counts documents containing BOTH words, c(a) documents
+    * containing a, and N the corpus size. Restricted to the `vocabK`
+    * most frequent words (the same deterministic count-then-word
+    * tie-break as the LM vocab) so the pair space is vocabK², not
+    * vocabulary².
+    *
+    * Scale shape: the vocab is a broadcast semi-join; each document then
+    * contributes only its ≤ vocabK DISTINCT in-vocab words, pairs
+    * generate per-document (bounded self-join within a doc, no global
+    * cross), and the pair counts hash-aggregate map-side. The corpus
+    * text shuffles once (tokenize → distinct words); everything after is
+    * counts. */
+  def pmiCooccurrence(df: DataFrame, idCol: String, textCol: String,
+                      vocabK: Int = 30, minPairs: Int = 2): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val docWords = df.repartition(par)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(words(col(textCol)))).as("w"))
+    val vocab = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabK)
+      .select("w")
+    val inVocab = docWords.join(broadcast(vocab), Seq("w"))
+    val nDocs = df.select(col(idCol)).count()
+    val wordDf = inVocab.groupBy("w").agg(count(lit(1)).as("cw"))
+    val left = inVocab.select(col("doc_id"), col("w").as("w1"))
+    val right = inVocab.select(col("doc_id"), col("w").as("w2"))
+    val pairs = left.join(right, Seq("doc_id"))
+      .where(col("w1") < col("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minPairs)
+    pairs
+      .join(wordDf.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(wordDf.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("cab"), col("c1"), col("c2"),
+        round(log(lit(nDocs.toDouble) * col("cab") / (col("c1") * col("c2"))), 6)
+          .as("pmi"))
+  }
+
   /** Winnowing fingerprint: minimum rolling polynomial hash over character
     * k-grams (k=16). Robust to word order only at gram granularity; pure
     * Scala for use in a UDF. */

@@ -1,0 +1,63 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** HyperBall neighborhood function: on a graph small enough that every
+  * ball fits in the sketch (msz < k), the estimates must be EXACT hop-r
+  * reachability counts — pinned against a scalar BFS. A second case
+  * forces the estimate regime (k smaller than the ball) and checks the
+  * estimator's integer form. */
+class HyperBallSpec extends AnyFunSuite {
+
+  private def session() = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("hyperball-spec")
+    .getOrCreate()
+
+  test("exact regime: ball sizes equal scalar BFS reachability counts") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // directed cycle 1→2→…→6→1 plus chord 1→4: in-balls are exact
+      val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+        (6L, 1L), (1L, 4L))
+      val out = HyperBall.neighborhood(es.toDF("src", "dst"), "src", "dst",
+          rounds = 3, k = 16)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(3))).toMap
+
+      // scalar reference: ball_r(v) = |{u : u reaches v in ≤ r hops}|
+      val nodes = es.map(_._1).distinct
+      def ball(v: Long, r: Int): Int = {
+        var reach = Set(v)
+        for (_ <- 1 to r)
+          reach = reach ++ es.collect { case (s, d) if reach(d) => s }
+        reach.size
+      }
+      for (v <- nodes; r <- 0 to 3)
+        assert(out((v, r)) == ball(v, r), s"node $v radius $r")
+    } finally spark.stop()
+  }
+
+  test("estimate regime: occupancy caps at k and the integer estimator applies") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // star: every node points at hub 0 → ball_1(0) has 41 members > k
+      val es = (1L to 40L).map(i => (i, 0L)) ++ Seq((0L, 1L))
+      val out = HyperBall.neighborhood(es.toDF("src", "dst"), "src", "dst",
+          rounds = 1, k = 8)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      val (msz, est) = out((0L, 1))
+      assert(msz == 8, "sketch occupancy capped at k")
+      // the KMV estimate is (k−1)·M div θ — far above k, in the right
+      // order of magnitude for 41 true members (loose: hash variance)
+      assert(est > 8 && est < 4100, s"est=$est")
+      // spokes' balls stay exact (their in-ball is tiny)
+      assert(out((1L, 1)) == (2, 2))
+    } finally spark.stop()
+  }
+}
