@@ -509,7 +509,8 @@ object CatalogPipeline {
         Tables.documents(s, d), "doc_id", "text", "lang", vocabK = 50)
       .orderBy("doc_id")
 
-  private val naiveBayesOracleSql =
+  /** The p63 CTE chain, shared with the p74 eval oracle. */
+  private val naiveBayesCteSql =
     """WITH t AS (SELECT doc_id, lang,
       |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
       |       FROM documents),
@@ -543,9 +544,41 @@ object CatalogPipeline {
       |       LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.c = cl.c, n),
       |r AS (SELECT doc_id, lang, c, logp, row_number() OVER (
       |        PARTITION BY doc_id ORDER BY logp DESC, c) AS rn
-      |      FROM fr)
-      |SELECT doc_id, lang, c AS pred, round(logp, 6) AS logp
-      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      |      FROM fr)""".stripMargin
+
+  private val naiveBayesOracleSql =
+    s"""$naiveBayesCteSql
+       |SELECT doc_id, lang, c AS pred, round(logp, 6) AS logp
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** The p74 oracle: the p63 chain, argmax'd, then per-class exact
+    * confusion counts and the identical CASE-guarded ratio shapes. */
+  private val classifierEvalOracleSql =
+    s"""$naiveBayesCteSql,
+       |pr AS (SELECT doc_id, lang AS truth, c AS pred FROM r WHERE rn = 1),
+       |cl AS (SELECT DISTINCT truth AS cls FROM pr
+       |       UNION SELECT DISTINCT pred FROM pr),
+       |tpx AS (SELECT truth AS cls, count(*) AS tp FROM pr
+       |        WHERE truth = pred GROUP BY truth),
+       |fpx AS (SELECT pred AS cls, count(*) AS fp FROM pr
+       |        WHERE truth <> pred GROUP BY pred),
+       |fnx AS (SELECT truth AS cls, count(*) AS fn FROM pr
+       |        WHERE truth <> pred GROUP BY truth),
+       |jj AS (SELECT cl.cls,
+       |         coalesce(tp, 0)::BIGINT AS tp, coalesce(fp, 0)::BIGINT AS fp,
+       |         coalesce(fn, 0)::BIGINT AS fn
+       |       FROM cl LEFT JOIN tpx USING (cls) LEFT JOIN fpx USING (cls)
+       |            LEFT JOIN fnx USING (cls)),
+       |mm AS (SELECT cls, tp, fp, fn,
+       |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
+       |       ELSE 0.0 END AS p,
+       |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn)
+       |       ELSE 0.0 END AS rr
+       |  FROM jj)
+       |SELECT cls, tp, fp, fn, round(p, 6) AS prec, round(rr, 6) AS recall,
+       |  round(CASE WHEN p + rr > 0 THEN 2.0 * p * rr / (p + rr)
+       |        ELSE 0.0 END, 6) AS f1
+       |FROM mm ORDER BY cls""".stripMargin
 
   /** Gopher quality rules ([[graft.pipeline.QualityRules.gopherRules]])
     * over the raw documents (minWords lowered to 10 so the synthetic
@@ -1470,6 +1503,91 @@ object CatalogPipeline {
        |FROM ($ests)
        |ORDER BY node, r""".stripMargin
   }
+
+  /** Fellegi–Sunter record-linkage scoring
+    * ([[graft.pipeline.RecordLinkage.fellegiSunter]]) over the
+    * [[graft.pipeline.Dedup.sortedNeighborhood]] candidates: corpus-
+    * estimated u-probabilities, m = 0.95, four fields (lang, source,
+    * length bucket, first token) summed in fixed field order. */
+  private def p72(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val f = docs.select(col("doc_id"), col("lang"), col("source"),
+      expr("n_chars div 100").as("len_bucket"),
+      coalesce(get(TextAnalysis.words(col("text")), lit(0)), lit(""))
+        .as("first_tok"))
+    val pairs = Dedup.sortedNeighborhood(docs, "doc_id",
+      lower(substring(col("text"), 1, 12)), window = 4)
+    graft.pipeline.RecordLinkage.fellegiSunter(f, "doc_id",
+        Seq("lang", "source", "len_bucket", "first_tok"), pairs, m = 0.95)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val fellegiSunterOracleSql = {
+    val fields = Seq("lang", "source", "len_bucket", "first_tok")
+    val uCtes = fields.map { f =>
+      s"""u_$f AS (SELECT (CAST((SELECT sum(c * c) FROM (
+         |    SELECT count(*) AS c FROM f GROUP BY $f)) AS DOUBLE) - n)
+         |  / (CAST(n AS DOUBLE) * n - n) AS u FROM cnt)""".stripMargin
+    }.mkString(",\n")
+    // fixed field order, left-associated adds — the Scala reduce shape
+    val score = fields.zipWithIndex.map { case (f, i) =>
+      s"""CASE WHEN fa.$f IS NOT DISTINCT FROM fb.$f
+         | THEN ln(0.95 / u${i + 1}.u)
+         | ELSE ln((1 - 0.95) / (1 - u${i + 1}.u)) END""".stripMargin
+    }.mkString(" + ")
+    val nAgree = fields.map(f =>
+      s"CASE WHEN fa.$f IS NOT DISTINCT FROM fb.$f THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val uFrom = fields.zipWithIndex.map { case (f, i) =>
+      s"u_$f u${i + 1}" }.mkString(", ")
+    s"""WITH f AS (SELECT doc_id, lang, source, n_chars // 100 AS len_bucket,
+       |    coalesce(list_filter(string_split(text, ' '), x -> x <> '')[1],
+       |             '') AS first_tok
+       |  FROM documents),
+       |cnt AS (SELECT count(*)::BIGINT AS n FROM f),
+       |$uCtes,
+       |k AS (SELECT doc_id, substr(lower(text), 1, 12) AS key FROM documents),
+       |r AS (SELECT doc_id, key,
+       |        row_number() OVER (ORDER BY key, doc_id) AS rn FROM k),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |      FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3)
+       |SELECT p.a_id, p.b_id,
+       |  CAST($nAgree AS INT) AS n_agree,
+       |  round($score, 6) AS score,
+       |  round($score, 6) > 0 AS is_match
+       |FROM p JOIN f fa ON fa.doc_id = p.a_id
+       |       JOIN f fb ON fb.doc_id = p.b_id, $uFrom
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Retrieval NDCG ([[graft.pipeline.Eval.ndcg]]): the p5 exact cosine
+    * ranking scored against the embeddings' class labels as binary
+    * relevance — the measurement half of the ANN ladder (p5/p6/p13/p30/
+    * p32 trade recall for cost; this is the metric they trade in). */
+  private def p73(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val ranked = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 10)
+    val lbl = e.select(col("vec_id"), col("label"))
+    val withRel = ranked
+      .join(lbl.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), "query_id")
+      .join(lbl.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+    graft.pipeline.Eval.ndcg(withRel, "query_id", "rank",
+        col("q_label") === col("n_label"))
+      .orderBy("query_id")
+  }
+
+  /** Classifier eval ([[graft.pipeline.Eval.classifierEval]]): per-class
+    * precision/recall/F1 of the p63 Naive Bayes language predictions —
+    * closing the train → predict → measure loop. */
+  private def p74(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Eval.classifierEval(
+        graft.pipeline.NaiveBayes.trainPredict(
+          Tables.documents(s, d), "doc_id", "text", "lang", vocabK = 50),
+        "lang", "pred")
+      .orderBy("cls")
 
   /** Per-dimension z-score standardization
     * ([[graft.pipeline.Projection.standardize]]): fixed-point moment
@@ -2625,6 +2743,31 @@ object CatalogPipeline {
               |       quality_score, drop_reason, drop_reason = 'kept' AS keep
               |FROM fin ORDER BY doc_id""".stripMargin)),
     Q("p71_hyperball", p71, Some(hyperballOracleSql(3, 16))),
+    Q("p72_fellegi_sunter", p72, Some(fellegiSunterOracleSql)),
+    Q("p73_ndcg", p73,
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             |            label AS q_label
+             |          FROM embeddings WHERE vec_id < 10),
+             |s AS (SELECT q.query_id, e.vec_id AS neighbor_id, q.q_label,
+             |        e.label AS n_label,
+             |        round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS sim
+             |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             |r AS (SELECT query_id,
+             |        CASE WHEN q_label = n_label THEN 1 ELSE 0 END AS rel, rank
+             |      FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             |              ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s)
+             |      WHERE rank <= 10),
+             |g AS (SELECT query_id, CAST(sum(rel) AS INT) AS n_rel,
+             |        list_sum(list(rel::DOUBLE / (ln(rank + 1.0) / ln(2.0))
+             |          ORDER BY rank)) AS dcg
+             |      FROM r GROUP BY query_id)
+             |SELECT query_id, n_rel, round(dcg, 6) AS dcg,
+             |  round(CASE WHEN n_rel > 0 THEN dcg / list_sum(
+             |    list_transform(range(1, n_rel + 1),
+             |      i -> 1.0 / (ln(i + 1.0) / ln(2.0))))
+             |    ELSE 0.0 END, 6) AS ndcg
+             |FROM g ORDER BY query_id""".stripMargin)),
+    Q("p74_classifier_eval", p74, Some(classifierEvalOracleSql)),
     Q("p70_embed_standardize", p70,
       // fixed-point moment sums (HUGEINT in DuckDB = decimal in Spark),
       // then the identical two-division mean / E[q²]−E[q]² / z shape
