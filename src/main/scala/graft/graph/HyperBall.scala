@@ -63,6 +63,14 @@ object HyperBall {
           .otherwise(expr(s"${(k - 1).toLong * M} div theta")).as("ball_est"))
     var out = est(0, sketch)
     for (r <- 1 to rounds) {
+      // distinct BEFORE the window on purpose: the raw join output is
+      // duplicate-heavy (neighbors share ball members), and distinct's
+      // map-side partial aggregation collapses those duplicates BEFORE
+      // its exchange. The tempting fusion — repartition(node) + a
+      // partition-local dedup feeding the window on one exchange — ships
+      // every duplicate raw and benched slower; at 100 TB the pre-shuffle
+      // combine is the difference between shipping O(distinct) and
+      // O(edge-fanout) rows
       val next = e.join(sketch.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("ih"))
         .unionByName(sketch)

@@ -650,8 +650,11 @@ object Dedup {
           Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select("pid", "off")
+    // persist: both pair sides read the ranked relation (tiny: id, key,
+    // rank) — without it the range partition + local sort re-runs twice
     val ranked = local.join(broadcast(offsets), Seq("pid"))
       .select(col("id"), col("key"), (col("off") + col("lrn")).as("rn"))
+      .persist()
     val aSide = ranked.select(col("id").as("a_id"), col("key").as("a_key"),
       col("rn").as("a_rn"), expr(s"(rn - 1) div $b").as("bucket"))
     val bSide = ranked.select(col("id").as("b_id"), col("key").as("b_key"),

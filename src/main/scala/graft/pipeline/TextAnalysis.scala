@@ -475,8 +475,14 @@ object TextAnalysis {
                    langCol: String, topK: Int = 50,
                    alpha: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persist: the scored relation feeds the histogram, the per-language
+    // counts, AND the final bucket join — one materialization instead of
+    // three executions of the LM-scoring DAG at corpus scale (at bench
+    // scale exchange reuse already dedups most of it; at 100 TB the
+    // guarantee matters)
     val scored = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
       .join(bigramPerplexity(df, idCol, textCol, topK, alpha), Seq("doc_id"))
+      .persist()
     // histogram of distinct rounded perplexities per language: the only
     // relation the cumulative window ever sorts (≤ distinct-value rows)
     val hist = scored.groupBy("lang", "perplexity").agg(count(lit(1)).as("c"))
@@ -527,7 +533,9 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(vocabK)
       .select("w")
-    val inVocab = docWords.join(broadcast(vocab), Seq("w"))
+    // persist: the in-vocab projection feeds the word counts and both
+    // pair sides (≤ vocabK distinct words per doc — bounded rows)
+    val inVocab = docWords.join(broadcast(vocab), Seq("w")).persist()
     val nDocs = df.select(col(idCol)).count()
     val wordDf = inVocab.groupBy("w").agg(count(lit(1)).as("cw"))
     val left = inVocab.select(col("doc_id"), col("w").as("w1"))
