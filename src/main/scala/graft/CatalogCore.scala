@@ -252,7 +252,56 @@ object CatalogCore {
       .orderBy("user_id")
   }
 
+  /** I4 (beyond ref): weekly cohort retention over the event log
+    * ([[graft.pipeline.EventAnalytics.cohortRetention]]). */
+  private def i4(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.EventAnalytics.cohortRetention(
+        Tables.events(s, d), "user_id", "ts")
+      .orderBy("cohort", "offset_w")
+
+  /** I5 (beyond ref): ordered view→click→purchase funnel
+    * ([[graft.pipeline.EventAnalytics.funnel]]) — first-touch
+    * min-timestamp chaining. */
+  private def i5(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.EventAnalytics.funnel(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+
   val entries: Seq[Q] = Seq(
+    Q("i4_cohort_retention", i4,
+      Some("""WITH e AS (SELECT user_id,
+             |            CAST(date_trunc('week', ts) AS DATE) AS wk
+             |          FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+             |sz AS (SELECT cohort, count(*) AS cohort_size FROM f
+             |       GROUP BY cohort),
+             |act AS (SELECT DISTINCT f.cohort,
+             |          date_diff('day', f.cohort, e.wk) // 7 AS offset_w,
+             |          e.user_id
+             |        FROM e JOIN f USING (user_id)),
+             |c AS (SELECT cohort, CAST(offset_w AS INT) AS offset_w,
+             |        count(*) AS active_users
+             |      FROM act GROUP BY cohort, offset_w)
+             |SELECT c.cohort, c.offset_w, c.active_users, s.cohort_size,
+             |  round(c.active_users::DOUBLE / s.cohort_size, 6) AS retention
+             |FROM c JOIN sz s USING (cohort)
+             |ORDER BY cohort, offset_w""".stripMargin)),
+    Q("i5_funnel", i5,
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+             |            WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s1 ON s1.user_id = e.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > s1.t
+             |       GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s2 ON s2.user_id = e.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+             |       GROUP BY e.user_id)
+             |SELECT 1 AS step_idx, 'view' AS step,
+             |       (SELECT count(*) FROM s1) AS n_users
+             |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+             |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+             |ORDER BY step_idx""".stripMargin)),
     Q("a5_full_scan", a5,
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
              |FROM lineitem WHERE l_quantity > 45

@@ -1560,6 +1560,14 @@ object CatalogPipeline {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Adamic–Adar link prediction ([[graft.graph.LinkPrediction]]) over
+    * the trade graph: fixed-point 1/ln(deg) weights, hub cut at 64,
+    * pairs with ≥ 2 common neighbors. */
+  private def p75(s: SparkSession, d: String): DataFrame =
+    graft.graph.LinkPrediction.adamicAdar(tradeEdges(s, d), "src", "dst",
+        maxDeg = 64, minCommon = 2)
+      .orderBy("a_id", "b_id")
+
   /** Retrieval NDCG ([[graft.pipeline.Eval.ndcg]]): the p5 exact cosine
     * ranking scored against the embeddings' class labels as binary
     * relevance — the measurement half of the ANN ladder (p5/p6/p13/p30/
@@ -2768,6 +2776,20 @@ object CatalogPipeline {
              |    ELSE 0.0 END, 6) AS ndcg
              |FROM g ORDER BY query_id""".stripMargin)),
     Q("p74_classifier_eval", p74, Some(classifierEvalOracleSql)),
+    Q("p75_adamic_adar", p75,
+      Some(s"""WITH $tradeEdgesSqlPrefix,
+              |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+              |ez AS (SELECT ed.src AS z, ed.dst AS nbr,
+              |         CAST(floor(1048576.0 / ln(deg.deg::DOUBLE)) AS BIGINT) AS w
+              |       FROM ed JOIN deg USING (src)
+              |       WHERE deg.deg BETWEEN 2 AND 64),
+              |p AS (SELECT a.nbr AS a_id, b.nbr AS b_id,
+              |        count(*) AS common, sum(a.w) AS w_fix
+              |      FROM ez a JOIN ez b ON a.z = b.z AND a.nbr < b.nbr
+              |      GROUP BY a.nbr, b.nbr HAVING count(*) >= 2)
+              |SELECT a_id, b_id, CAST(common AS BIGINT) AS common,
+              |       round(CAST(w_fix AS DOUBLE) / 1048576.0, 6) AS aa
+              |FROM p ORDER BY a_id, b_id""".stripMargin)),
     Q("p70_embed_standardize", p70,
       // fixed-point moment sums (HUGEINT in DuckDB = decimal in Spark),
       // then the identical two-division mean / E[q²]−E[q]² / z shape

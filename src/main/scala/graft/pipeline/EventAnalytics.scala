@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-log product analytics — the cohort/funnel pair every
+  * OLAP-on-events engine ships. Both are count-shaped (exact integers,
+  * no float folds), so the oracle matches bit-for-bit, and both follow
+  * the one-shuffle-per-concept rule at 100 TB: events hash by user once;
+  * nothing ever sorts globally.
+  */
+object EventAnalytics {
+
+  /** Weekly cohort retention: cohort = the Monday-truncated week of a
+    * user's first event; cell (cohort, offset) = how many of that
+    * cohort's users were active `offset` weeks later, with the retention
+    * ratio against the cohort size. Week arithmetic stays integral
+    * (truncated weeks differ by exact multiples of 7 days), so both
+    * engines bucket identically.
+    *
+    * Scale shape: one user-keyed aggregate for first-activity, one
+    * co-partitioned join back (same user hash), one distinct over
+    * (cohort, offset, user) — map-side combinable — and a tiny
+    * (cohort × offset) output. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val e = events.select(col(userCol).as("user_id"),
+      date_trunc("week", col(tsCol)).cast("date").as("wk"))
+    val first = e.groupBy("user_id").agg(min("wk").as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    e.join(first, "user_id")
+      .select(col("cohort"),
+        expr("datediff(wk, cohort) div 7").cast("int").as("offset_w"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort", "offset_w")
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("offset_w"), col("active_users"),
+        col("cohort_size"),
+        round(col("active_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+
+  /** Ordered funnel: users completing `steps` IN ORDER, each step
+    * strictly after the previous one's earliest completion (the
+    * standard "first touch" funnel semantics — min-timestamp chaining,
+    * not any-subsequence matching, so the result is deterministic and
+    * replayable). Emits one row per step: (step_idx, step, n_users).
+    *
+    * Scale shape: one filtered user-keyed aggregate per step (steps are
+    * few and fixed), each joined co-partitioned on user to the previous
+    * step's (user, t) relation; per-user state is ONE timestamp. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(userCol).as("user_id"),
+      col(tsCol).as("ts"), col(typeCol).as("et"))
+    var cur = e.where(col("et") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t")).persist()
+    var out = cur.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("step_idx"), lit(steps.head).as("step"),
+        col("n_users"))
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      cur = e.where(col("et") === s)
+        .join(cur.select(col("user_id"), col("t").as("prev_t")), "user_id")
+        .where(col("ts") > col("prev_t"))
+        .groupBy("user_id").agg(min("ts").as("t")).persist()
+      out = out.unionByName(cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(s).as("step"),
+          col("n_users")))
+    }
+    out
+  }
+}

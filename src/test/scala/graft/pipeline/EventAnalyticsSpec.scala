@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.sql.Timestamp
+
+/** Cohort retention and ordered funnel against hand math — including the
+  * semantics that distinguish them from naive counts: retention is
+  * distinct-user per (cohort, offset), and the funnel requires each step
+  * STRICTLY AFTER the previous step's earliest completion (a click
+  * before the first view does not convert). */
+class EventAnalyticsSpec extends AnyFunSuite {
+
+  private def session() = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("event-analytics-spec")
+    .getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("cohortRetention: first-week cohorts, distinct actives, exact ratios") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // 2024-01-01 is a Monday. u1, u2 start week 0; u3 starts week 1.
+      // u1 active weeks 0,1 (twice in w1 — distinct!); u2 only week 0;
+      // u3 active weeks 1,2.
+      val events = Seq(
+        (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-08 10:00:00")),
+        (1L, ts("2024-01-09 11:00:00")),
+        (2L, ts("2024-01-02 10:00:00")),
+        (3L, ts("2024-01-10 10:00:00")), (3L, ts("2024-01-15 10:00:00")))
+        .toDF("user_id", "ts")
+      val out = EventAnalytics.cohortRetention(events, "user_id", "ts")
+        .collect().map(r => ((r.getDate(0).toString, r.getInt(1)),
+          (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+      assert(out(("2024-01-01", 0)) == ((2L, 2L, 1.0)))      // u1, u2
+      assert(out(("2024-01-01", 1)) == ((1L, 2L, 0.5)))      // u1 only
+      assert(out(("2024-01-08", 0)) == ((1L, 1L, 1.0)))      // u3
+      assert(out(("2024-01-08", 1)) == ((1L, 1L, 1.0)))      // u3
+      assert(out.size == 4)
+    } finally spark.stop()
+  }
+
+  test("funnel: strict ordering — pre-view clicks do not convert") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // u1: full ordered funnel. u2: clicked BEFORE viewing — the click
+      // does not count, and no later click exists → stops at view.
+      // u3: view then purchase without click → stops at view.
+      // u4: never viewed → not even step 1.
+      val events = Seq(
+        (1L, ts("2024-01-01 10:00:00"), "view"),
+        (1L, ts("2024-01-01 10:05:00"), "click"),
+        (1L, ts("2024-01-01 10:10:00"), "purchase"),
+        (2L, ts("2024-01-01 09:00:00"), "click"),
+        (2L, ts("2024-01-01 10:00:00"), "view"),
+        (3L, ts("2024-01-01 10:00:00"), "view"),
+        (3L, ts("2024-01-01 11:00:00"), "purchase"),
+        (4L, ts("2024-01-01 10:00:00"), "purchase"))
+        .toDF("user_id", "ts", "event_type")
+      val out = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(out(1) == (("view", 3L)))       // u1, u2, u3
+      assert(out(2) == (("click", 1L)))      // u1 only
+      assert(out(3) == (("purchase", 1L)))   // u1 only
+    } finally spark.stop()
+  }
+}
