@@ -267,7 +267,31 @@ object CatalogCore {
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
       .orderBy("step_idx")
 
+  /** I6 (beyond ref): first-order Markov transition matrix over per-user
+    * event sequences ([[graft.pipeline.EventAnalytics.transitionMatrix]]),
+    * ordered by the unique event id. */
+  private def i6(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.EventAnalytics.transitionMatrix(Tables.events(s, d),
+        "user_id", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+
   val entries: Seq[Q] = Seq(
+    Q("i6_transitions", i6,
+      Some("""WITH t AS (SELECT user_id, event_id, event_type,
+             |            lead(event_type) OVER (PARTITION BY user_id
+             |              ORDER BY event_id) AS next_et
+             |          FROM events),
+             |c AS (SELECT event_type AS from_type, next_et AS to_type,
+             |        count(*) AS cnt
+             |      FROM t WHERE next_et IS NOT NULL
+             |      GROUP BY event_type, next_et),
+             |tot AS (SELECT from_type, sum(cnt) AS row_total FROM c
+             |        GROUP BY from_type)
+             |SELECT c.from_type, c.to_type, CAST(c.cnt AS BIGINT) AS cnt,
+             |       CAST(t2.row_total AS BIGINT) AS row_total,
+             |       round(c.cnt::DOUBLE / t2.row_total, 6) AS p
+             |FROM c JOIN tot t2 USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
     Q("i4_cohort_retention", i4,
       Some("""WITH e AS (SELECT user_id,
              |            CAST(date_trunc('week', ts) AS DATE) AS wk

@@ -1568,6 +1568,54 @@ object CatalogPipeline {
         maxDeg = 64, minCommon = 2)
       .orderBy("a_id", "b_id")
 
+  /** HITS hubs/authorities ([[graft.graph.Hits]]) over the DIRECTED
+    * customer→supplier trade graph (the bidirectional form would make
+    * hub = authority by symmetry): 2 mutual-reinforcement rounds on the
+    * 2²⁰ fixed-point grid, max-normalized with integer division. */
+  private def p76(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.orders(s, d)
+      .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"),
+          (col("l_suppkey") * 2 + 1).as("dst")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("src", "dst").distinct()
+    graft.graph.Hits.hits(e0, "src", "dst", rounds = 2).orderBy("node")
+  }
+
+  /** The p76 oracle: the mutual-reinforcement recurrence unrolled — per
+    * round an authority half (edge join, integer sum, max-normalize) and
+    * the mirrored hub half. */
+  private def hitsOracleSql(rounds: Int): String = {
+    val one = 1048576L
+    val chain = (1 to rounds).map { r =>
+      s"""a${r}r AS (SELECT e0.dst AS node, sum(h${r - 1}.h) AS raw
+         |  FROM e0 JOIN h${r - 1} ON e0.src = h${r - 1}.node GROUP BY e0.dst),
+         |a${r}f AS (SELECT n.node, coalesce(a${r}r.raw, 0) AS raw
+         |  FROM nd n LEFT JOIN a${r}r USING (node)),
+         |a${r}m AS (SELECT max(raw) AS m FROM a${r}f),
+         |a$r AS MATERIALIZED (SELECT node,
+         |  CAST(raw * $one // m AS BIGINT) AS a FROM a${r}f, a${r}m),
+         |h${r}r AS (SELECT e0.src AS node, sum(a$r.a) AS raw
+         |  FROM e0 JOIN a$r ON e0.dst = a$r.node GROUP BY e0.src),
+         |h${r}f AS (SELECT n.node, coalesce(h${r}r.raw, 0) AS raw
+         |  FROM nd n LEFT JOIN h${r}r USING (node)),
+         |h${r}m AS (SELECT max(raw) AS m FROM h${r}f),
+         |h$r AS MATERIALIZED (SELECT node,
+         |  CAST(raw * $one // m AS BIGINT) AS h FROM h${r}f, h${r}m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |nd AS MATERIALIZED (SELECT src AS node FROM e0
+       |                    UNION SELECT dst FROM e0),
+       |h0 AS (SELECT node, $one::BIGINT AS h FROM nd),
+       |$chain
+       |SELECT node, round(a$rounds.a / 1048576.0, 6) AS authority,
+       |       round(h$rounds.h / 1048576.0, 6) AS hub
+       |FROM nd JOIN a$rounds USING (node) JOIN h$rounds USING (node)
+       |ORDER BY node""".stripMargin
+  }
+
   /** Retrieval NDCG ([[graft.pipeline.Eval.ndcg]]): the p5 exact cosine
     * ranking scored against the embeddings' class labels as binary
     * relevance — the measurement half of the ANN ladder (p5/p6/p13/p30/
@@ -2776,6 +2824,7 @@ object CatalogPipeline {
              |    ELSE 0.0 END, 6) AS ndcg
              |FROM g ORDER BY query_id""".stripMargin)),
     Q("p74_classifier_eval", p74, Some(classifierEvalOracleSql)),
+    Q("p76_hits", p76, Some(hitsOracleSql(2))),
     Q("p75_adamic_adar", p75,
       Some(s"""WITH $tradeEdgesSqlPrefix,
               |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),

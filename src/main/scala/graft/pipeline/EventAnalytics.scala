@@ -42,6 +42,28 @@ object EventAnalytics {
           .as("retention"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next type | current type), with counts. Sequences order by the
+    * UNIQUE event id (total order — timestamp ties cannot flip
+    * transitions between runs or engines). One user-keyed window + one
+    * (from, to) hash aggregate; the matrix is |types|² — a bounded
+    * artifact at any event volume. */
+  def transitionMatrix(events: DataFrame, userCol: String, orderCol: String,
+                       typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("oid")
+    val t = events.select(col(userCol).as("user_id"),
+        col(orderCol).as("oid"), col(typeCol).as("et"))
+      .withColumn("next_et", lead("et", 1).over(w))
+      .where(col("next_et").isNotNull)
+      .groupBy(col("et").as("from_type"), col("next_et").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = t.groupBy("from_type").agg(sum("cnt").as("row_total"))
+    t.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"), col("row_total"),
+        round(col("cnt").cast("double") / col("row_total"), 6).as("p"))
+  }
+
   /** Ordered funnel: users completing `steps` IN ORDER, each step
     * strictly after the previous one's earliest completion (the
     * standard "first touch" funnel semantics — min-timestamp chaining,

@@ -51,7 +51,18 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // NB model + position-ordered log folds
     "p62_mmr_diversify", "p63_naive_bayes",
     // the p46 integer recurrence with a seed-restricted teleport
-    "p64_personalized_pagerank")
+    "p64_personalized_pagerank",
+    // late round 9: histogram-cutoff buckets, the SNM global rank built
+    // from range partitioning (THE partitioning-sensitive construction —
+    // its invariance is the operator's core claim), ordered matvec folds,
+    // KMV ball sketches, linkage log-odds, ordered eval folds, cohort /
+    // funnel chains, and fixed-point AA sums
+    "p65_ccnet_buckets", "p66_sorted_neighborhood", "p67_pca_power",
+    "p69_pmi_cooccur", "p70_embed_standardize", "p71_hyperball",
+    "p72_fellegi_sunter", "p73_ndcg", "p74_classifier_eval",
+    "p75_adamic_adar", "i4_cohort_retention", "i5_funnel",
+    // unique-id-ordered transitions; integer max-normalized HITS rounds
+    "i6_transitions", "p76_hits")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()

@@ -45,6 +45,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("transitionMatrix: per-user sequences, exact counts and row-normalized p") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // u1: a→b→a (transitions a→b, b→a); u2: a→b (a→b).
+      // NO cross-user transition between u1's last and u2's first event.
+      val events = Seq(
+        (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+        (2L, 4L, "a"), (2L, 5L, "b"))
+        .toDF("user_id", "event_id", "event_type")
+      val out = EventAnalytics.transitionMatrix(events, "user_id",
+          "event_id", "event_type")
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      assert(out(("a", "b")) == ((2L, 2L, 1.0)))
+      assert(out(("b", "a")) == ((1L, 1L, 1.0)))
+      assert(out.size == 2)
+    } finally spark.stop()
+  }
+
   test("funnel: strict ordering — pre-view clicks do not convert") {
     val spark = session()
     import spark.implicits._
