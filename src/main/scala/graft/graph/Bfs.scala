@@ -56,7 +56,11 @@ object Bfs {
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
         .persist()
-      visited = visited.unionByName(next).persist()
+      // localCheckpoint: visited_h is referenced twice per hop (anti-join
+      // + union), so an un-truncated analyzed plan doubles per hop and
+      // Spark's per-AQE-event plan stringification goes exponential (the
+      // p49 lesson)
+      visited = visited.unionByName(next).localCheckpoint()
       frontier = next.select("node")
     }
     visited

@@ -78,7 +78,12 @@ object HyperBall {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= k)
         .select("node", "ih")
-        .persist()
+        // localCheckpoint, not persist: round r+1 references sketch_r
+        // twice (edge join + self union) and every round's estimate row
+        // references its sketch again — un-truncated, the analyzed plan
+        // (stringified per AQE event) grows ~2^rounds (the p49 lesson,
+        // milder exponent)
+        .localCheckpoint()
       sketch = next
       out = out.unionByName(est(r, sketch))
     }

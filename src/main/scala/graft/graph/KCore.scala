@@ -61,9 +61,13 @@ object KCore {
         .join(alive.select(col("node").as("src")), "src")
         .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .groupBy("src").agg(count(lit(1)).as("deg"))
+      // localCheckpoint, not persist: alive_r is referenced TWICE by
+      // round r+1 (both endpoint filters), so an un-truncated analyzed
+      // plan doubles per round and its stringification (emitted per AQE
+      // event) goes exponential — the p49 lesson
       alive = deg.where(col("deg") >= k)
         .select(col("src").as("node"), col("deg"))
-        .persist()
+        .localCheckpoint()
     }
     alive
   }

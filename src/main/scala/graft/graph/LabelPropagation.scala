@@ -54,9 +54,18 @@ object LabelPropagation {
         .groupBy("node", "label").agg(count(lit(1)).as("c"))
         .persist()
       val best = votes.groupBy("node").agg(max(col("c")).as("c"))
+      // localCheckpoint, NOT persist: labels_r is referenced four times
+      // by round r+1 (neighbor join + self-vote, each through votes and
+      // best), so an un-truncated logical plan grows ~4^rounds. Execution
+      // is fine either way (the cache dedups work), but Spark stringifies
+      // the ANALYZED plan for every AQE event — measured 120+ s of pure
+      // driver generateTreeString at 4 rounds, data-size-independent.
+      // Truncating the lineage to a LogicalRDD leaf per round keeps the
+      // plan (and its string) constant-size. (p46 PageRank doesn't need
+      // this: its rank relation is referenced once per round — linear.)
       labels = votes.join(best, Seq("node", "c"))
         .groupBy("node").agg(min(col("label")).as("label"))
-        .persist()
+        .localCheckpoint()
     }
     labels
   }
