@@ -167,6 +167,68 @@ object EventStreams {
       }
   }
 
+  case class FunnelState(reached: Int, lastT: Long)
+  case class FunnelUpdate(user_id: Long, step_idx: Int, step: String,
+                          ts: Timestamp)
+
+  /** Incremental ordered funnel — the streaming form of
+    * [[graft.pipeline.EventAnalytics.funnel]]'s first-touch chaining:
+    * per user, a monotone state machine holding ONLY (steps reached,
+    * completion ts); an event advances it when it is the next expected
+    * step and strictly later than the previous completion, emitting one
+    * [[FunnelUpdate]] per advance (step counts = a downstream
+    * aggregation of the updates).
+    *
+    * Parity contract: identical to the batch funnel when each user's
+    * events arrive in event-time order across micro-batches (within one
+    * batch, rows are sorted by (ts, event_id) first, so intra-batch
+    * disorder is free); an event arriving LATE, with a timestamp before
+    * an already-made advance, is ignored — the chain never rewinds.
+    * That is the standard streaming-funnel tradeoff, stated rather than
+    * silent.
+    *
+    * State is evicted by event-time timeout once a user has been idle
+    * past `stateTtlMs` beyond the watermark (the unbounded-key-domain
+    * lesson from the as-of enrichment review): O(1) per active user,
+    * nothing retained forever. */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   watermark: String = "15 minutes",
+                   stateTtlMs: Long = 24 * 3600 * 1000L): Dataset[FunnelUpdate] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val out = Seq.newBuilder[FunnelUpdate]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              if (st.reached < steps.length &&
+                  e.event_type == steps(st.reached) &&
+                  e.ts.getTime > st.lastT) {
+                st = FunnelState(st.reached + 1, e.ts.getTime)
+                out += FunnelUpdate(uid, st.reached, e.event_type, e.ts)
+              }
+            }
+            state.update(st)
+            // TTL keys off EVENT time (watermark + ttl would read the
+            // pre-first-batch watermark of 0 and evict live chains at
+            // epoch+ttl — the asofEnrichStream convention), floored one
+            // past the watermark so a stale chain gets a batch of grace
+            // instead of an IllegalArgumentException
+            val base = if (st.lastT == Long.MinValue) 0L else st.lastT
+            state.setTimeoutTimestamp(
+              math.max(base + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Native stream-stream interval join — the attribution join: every
     * purchase paired with ALL views of the same user in the preceding
     * `windowMs` (many-to-many, unlike [[asofEnrichStream]]'s

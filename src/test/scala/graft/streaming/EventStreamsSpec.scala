@@ -359,4 +359,51 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("streaming funnel matches the batch funnel across micro-batches; chain never rewinds") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val steps = Seq("view", "click", "purchase")
+      // u1 completes across TWO batches; u2 clicked before viewing (the
+      // pre-view click must not convert); u3 views only
+      val batch1 = Seq(
+        EventStreams.Event(1, ts(0), 1, "view", 0),
+        EventStreams.Event(2, ts(1), 1, "click", 0),
+        EventStreams.Event(3, ts(0), 2, "click", 0),
+        EventStreams.Event(4, ts(2), 2, "view", 0),
+        EventStreams.Event(5, ts(0), 3, "view", 0))
+      val batch2 = Seq(
+        EventStreams.Event(6, ts(3), 1, "purchase", 0),
+        // LATE purchase for u2 at minute 1 — before u2's view advance at
+        // minute 2 AND with no click after the view: must not convert
+        EventStreams.Event(7, ts(1), 2, "purchase", 0))
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.funnelStream(mem.toDS(), steps, "10 minutes")
+        .writeStream.format("memory").queryName("fn")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(batch1: _*); q.processAllAvailable()
+        mem.addData(batch2: _*); q.processAllAvailable()
+        val got = spark.table("fn").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          .toSet
+
+        // batch reference over the union
+        val all = (batch1 ++ batch2)
+          .map(e => (e.user_id, e.ts, e.event_type))
+          .toDF("user_id", "ts", "event_type")
+        val batchCounts = graft.pipeline.EventAnalytics
+          .funnel(all, "user_id", "ts", "event_type", steps)
+          .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+        val streamCounts = steps.indices
+          .map(i => (i + 1) -> got.count(_._2 == i + 1).toLong).toMap
+        assert(streamCounts == batchCounts,
+          s"stream=$streamCounts batch=$batchCounts")
+        // u1 full funnel; u2/u3 stop at view; nobody else clicks
+        assert(got == Set((1L, 1, "view"), (1L, 2, "click"),
+          (1L, 3, "purchase"), (2L, 1, "view"), (3L, 1, "view")))
+      } finally q.stop()
+    }
+  }
 }
