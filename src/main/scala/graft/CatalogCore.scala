@@ -267,6 +267,33 @@ object CatalogCore {
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
       .orderBy("step_idx")
 
+  /** H10 (beyond ref): CUBE grouping-sets aggregation — the OLAP rollup
+    * surface (Spark plans one Expand + one hash aggregate; grouping_id
+    * disambiguates the four grouping sets; subtotal placeholder 'ALL'
+    * cannot collide with the real single-char flag values). */
+  private def h10(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"), grouping_id().as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid").cast("int").as("gid"), col("sum_qty"), col("n"))
+      .orderBy("gid", "rf", "ls")
+
+  /** H11 (beyond ref): pivot — per-user event-type counts as columns
+    * (explicit value list, so the plan is ONE aggregate with conditional
+    * counts — no distinct-values pre-scan, no second shuffle). */
+  private def h11(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("user_id")
+  }
+
   /** I6 (beyond ref): first-order Markov transition matrix over per-user
     * event sequences ([[graft.pipeline.EventAnalytics.transitionMatrix]]),
     * ordered by the unique event id. */
@@ -276,6 +303,23 @@ object CatalogCore {
       .orderBy("from_type", "to_type")
 
   val entries: Seq[Q] = Seq(
+    Q("h10_cube", h10,
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |       coalesce(l_linestatus, 'ALL') AS ls,
+             |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       count(*) AS n
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY gid, rf, ls""".stripMargin)),
+    Q("h11_pivot", h11,
+      Some("""SELECT user_id,
+             |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+             |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+             |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+             |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+             |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
     Q("i6_transitions", i6,
       Some("""WITH t AS (SELECT user_id, event_id, event_type,
              |            lead(event_type) OVER (PARTITION BY user_id

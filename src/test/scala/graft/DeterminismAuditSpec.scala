@@ -62,7 +62,9 @@ class DeterminismAuditSpec extends AnyFunSuite {
     "p72_fellegi_sunter", "p73_ndcg", "p74_classifier_eval",
     "p75_adamic_adar", "i4_cohort_retention", "i5_funnel",
     // unique-id-ordered transitions; integer max-normalized HITS rounds
-    "i6_transitions", "p76_hits")
+    "i6_transitions", "p76_hits",
+    // grouping-set expansion and conditional-count pivot
+    "h10_cube", "h11_pivot")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()
