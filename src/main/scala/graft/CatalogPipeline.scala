@@ -1645,6 +1645,34 @@ object CatalogPipeline {
         "lang", "pred")
       .orderBy("cls")
 
+  /** Neighborhood function / effective diameter — what HyperBall exists
+    * to compute (Boldi–Vigna §1): N(r) = Σ_v |ball_r(v)| per radius and
+    * the fraction of the final-round reach, flagging the radii at ≥ 90%
+    * (the effective-diameter cut). One tiny per-radius aggregate over
+    * the p71 sketch estimates. */
+  private def p77(s: SparkSession, d: String): DataFrame = {
+    val nb = graft.graph.HyperBall.neighborhood(tradeEdges(s, d),
+      "src", "dst", rounds = 3, k = 16)
+    val byR = nb.groupBy("r").agg(sum("ball_est").as("n_reach"))
+    val tot = byR.agg(max(when(col("r") === 3, col("n_reach"))).as("nmax"))
+    byR.crossJoin(broadcast(tot))
+      .select(col("r"), col("n_reach"),
+        round(col("n_reach").cast("double") / col("nmax"), 6).as("frac"),
+        (col("n_reach").cast("double") / col("nmax") >= 0.9).as("reaches90"))
+      .orderBy("r")
+  }
+
+  private def effDiamOracleSql: String = {
+    val hb = hyperballOracleSql(3, 16)
+    s"""WITH byr AS (SELECT r, sum(ball_est) AS n_reach
+       |             FROM ($hb) GROUP BY r),
+       |tot AS (SELECT max(CASE WHEN r = 3 THEN n_reach END) AS nmax FROM byr)
+       |SELECT byr.r, CAST(byr.n_reach AS BIGINT) AS n_reach,
+       |  round(byr.n_reach::DOUBLE / tot.nmax, 6) AS frac,
+       |  byr.n_reach::DOUBLE / tot.nmax >= 0.9 AS reaches90
+       |FROM byr, tot ORDER BY r""".stripMargin
+  }
+
   /** Per-dimension z-score standardization
     * ([[graft.pipeline.Projection.standardize]]): fixed-point moment
     * sums → broadcast (d-row) statistics → stateless z map. */
@@ -2825,6 +2853,7 @@ object CatalogPipeline {
              |FROM g ORDER BY query_id""".stripMargin)),
     Q("p74_classifier_eval", p74, Some(classifierEvalOracleSql)),
     Q("p76_hits", p76, Some(hitsOracleSql(2))),
+    Q("p77_effective_diameter", p77, Some(effDiamOracleSql)),
     Q("p75_adamic_adar", p75,
       Some(s"""WITH $tradeEdgesSqlPrefix,
               |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),

@@ -37,11 +37,21 @@ object RecordLinkage {
     val n = df.count()
     require(n >= 2, "need at least two records to estimate u")
     // u_f = Σ_v c_v² − n over n² − n, exact integer sums → one double
-    // division (identical expression shape in the oracle)
+    // division (identical expression shape in the oracle). ALL fields'
+    // value histograms come from ONE corpus scan (fields explode to
+    // (field, value) rows, map-side combinable) — a per-field groupBy
+    // would rescan a 100 TB corpus once per field. String-casting the
+    // exploded values is count-preserving (the cast is injective per
+    // field), so Σc² is unchanged; the AGREEMENT compare below still
+    // runs on the raw typed columns.
+    val fv = df.select(explode(array(fields.map(f =>
+        struct(lit(f).as("f"), col(f).cast("string").as("v"))): _*)).as("x"))
+      .select(col("x.f").as("f"), col("x.v").as("v"))
+    val sumsq = fv.groupBy("f", "v").agg(count(lit(1)).as("c"))
+      .groupBy("f").agg(sum(col("c") * col("c")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val weights = fields.map { f =>
-      val sumsq = df.groupBy(col(f)).agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * col("c")).as("s")).head().getLong(0)
-      val u = (sumsq.toDouble - n) / (n.toDouble * n - n)
+      val u = (sumsq(f).toDouble - n) / (n.toDouble * n - n)
       require(u > 0 && u < 1, s"field $f is degenerate (u=$u): all-equal " +
         "or all-distinct fields carry no linkage signal")
       f -> (math.log(m / u), math.log((1 - m) / (1 - u)))
