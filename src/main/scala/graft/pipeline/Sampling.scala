@@ -383,8 +383,11 @@ object Sampling {
       val b = pmod(a * a + a * lit(1103515245L) + lit(12345L), lit(m))
       struct(b.as("wt"), s.cast("int").as("shard"))
     })
-    df.select(col(idCol).as("doc_id"),
-      array_max(weights).getField("shard").as("shard"),
-      array_max(weights).getField("wt").as("weight"))
+    // one fold per row: project the argmax struct first, then split it —
+    // two separate array_max calls would run the S-element fold twice
+    df.select(col(idCol).as("doc_id"), array_max(weights).as("best"))
+      .select(col("doc_id"),
+        col("best").getField("shard").as("shard"),
+        col("best").getField("wt").as("weight"))
   }
 }
