@@ -294,6 +294,31 @@ object CatalogCore {
       .orderBy("user_id")
   }
 
+  /** I7 (beyond ref): per-user EWMA of event values
+    * ([[graft.pipeline.EventAnalytics.ewma]]), α = ¼ (binary-exact). */
+  private def i7(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.EventAnalytics.ewma(Tables.events(s, d),
+        "user_id", "event_id", "value", alpha = 0.25)
+      .orderBy("user_id")
+
+  /** H12 (beyond ref): frame-windowed moving average — 3-row trailing
+    * mean of event value per user. The frame sum runs on integer CENTS
+    * (DuckDB's sliding-window aggregation uses a segment tree whose
+    * float summation order differs from Spark's running frame; integer
+    * sums are order-free), divided back in one fixed double shape. */
+  private def h12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(-2, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("user_id"), col("event_id"),
+        round(sum("cents").over(w).cast("double") / 100.0
+          / count(lit(1)).over(w), 6).as("mavg"),
+        count(lit(1)).over(w).cast("int").as("n_in_frame"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** I6 (beyond ref): first-order Markov transition matrix over per-user
     * event sequences ([[graft.pipeline.EventAnalytics.transitionMatrix]]),
     * ordered by the unique event id. */
@@ -320,6 +345,25 @@ object CatalogCore {
              |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
              |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    Q("i7_ewma", i7,
+      Some("""WITH t AS (SELECT user_id, list(value ORDER BY event_id) AS vs
+             |           FROM events GROUP BY user_id)
+             |SELECT user_id, CAST(len(vs) AS INT) AS n_events,
+             |  round(list_reduce(vs, (acc, x) -> acc * 0.75 + x * 0.25), 6)
+             |    AS ewma
+             |FROM t ORDER BY user_id""".stripMargin)),
+    Q("h12_moving_avg", h12,
+      Some("""WITH c AS (SELECT user_id, event_id,
+             |            CAST(round(value * 100) AS BIGINT) AS cents
+             |          FROM events)
+             |SELECT user_id, event_id,
+             |  round(CAST(sum(cents) OVER w AS DOUBLE) / 100.0
+             |        / (count(*) OVER w), 6) AS mavg,
+             |  CAST(count(*) OVER w AS INT) AS n_in_frame
+             |FROM c
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
     Q("i6_transitions", i6,
       Some("""WITH t AS (SELECT user_id, event_id, event_type,
              |            lead(event_type) OVER (PARTITION BY user_id

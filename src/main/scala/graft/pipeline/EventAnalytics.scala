@@ -42,6 +42,36 @@ object EventAnalytics {
           .as("retention"))
   }
 
+  /** Exponentially-weighted moving average per user — the monitoring /
+    * feature-engineering smoother: EWMA₀ = x₀, EWMAₜ = (1−α)·EWMAₜ₋₁ +
+    * α·xₜ, folded in the UNIQUE order column's order. α must be exactly
+    * representable in binary (¼, ½, …) so both engines run identical
+    * IEEE multiply-adds on identical operands in identical order — the
+    * p38 ordered-fold convention, with the first element as the seed.
+    * One user-keyed aggregate; state is the collected per-user sequence
+    * (events-per-user bounded, the same contract as the other ordered
+    * folds). */
+  def ewma(events: DataFrame, userCol: String, orderCol: String,
+           valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha")
+    events
+      .select(col(userCol).as("user_id"), col(orderCol).as("oid"),
+        col(valueCol).as("v"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        aggregate(
+          sort_array(collect_list(struct(col("oid"), col("v")))),
+          struct(lit(true).as("first"), lit(0.0).as("acc")),
+          (st, x) => struct(
+            lit(false).as("first"),
+            when(st.getField("first"), x.getField("v"))
+              .otherwise(st.getField("acc") * lit(1 - alpha)
+                + x.getField("v") * lit(alpha)).as("acc")))
+          .getField("acc").as("raw"))
+      .select(col("user_id"), col("n_events"),
+        round(col("raw"), 6).as("ewma"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * P(next type | current type), with counts. Sequences order by the
     * UNIQUE event id (total order — timestamp ties cannot flip

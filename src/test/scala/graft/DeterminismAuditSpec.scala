@@ -64,7 +64,9 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // unique-id-ordered transitions; integer max-normalized HITS rounds
     "i6_transitions", "p76_hits",
     // grouping-set expansion and conditional-count pivot
-    "h10_cube", "h11_pivot")
+    "h10_cube", "h11_pivot",
+    // ordered EWMA fold; integer-cents frame sums
+    "i7_ewma", "h12_moving_avg")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()

@@ -65,6 +65,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("ewma: seeded recursive fold in order-column order, scalar parity") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // deliberately out-of-order event ids in the input rows: the fold
+      // must follow event_id order, not arrival order
+      val events = Seq(
+        (1L, 3L, 30.0), (1L, 1L, 10.0), (1L, 2L, 20.0),
+        (2L, 1L, 5.0))
+        .toDF("user_id", "event_id", "value")
+      val out = EventAnalytics.ewma(events, "user_id", "event_id",
+          "value", alpha = 0.25)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      // u1: seed 10 → 0.75·10+0.25·20 = 12.5 → 0.75·12.5+0.25·30 = 16.875
+      assert(out(1L) == ((3, 16.875)))
+      // single event: EWMA = the value itself
+      assert(out(2L) == ((1, 5.0)))
+    } finally spark.stop()
+  }
+
   test("funnel: strict ordering — pre-view clicks do not convert") {
     val spark = session()
     import spark.implicits._
