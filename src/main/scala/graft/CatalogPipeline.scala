@@ -1490,7 +1490,7 @@ object CatalogPipeline {
          |FROM s$r GROUP BY node""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH $tradeEdgesSqlPrefix,
-       |n0 AS (SELECT DISTINCT src AS node FROM ed),
+       |n0 AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
        |hh AS (SELECT node,
        |         ((node % 1000000007) * 2654435761 + 987654321) % 1000000007 AS h
        |       FROM n0),

@@ -16,10 +16,41 @@ import org.apache.spark.sql.functions._
   * division — every value is a pure function of the data, independent of
   * partitioning and engine. Max intermediate: 2²⁰·maxdeg·2²⁰ ≪ 2⁶³.
   *
-  * Scale shape: edges partition once and persist; per half-round only
-  * (node, score) longs move; the normalizing max is a broadcast scalar.
+  * Scale shape: the edge relation persists TWICE, once partitioned by
+  * `src` (the authority half joins on src) and once by `dst` (the hub
+  * half joins on dst) — 2× edge memory buys co-partitioned joins in BOTH
+  * directions, so per half-round only (node, score) longs move. With a
+  * single src-partitioned copy the hub half would exchange the full edge
+  * relation by dst every round the score relation outgrows broadcast —
+  * exactly the "ship the links" shape PageRank documents avoiding, and
+  * the dominant cost at web scale. The normalizing max is a broadcast
+  * scalar.
+  *
+  * Zero-score rows are REPRESENTED BY ABSENCE in the per-round
+  * relations: a node all of whose in-(out-)neighbors carry score 0
+  * contributes nothing to any later sum or max, so the per-round
+  * node-relation zero-fill the recurrence is usually written with is
+  * deferred to one left-join in the final select — two node-sized joins
+  * saved per round, bit-identical output.
+  *
+  * Each half-round `localCheckpoint`s (eager): the plan would otherwise
+  * double per round (each round references the previous twice), and the
+  * checkpoint gives a materialization point after which the PREVIOUS
+  * round's blocks are provably unreferenced and are freed immediately —
+  * peak cache is two score relations plus the two edge copies, not
+  * 2·rounds relations. The final round's two checkpoints stay cached:
+  * they are the returned working set (the [[graft.pipeline.Bpe]]
+  * convention), freed when the caller drops caches.
   */
 object Hits {
+
+  /** The persisted-RDD id behind a checkpointed Dataset — lets the round
+    * loop free exactly the checkpoints it created (a blanket registry
+    * diff would unpersist concurrent jobs' caches on a shared session). */
+  private def checkpointRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
 
   /** `rounds` full hub↔authority iterations over the directed `edges`.
     * Returns (node, authority, hub) in float units, rounded to 6. */
@@ -27,35 +58,44 @@ object Hits {
            rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds=$rounds")
     val one = 1048576L
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val sc = edges.sparkSession.sparkContext
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .repartition(col("src"))
-      .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val eBySrc = e0.repartition(col("src")).persist()
+    val eByDst = e0.repartition(col("dst")).persist()
+    val nodes = eBySrc.select(col("src").as("node"))
+      .union(eBySrc.select(col("dst").as("node"))).distinct().persist()
+    // divide by the round's max — over the rows PRESENT, which is the max
+    // over all nodes too (absent rows are zeros, and raw sums of positive
+    // h/a are positive for at least one node on any nonempty edge set)
     def normalize(raw: DataFrame, c: String): DataFrame = {
-      val full = nodes.join(raw, Seq("node"), "left")
-        .select(col("node"), coalesce(col(c), lit(0L)).as("raw"))
-      val m = full.agg(max("raw").as("m"))
-      full.crossJoin(broadcast(m))
-        .select(col("node"), expr(s"raw * $one div m").as(c))
+      val m = raw.agg(max(c).as("m"))
+      raw.crossJoin(broadcast(m))
+        .select(col("node"), expr(s"$c * $one div m").as(c))
     }
     var h = nodes.select(col("node"), lit(one).as("h"))
-    var a = nodes.select(col("node"), lit(0L).as("a"))
+    var a: DataFrame = h // placeholder; rounds >= 1 always overwrites
+    var prevIds: Seq[Int] = Nil
     for (_ <- 1 to rounds) {
       a = normalize(
-        e.join(h.withColumnRenamed("node", "src"), "src")
+        eBySrc.join(h.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node")).agg(sum("h").as("a")), "a")
-        .persist()
+        .localCheckpoint()
       h = normalize(
-        e.join(a.withColumnRenamed("node", "dst"), "dst")
+        eByDst.join(a.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node")).agg(sum("a").as("h")), "h")
-        .persist()
+        .localCheckpoint()
+      // both halves of this round are materialized — the previous
+      // round's checkpoints are unreferenced from here on
+      val persisted = sc.getPersistentRDDs
+      prevIds.foreach(id => persisted.get(id).foreach(_.unpersist(false)))
+      prevIds = (checkpointRddId(a) ++ checkpointRddId(h)).toSeq
     }
-    nodes.join(a, "node").join(h, "node")
+    nodes.join(a, Seq("node"), "left").join(h, Seq("node"), "left")
       .select(col("node"),
-        round(col("a").cast("double") / one, 6).as("authority"),
-        round(col("h").cast("double") / one, 6).as("hub"))
+        round(coalesce(col("a"), lit(0L)).cast("double") / one, 6)
+          .as("authority"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / one, 6).as("hub"))
   }
 }

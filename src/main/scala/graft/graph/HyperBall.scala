@@ -53,7 +53,12 @@ object HyperBall {
     val a = pmod(col("node"), lit(M))
     val h = pmod(a * lit(2654435761L) + lit(987654321L), lit(M))
     val ih = pmod(h * h + h * lit(1103515245L) + lit(12345L), lit(M))
-    val nodes = e.select(col("src").as("node")).distinct()
+    // seed src ∪ dst (the Hits.hits node set): a dst-only sink gets its
+    // own r=0 singleton ball like every other node — src-only seeding
+    // would drop it from ball_0 and exclude it from its own ball at
+    // every radius, contradicting the ball_0(v) = {h(v)} recurrence
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
     var sketch = nodes.select(col("node"), ih.as("ih")).persist()
     val w = Window.partitionBy("node").orderBy("ih")
     val est = (r: Int, s: DataFrame) => s.groupBy("node")

@@ -72,6 +72,69 @@ object EventAnalytics {
         round(col("raw"), 6).as("ewma"))
   }
 
+  /** [[ewma]] without the whole-sequence aggregation buffer — the sliced
+    * escape hatch for pathological per-user event counts (bot traffic),
+    * the [[graft.operators.AsofJoin]] `backwardSliced` pattern applied to
+    * an ordered fold. Events rank per user (one window), slices of
+    * `sliceSize` fold independently into an affine carry
+    * `y_out = coef·y_in + add` (EWMA steps compose affinely), and a
+    * second ordered fold over the per-user SLICE relation — ≤ ⌈n/B⌉ rows
+    * per user — chains the carries. No aggregation buffer ever holds more
+    * than `sliceSize` events or ⌈n/B⌉ carries.
+    *
+    * Equality contract: at `sliceSize = 1` the carry chain executes the
+    * EXACT operation sequence of [[ewma]] (bit-identical IEEE results);
+    * at larger slices the slice-local Horner fold regroups the same
+    * multiply-adds, algebraically identical but associativity-shifted by
+    * O(ulp) — equal after the shared round-to-6 output contract for any
+    * non-adversarial magnitudes (pinned in EventAnalyticsSpec against
+    * both [[ewma]] and a scalar replica). */
+  def ewmaSliced(events: DataFrame, userCol: String, orderCol: String,
+                 valueCol: String, alpha: Double,
+                 sliceSize: Int = 4096): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha")
+    require(sliceSize >= 1, s"sliceSize=$sliceSize")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("oid")
+    val sliced = events
+      .select(col(userCol).as("user_id"), col(orderCol).as("oid"),
+        col(valueCol).as("v"))
+      .withColumn("slice_id", expr(s"(row_number() OVER (PARTITION BY user_id ORDER BY oid) - 1) div $sliceSize"))
+    // per slice: the continuation map (coef, add) and the seeded value
+    // vfirst (what the fold yields when this slice STARTS the sequence)
+    val carries = sliced
+      .groupBy("user_id", "slice_id")
+      .agg(count(lit(1)).as("cnt"),
+        aggregate(
+          sort_array(collect_list(struct(col("oid"), col("v")))),
+          struct(lit(1.0).as("coef"), lit(0.0).as("add"),
+            lit(0.0).as("vfirst"), lit(true).as("first")),
+          (st, x) => struct(
+            (st.getField("coef") * lit(1 - alpha)).as("coef"),
+            (st.getField("add") * lit(1 - alpha)
+              + x.getField("v") * lit(alpha)).as("add"),
+            when(st.getField("first"), x.getField("v"))
+              .otherwise(st.getField("vfirst") * lit(1 - alpha)
+                + x.getField("v") * lit(alpha)).as("vfirst"),
+            lit(false).as("first")))
+          .as("carry"))
+    carries
+      .groupBy("user_id")
+      .agg(sum("cnt").cast("int").as("n_events"),
+        aggregate(
+          sort_array(collect_list(struct(col("slice_id"), col("carry")))),
+          struct(lit(true).as("first"), lit(0.0).as("acc")),
+          (st, s) => struct(
+            lit(false).as("first"),
+            when(st.getField("first"), s.getField("carry").getField("vfirst"))
+              .otherwise(s.getField("carry").getField("coef")
+                  * st.getField("acc")
+                + s.getField("carry").getField("add")).as("acc")))
+          .getField("acc").as("raw"))
+      .select(col("user_id"), col("n_events"),
+        round(col("raw"), 6).as("ewma"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * P(next type | current type), with counts. Sequences order by the
     * UNIQUE event id (total order — timestamp ties cannot flip
@@ -102,26 +165,32 @@ object EventAnalytics {
     *
     * Scale shape: one filtered user-keyed aggregate per step (steps are
     * few and fixed), each joined co-partitioned on user to the previous
-    * step's (user, t) relation; per-user state is ONE timestamp. */
+    * step's (user, t) relation; per-user state is ONE timestamp. Each
+    * step's survivor relation materializes EAGERLY (its count IS the
+    * step's output row — a bounded scalar, not a driver-side loop), so
+    * the previous step's cache is freed as soon as the next step exists:
+    * peak cache is two survivor relations, not one per step. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
     val e = events.select(col(userCol).as("user_id"),
       col(tsCol).as("ts"), col(typeCol).as("et"))
     var cur = e.where(col("et") === steps.head)
       .groupBy("user_id").agg(min("ts").as("t")).persist()
-    var out = cur.agg(count(lit(1)).as("n_users"))
-      .select(lit(1).as("step_idx"), lit(steps.head).as("step"),
-        col("n_users"))
+    val counts = Seq.newBuilder[(Int, String, Long)]
+    counts += ((1, steps.head, cur.count()))
     steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      val prev = cur
       cur = e.where(col("et") === s)
-        .join(cur.select(col("user_id"), col("t").as("prev_t")), "user_id")
+        .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
         .where(col("ts") > col("prev_t"))
         .groupBy("user_id").agg(min("ts").as("t")).persist()
-      out = out.unionByName(cur.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("step_idx"), lit(s).as("step"),
-          col("n_users")))
+      counts += ((i + 1, s, cur.count())) // materializes cur off prev's cache
+      prev.unpersist(false)
     }
-    out
+    cur.unpersist(false)
+    counts.result().toDF("step_idx", "step", "n_users")
   }
 }

@@ -102,9 +102,12 @@ object EventStreams {
     * EVENT-TIME timeout (wall clock never enters the semantics), at the
     * documented cost that a purchase arriving later than TTL after its
     * key's last view enriches as null — exactly the row the batch
-    * operator WOULD have matched to the evicted view. Leave `stateTtl`
-    * at None only when key cardinality is bounded (users of a service,
-    * tiles of a map), which is the d10 catalog shape; resolution inside
+    * operator WOULD have matched to the evicted view. The TTL DEFAULTS
+    * ON (24 h): an always-on stream over an open key domain must not
+    * grow state forever by omission. Running without eviction requires
+    * the explicit `unboundedKeys = true` opt-in, the right call only
+    * when key cardinality is bounded by construction (users of a
+    * service, tiles of a map — the d10 catalog shape); resolution inside
     * a micro-batch sorts by (ts, side, id) exactly like the batch
     * operator (views before purchases at equal ts → inclusive match,
     * largest (ts, id) view wins ties).
@@ -119,10 +122,19 @@ object EventStreams {
     * state is ahead of it) rather than the future view's payload. */
   def asofEnrichStream(events: Dataset[Event],
                        watermark: String = "15 minutes",
-                       stateTtlMs: Option[Long] = None): Dataset[AsofUpdate] = {
+                       stateTtlMs: Option[Long] = Some(24L * 3600 * 1000),
+                       unboundedKeys: Boolean = false): Dataset[AsofUpdate] = {
     import events.sparkSession.implicits._
+    // unboundedKeys is the opt-OUT: it disables eviction entirely and
+    // overrides any TTL, so the no-eviction posture is always a visible
+    // choice at the call site, never a default
+    val ttl = if (unboundedKeys) None else stateTtlMs
+    require(ttl.isDefined || unboundedKeys,
+      "stateTtlMs = None without unboundedKeys = true: an evictionless " +
+        "stream over an open key domain grows state forever; pass a TTL " +
+        "or opt in explicitly")
     val timeoutConf =
-      if (stateTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -157,9 +169,9 @@ object EventStreams {
               // event-time timeout must be set at or after the current
               // watermark, so an already-stale view still gets one full
               // micro-batch of grace rather than an IllegalArgumentException
-              stateTtlMs.foreach { ttl =>
+              ttl.foreach { t =>
                 state.setTimeoutTimestamp(
-                  math.max(c.ts + ttl, state.getCurrentWatermarkMs() + 1))
+                  math.max(c.ts + t, state.getCurrentWatermarkMs() + 1))
               }
             }
             out.result().iterator

@@ -41,6 +41,22 @@ class HyperBallSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("a dst-only sink is seeded: its ball exists and includes itself") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // 3 is a pure sink (never a src): it must still get ball rows, with
+      // ball_0 = {3}, ball_1 = {3, 2}, ball_2 = {3, 2, 1}
+      val es = Seq((1L, 2L), (2L, 3L))
+      val out = HyperBall.neighborhood(es.toDF("src", "dst"), "src", "dst",
+          rounds = 2, k = 16)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(3))).toMap
+      assert(out((3L, 0)) == 1L)
+      assert(out((3L, 1)) == 2L)
+      assert(out((3L, 2)) == 3L)
+    } finally spark.stop()
+  }
+
   test("estimate regime: occupancy caps at k and the integer estimator applies") {
     val spark = session()
     import spark.implicits._

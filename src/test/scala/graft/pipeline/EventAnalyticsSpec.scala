@@ -85,6 +85,40 @@ class EventAnalyticsSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("ewmaSliced: equals ewma on a skewed fixture; sliceSize=1 is bit-identical") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // skewed: user 1 is a 5000-event bot, users 2-4 are normal-sized —
+      // the exact shape the whole-sequence collect_list buffers badly
+      val rnd = new scala.util.Random(7)
+      val events = ((1 to 5000).map(i => (1L, i.toLong, rnd.nextInt(400) / 4.0)) ++
+        Seq((2L, 1L, 5.0), (3L, 1L, 10.0), (3L, 2L, 20.0), (3L, 3L, 30.0),
+          (4L, 2L, 8.0), (4L, 1L, 4.0)))
+        .toDF("user_id", "event_id", "value")
+      def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      val whole = asMap(EventAnalytics.ewma(events, "user_id", "event_id",
+        "value", alpha = 0.25))
+      // regrouped slices agree after the shared round-to-6 contract
+      val sliced = asMap(EventAnalytics.ewmaSliced(events, "user_id",
+        "event_id", "value", alpha = 0.25, sliceSize = 32))
+      assert(sliced == whole)
+      // sliceSize=1 executes ewma's exact op sequence → bit-identical
+      val unit = asMap(EventAnalytics.ewmaSliced(events, "user_id",
+        "event_id", "value", alpha = 0.25, sliceSize = 1))
+      assert(unit == whole)
+      // scalar ground truth for the bot user
+      var y = 0.0; var first = true
+      val botVals = { val r2 = new scala.util.Random(7)
+        (1 to 5000).map(_ => r2.nextInt(400) / 4.0) }
+      botVals.foreach { v =>
+        if (first) { y = v; first = false } else y = y * 0.75 + v * 0.25 }
+      assert(math.abs(whole(1L)._2 - y) < 1e-6 && whole(1L)._1 == 5000)
+      assert(whole(3L) == ((3, 16.875)))
+    } finally spark.stop()
+  }
+
   test("funnel: strict ordering — pre-view clicks do not convert") {
     val spark = session()
     import spark.implicits._

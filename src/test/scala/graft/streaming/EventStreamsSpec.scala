@@ -309,6 +309,54 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of enrichment DEFAULT posture evicts: 24h TTL fires without any opt-in") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[EventStreams.Event]
+      // all defaults: the TTL must be ON without the caller asking
+      val q = EventStreams.asofEnrichStream(mem.toDS(), "5 minutes")
+        .writeStream.format("memory").queryName("asof_default_ttl")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val day = 24 * 60
+        // user 1's only view at minute 0; default timeout = minute 1440
+        mem.addData(EventStreams.Event(1, ts(0), 1, "view", 7.0))
+        q.processAllAvailable()
+        // advance the watermark past the default TTL, then one more batch
+        // so the timeout callback actually fires for the idle key
+        mem.addData(EventStreams.Event(2, ts(day + 60), 2, "view", 8.0))
+        q.processAllAvailable()
+        mem.addData(EventStreams.Event(3, ts(day + 61), 2, "view", 9.0))
+        q.processAllAvailable()
+        // user 1's purchase finds no state (evicted by the DEFAULT TTL);
+        // user 2's recent state enriches normally
+        mem.addData(
+          EventStreams.Event(4, ts(day + 70), 1, "purchase", 1.0),
+          EventStreams.Event(5, ts(day + 70), 2, "purchase", 1.0))
+        q.processAllAvailable()
+        val got = spark.table("asof_default_ttl").collect()
+          .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+        assert(got == Map(4L -> None, 5L -> Some(3L)))
+      } finally q.stop()
+    }
+  }
+
+  test("as-of enrichment refuses an evictionless setup unless explicitly opted in") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[EventStreams.Event]
+      intercept[IllegalArgumentException] {
+        EventStreams.asofEnrichStream(mem.toDS(), "5 minutes",
+          stateTtlMs = None)
+      }
+      // the explicit opt-in builds (no eviction — bounded-key contract)
+      EventStreams.asofEnrichStream(mem.toDS(), "5 minutes",
+        stateTtlMs = None, unboundedKeys = true)
+    }
+  }
+
   test("streaming as-of enrichment matches the batch operator across micro-batches") {
     withSpark { spark =>
       import spark.implicits._
