@@ -1160,6 +1160,33 @@ object CatalogPipeline {
     graft.pipeline.Bpe.tokenizedVocab(Tables.documents(s, d), "text", numMerges = 12)
       .orderBy("word")
 
+  /** Corpus-level BPE tokenization ([[graft.pipeline.Bpe.tokenizeDocs]]):
+    * the trained 12-merge tokenizer applied to every DOCUMENT, emitting
+    * per-doc token-id sequences — the artifact p31/p33 train but stop
+    * short of, and what sequence packing actually consumes. */
+  private def p78(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Bpe.tokenizeDocs(Tables.documents(s, d), "doc_id", "text",
+        numMerges = 12)
+      .orderBy("doc_id")
+
+  /** Sequence packing on REAL tokenizer counts: p15's running-sum packing
+    * fed per-doc BPE token totals from [[graft.pipeline.Bpe.tokenizeDocs]]
+    * instead of whitespace word counts — the 2048-token sequences a
+    * trainer would actually see. Documents with no tokenizable words
+    * pack nothing (inner join, mirrored in the oracle). */
+  private def p80(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nt = graft.pipeline.Bpe.tokenizeDocs(docs, "doc_id", "text",
+        numMerges = 12)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("bpe_tokens"))
+    graft.pipeline.Sampling.packSequences(
+        docs.select("doc_id", "source").join(nt, "doc_id"),
+        "source", "doc_id", col("bpe_tokens"), budget = 2048)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("chunk_id"), col("offset"))
+      .orderBy("doc_id")
+  }
+
   // ---- corpus shaping ------------------------------------------------------
 
   /** Deterministic stratified rebalance: every language down-sampled to the
@@ -2580,6 +2607,10 @@ object CatalogPipeline {
       Some(graft.pipeline.Bpe.oracleSql(numMerges = 12))),
     Q("p33_bpe_encode", p33,
       Some(graft.pipeline.Bpe.encodeOracleSql(numMerges = 12))),
+    Q("p78_bpe_tokenize", p78,
+      Some(graft.pipeline.Bpe.corpusOracleSql(numMerges = 12))),
+    Q("p80_bpe_pack", p80,
+      Some(graft.pipeline.Bpe.packOracleSql(numMerges = 12, budget = 2048))),
     Q("p34_kmeans", p34,
       Some(graft.pipeline.Clustering.kmeansOracleSql(k = 8, iters = 3, dims = 64))),
     Q("p22_perplexity", p22,

@@ -155,31 +155,96 @@ object Bpe {
     * Returns (word, cnt, n_tokens, toks_hash): the tokenized vocabulary
     * with md5 over the Sep-joined symbol sequence, cross-engine
     * hashable. */
+  /** Apply `ms` (rank-ordered (left, right) pairs) to one word: code-point
+    * split (NOT word.map(_.toString), which would cleave surrogate pairs
+    * into half-characters and diverge from train's regex split and the
+    * oracle's slicing), then each merge greedy left-to-right. */
+  private def applyMergesToWord(ms: Array[(String, String)],
+                                word: String): Seq[String] = {
+    var syms: Seq[String] = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toSeq
+    ms.foreach { case (l, r) =>
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
   def encodeWords(words: DataFrame, merges: Seq[Merge]): DataFrame = {
     val ms = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
-    val applyUdf = udf((word: String) => {
-      // code-point split (NOT word.map(_.toString), which would cleave
-      // surrogate pairs into half-characters and diverge from train's
-      // regex split and the oracle's slicing)
-      var syms: Seq[String] = word.codePoints().toArray
-        .map(cp => new String(Character.toChars(cp))).toSeq
-      ms.foreach { case (l, r) =>
-        val out = Seq.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-            out += l + r; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        syms = out.result()
-      }
-      syms
-    })
+    val applyUdf = udf((word: String) => applyMergesToWord(ms, word))
     words.where(length(col("word")) > 0)
       .withColumn("toks", applyUdf(col("word")))
       .select(col("word"), col("cnt"),
         size(col("toks")).as("n_tokens"),
         md5(concat_ws(Sep, col("toks"))).as("toks_hash"))
+  }
+
+  /** Corpus-level tokenization (the step [[tokenizedVocab]] stops short
+    * of): train on the one-scan histogram, then emit each DOCUMENT's
+    * token-id sequence — the artifact sequence packing and LM training
+    * actually consume. Returns (doc_id, n_tokens, ids_hash) with
+    * `ids_hash` = md5 over the comma-joined id sequence; documents with
+    * no tokenizable words produce no row.
+    *
+    * Token ids are deterministic and portable rather than meaningful:
+    * id = 1-based rank of the symbol under md5-of-symbol order. Ranking
+    * by the symbol STRING would hit engine collation differences
+    * (UTF-16 code-unit vs UTF-8 byte order diverge above the BMP); md5
+    * hex is ASCII on both engines. A production tokenizer would rank by
+    * frequency — a relabeling, nothing downstream here depends on it.
+    *
+    * Scale shape: merges and the symbol vocabulary (≤ distinct code
+    * points + numMerges entries) are bounded driver artifacts like the
+    * IVF centroids; word → ids runs once over the DISTINCT-WORD
+    * histogram (map-only UDF off the corpus hot path); the corpus then
+    * maps through that lookup with one join keyed by word and one
+    * doc-keyed reassembly — two shuffles of (doc, word-position, ids)
+    * rows, never a per-round pass. The per-doc reassembly buffer holds
+    * one document's token ids (the bounded-document contract every
+    * per-doc text operator here shares). */
+  def tokenizeDocs(df: DataFrame, idCol: String, textCol: String,
+                   numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    val hist = wordHistogram(df, textCol).localCheckpoint()
+    val merges = train(hist, numMerges)
+    val ms = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
+    val applyUdf = udf((word: String) => applyMergesToWord(ms, word))
+    // word → symbol sequence over the histogram; persisted: read once to
+    // collect the vocab and once by the corpus join (the operator's
+    // working set, the [[tokenizedVocab]] convention)
+    val wordToks = hist.where(length(col("word")) > 0)
+      .select(col("word"), applyUdf(col("word")).as("toks"))
+      .persist()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vmap = wordToks.select(explode(col("toks")).as("sym")).distinct()
+      .collect().map(_.getString(0))
+      .map(s => s -> md5hex(s)).sortBy(_._2)
+      .zipWithIndex.map { case ((s, _), i) => s -> (i + 1) }.toMap
+    val bc = spark.sparkContext.broadcast(vmap)
+    val idsUdf = udf((toks: Seq[String]) => toks.map(bc.value))
+    val wordIds = wordToks.select(col("word"), idsUdf(col("toks")).as("ids"))
+    val docWords = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(filter(split(col(textCol), " "),
+          x => x =!= "" && !x.contains(Sep))))
+      .toDF("doc_id", "wpos", "word")
+    docWords.join(wordIds, "word")
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wpos"), col("ids")))),
+        p => p.getField("ids"))).as("ids"))
+      .select(col("doc_id"), size(col("ids")).as("n_tokens"),
+        md5(array_join(transform(col("ids"), _.cast("string")), ","))
+          .as("ids_hash"))
   }
 
   /** Train + encode over `df(textCol)`: the p33 catalog shape. The
@@ -260,4 +325,67 @@ object Bpe {
          |SELECT word, cnt, CAST(len(sy) AS INT) AS n_tokens,
          |       md5(array_to_string(sy, $S)) AS toks_hash
          |FROM toks ORDER BY word""".stripMargin
+
+  /** The final-state word → symbol-sequence CTE (`fs`) shared by the
+    * corpus-level oracles. */
+  private def finalSymsSql(numMerges: Int): String =
+    s"""fs AS MATERIALIZED (SELECT word, string_split(st[2:length(st)-1], $SS) AS sy
+       |      FROM s$numMerges WHERE length(word) > 0)""".stripMargin
+
+  /** The per-document word list CTE (`dw`), same split-and-filter as the
+    * chain's `w` histogram so every document word has a vocabulary row. */
+  private def docWordsSql: String =
+    s"""dw AS (SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS wpos
+       |      FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+       |              x -> x <> '' AND NOT contains(x, $S)) AS ws
+       |            FROM documents))""".stripMargin
+
+  /** DuckDB oracle for [[tokenizeDocs]]: the unrolled chain, a vocab CTE
+    * ranking symbols by md5 (the portable id order — see tokenizeDocs),
+    * per-word id sequences, and per-doc reassembly in word-position
+    * order via DuckDB's zipped unnest. */
+  def corpusOracleSql(numMerges: Int): String =
+    chainSql(numMerges) +
+      s""",
+         |${finalSymsSql(numMerges)},
+         |vocab AS MATERIALIZED (SELECT sym,
+         |        CAST(row_number() OVER (ORDER BY md5(sym)) AS INT) AS tok_id
+         |      FROM (SELECT DISTINCT unnest(sy) AS sym FROM fs)),
+         |wsy AS (SELECT word, unnest(sy) AS sym, unnest(range(len(sy))) AS pos
+         |      FROM fs),
+         |wmap AS MATERIALIZED (SELECT word, list(tok_id ORDER BY pos) AS ids
+         |      FROM wsy JOIN vocab USING (sym) GROUP BY word),
+         |$docWordsSql,
+         |agg AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
+         |      FROM dw JOIN wmap USING (word) GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(ids) AS INT) AS n_tokens,
+         |       md5(array_to_string(ids, ',')) AS ids_hash
+         |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for packing on [[tokenizeDocs]] counts: per-doc BPE
+    * token totals fed through the p15 running-sum packing chain. */
+  def packOracleSql(numMerges: Int, budget: Int): String =
+    chainSql(numMerges) +
+      s""",
+         |${finalSymsSql(numMerges)},
+         |wc AS MATERIALIZED (SELECT word, CAST(len(sy) AS BIGINT) AS ntok FROM fs),
+         |$docWordsSql,
+         |dt AS (SELECT doc_id, sum(ntok) AS n_toks
+         |      FROM dw JOIN wc USING (word) GROUP BY doc_id),
+         |t AS (SELECT d.doc_id, d.source, CAST(dt.n_toks AS BIGINT) AS n_tokens
+         |      FROM documents d JOIN dt USING (doc_id)),
+         |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |        0) AS before FROM t),
+         |l AS (SELECT doc_id, source, n_tokens,
+         |        CAST(floor(before / $budget) AS BIGINT) AS local_chunk,
+         |        CAST(before % $budget AS BIGINT) AS "offset" FROM c),
+         |b AS (SELECT source, max(local_chunk) + 1 AS n_chunks
+         |      FROM l GROUP BY source),
+         |bb AS (SELECT source, coalesce(sum(n_chunks) OVER (ORDER BY source
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_base
+         |      FROM b)
+         |SELECT l.doc_id, l.source, l.n_tokens,
+         |  CAST(l.local_chunk + bb.chunk_base AS BIGINT) AS chunk_id, l."offset"
+         |FROM l JOIN bb USING (source) ORDER BY doc_id""".stripMargin
 }

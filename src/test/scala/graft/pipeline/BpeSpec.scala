@@ -145,5 +145,49 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (w, (_, n, _)) => assert(n <= w.length) }
   }
 
+  test("tokenizeDocs: per-doc id sequences match the scalar tokenizer end-to-end") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "newest newest widest lowest"),
+      (2L, "low lowest  newest"), // double space: empty words dropped
+      (3L, ""))                   // no words → no output row
+      .toDF("doc_id", "text")
+    val numMerges = 6
+    val got = Bpe.tokenizeDocs(docs, "doc_id", "text", numMerges).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+
+    // scalar replica: train on the histogram, apply merges per word,
+    // rank symbols by md5 for ids, concatenate per doc in word order
+    val hist = Bpe.wordHistogram(docs, "text")
+    val merges = Bpe.train(hist, numMerges)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def applyScalar(word: String): Seq[String] = {
+      var syms: Seq[String] = word.map(_.toString)
+      merges.sortBy(_.rank).foreach { m =>
+        val out = Seq.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.left && syms(i + 1) == m.right) {
+            out += m.left + m.right; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val corpus = Map(
+      1L -> Seq("newest", "newest", "widest", "lowest"),
+      2L -> Seq("low", "lowest", "newest"))
+    val vocab = corpus.values.flatten.toSeq.distinct.flatMap(applyScalar)
+      .distinct.map(s => s -> md5hex(s)).sortBy(_._2)
+      .zipWithIndex.map { case ((s, _), i) => s -> (i + 1) }.toMap
+    val expect = corpus.map { case (id, ws) =>
+      val ids = ws.flatMap(applyScalar).map(vocab)
+      id -> (ids.length, md5hex(ids.mkString(",")))
+    }
+    assert(got == expect)
+    assert(!got.contains(3L), "empty doc must produce no row")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

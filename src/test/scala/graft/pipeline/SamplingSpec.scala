@@ -151,6 +151,55 @@ class SamplingSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("packSequences on BPE counts: real tokenizer totals drive the chunk math") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      // two shards; BPE counts differ from whitespace counts (repeated
+      // words compress), so packing on them must produce different
+      // offsets than whitespace packing would
+      val docs = Seq(
+        (1L, "a1", "newest newest newest newest"),
+        (2L, "a1", "widest lowest"),
+        (3L, "b2", "newest widest newest widest newest"),
+        (4L, "b2", "low lowest"))
+        .toDF("doc_id", "source", "text")
+      val nt = Bpe.tokenizeDocs(docs, "doc_id", "text", numMerges = 6)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("bpe"))
+      val budget = 8
+      val out = Sampling.packSequences(
+          docs.select("doc_id", "source").join(nt, "doc_id"),
+          "source", "doc_id", col("bpe"), budget)
+        .select("doc_id", "source", "n_tokens", "chunk_id", "offset")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      // scalar: BPE token counts per doc, greedy cumsum per shard, shard
+      // bases in source order
+      val counts = nt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val shards = Seq("a1" -> Seq(1L, 2L), "b2" -> Seq(3L, 4L))
+      var base = 0L
+      val expect = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+      shards.foreach { case (_, ids) =>
+        var run = 0L
+        ids.foreach { id =>
+          expect(id) = (counts(id), base + run / budget, run % budget)
+          run += counts(id)
+        }
+        run = 0L
+        var maxChunk = 0L
+        ids.foreach { id => maxChunk = math.max(maxChunk, run / budget); run += counts(id) }
+        base += maxChunk + 1
+      }
+      assert(out == expect.toMap)
+      // and the counts really are BPE counts, not whitespace counts
+      assert(counts(1L) < 4 * "newest".length, "training should compress")
+      assert(counts.values.sum !=
+        docs.collect().map(_.getString(2).split(" ").count(_.nonEmpty)).sum,
+        "fixture must separate BPE counts from whitespace counts")
+    } finally spark.stop()
+  }
+
   test("tokenBudgetMix: equals the naive one-window form; windows never partition by domain alone") {
     val spark = session()
     import spark.implicits._
