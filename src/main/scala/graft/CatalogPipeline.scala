@@ -1077,6 +1077,119 @@ object CatalogPipeline {
     Dedup.spanScrub(nearCorpus(s, d), "doc_id", "text", spanWords = 10)
       .orderBy("doc_id")
 
+  /** Corpus with duplicated substrings at UNALIGNED character offsets:
+    * every 4th doc gets a companion holding a junk prefix plus a 400-char
+    * slice of the original starting at char 18 — a repeat p18's
+    * fixed-width word spans provably miss (the slice starts mid-word and
+    * every span boundary is shifted) but char-level anchors catch. */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("zq xx "), substring(col("text"), 18, 400)).as("text")))
+  }
+
+  private val dupCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 3000000 AS doc_id, 'zq xx ' || substr(text, 18, 400) AS text
+      |FROM documents WHERE doc_id % 4 = 0""".stripMargin
+
+  /** Exact substring dedup, arbitrary offsets
+    * ([[graft.pipeline.Dedup.exactSubstrSpans]]): anchor 30-grams at
+    * stride 4, extend ≤300 code points per side against the canonical
+    * occurrence, merged islands. */
+  private def p79(s: SparkSession, d: String): DataFrame =
+    Dedup.exactSubstrSpans(dupCorpus(s, d), "doc_id", "text",
+        k = 30, stride = 4, maxExt = 300, bucketCap = 8)
+      .orderBy("doc_id", "span_start")
+
+  /** The p79/p81 anchor-extend-merge chain (shared CTE prefix): anchors →
+    * keep-first ranking → witness×canonical pairs → capped greedy
+    * extension (prefix-monotone list_filter count = the greedy loop) →
+    * island merge. Ends after `mi` (merged islands). */
+  private def substrChainSql(k: Int, stride: Int, maxExt: Int,
+                             cap: Int): String =
+    s"""dup AS MATERIALIZED ($dupCorpusSql),
+       |anch AS MATERIALIZED (
+       |  SELECT doc_id, pos, gram FROM (
+       |    SELECT doc_id, pos, substr(text, pos + 1, $k) AS gram FROM (
+       |      SELECT doc_id, text, unnest(range(length(text) - ${k - 1})) AS pos
+       |      FROM dup WHERE length(text) >= $k))
+       |  WHERE ('0x' || substr(md5(gram), 1, 6))::BIGINT % $stride = 0),
+       |r AS MATERIALIZED (
+       |  SELECT doc_id, pos, gram,
+       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |  FROM anch),
+       |pr AS (SELECT c.gram, c.doc_id AS a_id, c.pos AS a_pos,
+       |         w.doc_id AS b_id, w.pos AS b_pos
+       |       FROM r c JOIN r w ON w.gram = c.gram
+       |       WHERE c.rn = 1 AND w.rn BETWEEN 2 AND $cap),
+       |px AS (SELECT pr.*, da.text AS atext, db.text AS btext
+       |       FROM pr JOIN dup da ON da.doc_id = pr.a_id
+       |               JOIN dup db ON db.doc_id = pr.b_id),
+       |sp AS (SELECT b_id AS doc_id,
+       |         b_pos - len(list_filter(range(1, ${maxExt + 1}), e ->
+       |           e <= least(a_pos, b_pos) AND
+       |           substr(atext, CAST(a_pos - e + 1 AS INT), CAST(e AS INT))
+       |             = substr(btext, CAST(b_pos - e + 1 AS INT), CAST(e AS INT)))) AS s0,
+       |         b_pos + $k + len(list_filter(range(1, ${maxExt + 1}), e ->
+       |           e <= least(length(atext) - a_pos - $k,
+       |                      length(btext) - b_pos - $k) AND
+       |           substr(atext, CAST(a_pos + $k + 1 AS INT), CAST(e AS INT))
+       |             = substr(btext, CAST(b_pos + $k + 1 AS INT), CAST(e AS INT)))) AS e0
+       |       FROM px),
+       |fl AS (SELECT doc_id, s0, e0,
+       |         CASE WHEN max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |           OR s0 > max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           THEN 1 ELSE 0 END AS nw
+       |       FROM sp),
+       |isl AS (SELECT doc_id, s0, e0,
+       |         sum(nw) OVER (PARTITION BY doc_id ORDER BY s0, e0
+       |           ROWS UNBOUNDED PRECEDING) AS island FROM fl),
+       |mi AS (SELECT doc_id, island, min(s0) AS ss, max(e0) AS ee
+       |       FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  private def substrSpansOracleSql: String =
+    s"""WITH ${substrChainSql(30, 4, 300, 8)}
+       |SELECT doc_id, CAST(ss AS INT) AS span_start,
+       |       CAST(ee - ss AS INT) AS span_len
+       |FROM mi ORDER BY doc_id, span_start""".stripMargin
+
+  /** Scrub form ([[graft.pipeline.Dedup.exactSubstrScrub]]): islands cut
+    * out of every doc, all docs reported. */
+  private def p81(s: SparkSession, d: String): DataFrame =
+    Dedup.exactSubstrScrub(dupCorpus(s, d), "doc_id", "text",
+        k = 30, stride = 4, maxExt = 300, bucketCap = 8)
+      .orderBy("doc_id")
+
+  private def substrScrubOracleSql: String =
+    s"""WITH ${substrChainSql(30, 4, 300, 8)},
+       |seg AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(ee) OVER (PARTITION BY doc_id ORDER BY ss), 0) AS gs,
+       |    ss AS ge
+       |  FROM mi
+       |  UNION ALL
+       |  SELECT m.doc_id, max(m.ee) AS gs, length(any_value(d.text)) AS ge
+       |  FROM mi m JOIN dup d USING (doc_id) GROUP BY m.doc_id),
+       |cl AS (SELECT seg.doc_id,
+       |         string_agg(substr(d.text, CAST(gs + 1 AS INT),
+       |           CAST(ge - gs AS INT)), '' ORDER BY gs) AS clean
+       |       FROM seg JOIN dup d ON d.doc_id = seg.doc_id
+       |       GROUP BY seg.doc_id),
+       |st AS (SELECT doc_id, count(*) AS n_spans, sum(ee - ss) AS dup_chars
+       |       FROM mi GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(st.n_spans, 0) AS INT) AS n_spans,
+       |  CAST(coalesce(st.dup_chars, 0) AS INT) AS dup_chars,
+       |  md5(coalesce(cl.clean, d.text)) AS clean_hash
+       |FROM dup d LEFT JOIN st USING (doc_id) LEFT JOIN cl USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** PII corpus: deterministic e-mail / phone / IPv4 tokens appended to a
     * subset of docs, so the scrub has known positives in both engines. */
   private def piiCorpus(s: SparkSession, d: String): DataFrame =
@@ -2573,6 +2686,8 @@ object CatalogPipeline {
               |    ' '), '')) AS clean_hash
               |FROM flat JOIN freq USING (span_hash)
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    Q("p79_substr_dedup", p79, Some(substrSpansOracleSql)),
+    Q("p81_substr_scrub", p81, Some(substrScrubOracleSql)),
     Q("p19_pii_scrub", p19,
       Some(s"""WITH corpus AS ($piiCorpusSql)
               |SELECT doc_id,

@@ -560,6 +560,151 @@ object Dedup {
           .as("clean_hash"))
   }
 
+  /** Exact duplicated-substring detection at ARBITRARY character offsets
+    * — the operator [[spanScrub]]'s fixed word spans approximate. The
+    * published standard is the suffix-array ExactSubstr dedup of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"); a distributed suffix array is out of scope, so this is the
+    * bounded-shuffle anchor-and-extend approximation with an explicit
+    * contract:
+    *
+    *   - ANCHORS: every k-code-point gram whose portable hash
+    *     (md5 hex prefix) ≡ 0 mod `stride` is an anchor. The anchor
+    *     choice depends only on CONTENT, so two copies of a duplicated
+    *     substring anchor at the same content-relative positions: any
+    *     duplicated run of ≥ k + stride·16 code points contains a shared
+    *     anchor with probability ≈ 1 − (1−1/stride)^16 per 16-gram
+    *     window (misses shrink geometrically; stride=1 is exact for runs
+    *     ≥ k).
+    *   - KEEP-FIRST per anchor gram: occurrence 1 in (doc_id, pos) order
+    *     is canonical; occurrences 2..`bucketCap` become witnesses (a
+    *     gram seen in > bucketCap places contributes bucketCap−1
+    *     witnesses — heavier truncation only for pathologically common
+    *     grams, the documented occupancy bound that keeps bucket work
+    *     linear).
+    *   - EXTEND-AND-VERIFY: each witness extends against its canonical,
+    *     greedy both directions, capped at `maxExt` code points per side
+    *     (longer duplicated runs are still fully covered — their interior
+    *     anchors extend too and the spans union).
+    *   - Overlapping witness spans per doc merge into maximal islands.
+    *
+    * Returns one row per island: (doc_id, span_start, span_len), offsets
+    * in code points, 0-based. Canonical (first-in-corpus) occurrences are
+    * never reported — they are what dedup keeps.
+    *
+    * Scale shape: gram explosion is map-side and the anchor filter runs
+    * BEFORE any exchange, so only ~1/stride of positions shuffle (k-char
+    * key + two ints); the bucket cap is a rank-limit window (partial
+    * WindowGroupLimit below the exchange); witness↔canonical pairing is
+    * a self-join on the anchor relation bounded by bucketCap; texts ship
+    * only to PAIR rows (bounded by duplicated-anchor volume, not corpus
+    * volume). Nothing is all-pairs, nothing is corpus-broadcast. */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, stride: Int, maxExt: Int,
+                       bucketCap: Int): DataFrame = {
+    require(k >= 4, s"k=$k")
+    require(stride >= 1, s"stride=$stride")
+    require(maxExt >= 0, s"maxExt=$maxExt")
+    require(bucketCap >= 2, s"bucketCap=$bucketCap")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // read three times (gram stream + both extension sides): the
+    // operator's working set, freed with the caller's caches
+    val d = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .persist()
+    val anchors = d.where(length(col("text")) >= k)
+      .repartition(par)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), length(col("text")) - k),
+        p => struct(p.cast("int").as("pos"),
+          col("text").substr(p + 1, lit(k)).as("gram")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      .where(conv(substring(md5(col("gram")), 1, 6), 16, 10).cast("long")
+        % stride === 0)
+    val w = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    val ranked = anchors.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= bucketCap)
+    val canon = ranked.where(col("rn") === 1)
+      .select(col("gram"), col("doc_id").as("a_id"), col("pos").as("a_pos"))
+    val wit = ranked.where(col("rn") > 1)
+      .select(col("gram"), col("doc_id").as("b_id"), col("pos").as("b_pos"))
+    // row-local greedy extension in CODE POINTS (matching Spark
+    // length/substr and DuckDB length/substr semantics — Java charAt
+    // would count UTF-16 units and diverge beyond the BMP)
+    val ext = udf((aText: String, aPos: Int, bText: String, bPos: Int) => {
+      val ac = aText.codePoints().toArray
+      val bc = bText.codePoints().toArray
+      var el = 0
+      while (el < maxExt && aPos - el - 1 >= 0 && bPos - el - 1 >= 0 &&
+        ac(aPos - el - 1) == bc(bPos - el - 1)) el += 1
+      var er = 0
+      while (er < maxExt && aPos + k + er < ac.length &&
+        bPos + k + er < bc.length &&
+        ac(aPos + k + er) == bc(bPos + k + er)) er += 1
+      (el, er)
+    })
+    val spans = wit.join(canon, "gram")
+      .join(d.select(col("doc_id").as("a_id"), col("text").as("atext")), "a_id")
+      .join(d.select(col("doc_id").as("b_id"), col("text").as("btext")), "b_id")
+      .withColumn("e", ext(col("atext"), col("a_pos"),
+        col("btext"), col("b_pos")))
+      .select(col("b_id").as("doc_id"),
+        (col("b_pos") - col("e._1")).as("start"),
+        (col("b_pos") + lit(k) + col("e._2")).as("endp"))
+    // maximal-island merge: a span starts a new island iff it begins
+    // strictly after every earlier span's end (touching spans are one
+    // contiguous duplicated region). Equal-start ties are order-immune:
+    // the later row's start can never exceed the earlier's end (≥ start+k)
+    val iw = Window.partitionBy("doc_id").orderBy("start", "endp")
+    spans
+      .withColumn("prev_max",
+        max("endp").over(iw.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nw",
+        when(col("prev_max").isNull || col("start") > col("prev_max"), 1)
+          .otherwise(0))
+      .withColumn("island", sum("nw").over(iw))
+      .groupBy("doc_id", "island")
+      .agg(min("start").as("span_start"), max("endp").as("span_end"))
+      .select(col("doc_id"), col("span_start").cast("int").as("span_start"),
+        (col("span_end") - col("span_start")).cast("int").as("span_len"))
+  }
+
+  /** [[exactSubstrSpans]] applied: remove every reported island from its
+    * document. Emits ALL documents: (doc_id, n_spans, dup_chars,
+    * clean_hash) with clean_hash = md5 of the text with islands cut out
+    * (the original text's md5 when nothing matched). */
+  def exactSubstrScrub(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, stride: Int, maxExt: Int,
+                       bucketCap: Int): DataFrame = {
+    val islands = exactSubstrSpans(df, idCol, textCol, k, stride, maxExt,
+        bucketCap)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_len"))))
+        .as("cuts"))
+    val cut = udf((text: String, cuts: Seq[org.apache.spark.sql.Row]) => {
+      val cps = text.codePoints().toArray
+      val keep = Array.fill(cps.length)(true)
+      cuts.foreach { r =>
+        val s = r.getInt(0); val e = math.min(s + r.getInt(1), cps.length)
+        var i = math.max(s, 0)
+        while (i < e) { keep(i) = false; i += 1 }
+      }
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < cps.length) { if (keep(i)) sb.appendCodePoint(cps(i)); i += 1 }
+      sb.toString
+    })
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(size(col("cuts")), lit(0)).as("n_spans"),
+        coalesce(aggregate(col("cuts"), lit(0),
+          (acc, c) => acc + c.getField("span_len")), lit(0)).as("dup_chars"),
+        md5(cut(col("text"),
+          coalesce(col("cuts"),
+            array().cast("array<struct<span_start:int,span_len:int>>"))))
+          .as("clean_hash"))
+  }
+
   /** Benchmark-contamination screen (the n-gram-overlap decontamination
     * rule of GPT-3/PaLM-style training pipelines): for every training
     * document, the fraction of its distinct word n-grams that also occur

@@ -60,6 +60,81 @@ class CurationScrubSpec extends AnyFunSuite {
     assert(got(2L) === ((2, 0))) // exactly two full spans, no ghost third
   }
 
+  test("exactSubstrSpans catches an unaligned repeat that spanScrub provably misses") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog until winter comes"
+    // copy starts MID-WORD (char 6 of a) behind TWO junk words, so no
+    // fixed-width word span of the copy aligns with any span of a
+    val b = "zz yy " + a.substring(6)
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+
+    // p18's rule sees nothing: every word span differs
+    val p18 = Dedup.spanScrub(df, "id", "text", spanWords = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(p18.values.forall(_ == 0), s"spanScrub should miss: $p18")
+
+    // char-level anchors see the whole copied region, and ONLY in the
+    // later doc (keep-first: doc 1 is canonical)
+    val got = Dedup.exactSubstrSpans(df, "id", "text",
+        k = 8, stride = 1, maxExt = 100, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.forall(_._1 == 2L), s"canonical doc must have no spans: ${got.toSeq}")
+    // one island covering exactly the copy: b[6..) (left extension stops:
+    // b[5]=' ' vs a[5]='u')
+    assert(got.toSeq == Seq((2L, 6, b.length - 6)), got.toSeq)
+  }
+
+  test("exactSubstrSpans: intra-document repeat at arbitrary offset, first kept") {
+    import spark.implicits._
+    val t = "abcdefghijklmnop qq abcdefghijklmnop"
+    val df = Seq((1L, t)).toDF("id", "text")
+    val got = Dedup.exactSubstrSpans(df, "id", "text",
+        k = 8, stride = 1, maxExt = 100, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // second copy spans chars [20, 36); char 19 is ' ' both before pos 20
+    // and... before pos 0 nothing — left extension compares t[19]=' ' with
+    // t[-1] → stops at the boundary; but t[19]=' ' vs t[...]: the witness
+    // at pos 20 extends left while chars match: t[19]=' ' vs canonical
+    // t[-1] (out of range) → extL=0
+    assert(got == Seq((1L, 20, 16)), got)
+  }
+
+  test("exactSubstrScrub removes islands; untouched docs hash to their original text") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog until winter comes"
+    val b = "zz yy " + a.substring(6)
+    val c = "completely original content with nothing shared at all here"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val got = Dedup.exactSubstrScrub(df, "id", "text",
+        k = 8, stride = 1, maxExt = 100, bucketCap = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(1L) == ((0, 0, md5Hex(a))))
+    assert(got(2L) == ((1, b.length - 6, md5Hex("zz yy "))))
+    assert(got(3L) == ((0, 0, md5Hex(c))))
+  }
+
+  test("exactSubstrSpans: sparse anchors (stride>1) stay inside the true duplicated region") {
+    import spark.implicits._
+    val shared = "A shared paragraph that appears verbatim in both documents with enough length to anchor"
+    val a = "first document intro. " + shared + " closing remarks follow."
+    val b = "second doc has other words. " + shared + " and then diverges completely."
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val got = Dedup.exactSubstrSpans(df, "id", "text",
+        k = 12, stride = 3, maxExt = 20, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got.nonEmpty, "a ~90-char shared run at stride 3 must anchor")
+    val lo = b.indexOf(shared)
+    val hi = lo + shared.length
+    got.foreach { case (id, s, l) =>
+      assert(id == 2L, "keep-first: doc 1 is canonical")
+      // spans may under-cover with capped extension but never spill
+      // beyond the true duplicated region plus its coincidentally-equal
+      // border chars (". " before: 2; " " after: 1)
+      assert(s >= lo - 2 && s + l <= hi + 1, s"span [$s, ${s + l}) outside [$lo, $hi)")
+    }
+  }
+
   test("repetitionSignals: hand-computed Gopher fractions") {
     import spark.implicits._
     // doc 1: "ab cd ab cd ef" — words chars = 10
