@@ -796,7 +796,9 @@ object Dedup {
           lit(0L)))
       .select("pid", "off")
     // persist: both pair sides read the ranked relation (tiny: id, key,
-    // rank) — without it the range partition + local sort re-runs twice
+    // rank) — without it the range partition + local sort re-runs twice.
+    // Backs the lazily-returned pairs → cannot unpersist here; the
+    // operator's working set, freed with the caller's caches
     val ranked = local.join(broadcast(offsets), Seq("pid"))
       .select(col("id"), col("key"), (col("off") + col("lrn")).as("rn"))
       .persist()

@@ -479,7 +479,9 @@ object TextAnalysis {
     // counts, AND the final bucket join — one materialization instead of
     // three executions of the LM-scoring DAG at corpus scale (at bench
     // scale exchange reuse already dedups most of it; at 100 TB the
-    // guarantee matters)
+    // guarantee matters). It backs the lazily-returned result, so it
+    // cannot be unpersisted here — the operator's working set, freed
+    // with the caller's caches (the Bpe.tokenizedVocab convention)
     val scored = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
       .join(bigramPerplexity(df, idCol, textCol, topK, alpha), Seq("doc_id"))
       .persist()
@@ -534,7 +536,9 @@ object TextAnalysis {
       .orderBy(col("c").desc, col("w")).limit(vocabK)
       .select("w")
     // persist: the in-vocab projection feeds the word counts and both
-    // pair sides (≤ vocabK distinct words per doc — bounded rows)
+    // pair sides (≤ vocabK distinct words per doc — bounded rows). Backs
+    // the lazily-returned result → stays cached by the working-set
+    // convention; callers drop it with their caches
     val inVocab = docWords.join(broadcast(vocab), Seq("w")).persist()
     val nDocs = df.select(col(idCol)).count()
     val wordDf = inVocab.groupBy("w").agg(count(lit(1)).as("cw"))

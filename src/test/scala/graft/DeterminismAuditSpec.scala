@@ -66,7 +66,17 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // grouping-set expansion and conditional-count pivot
     "h10_cube", "h11_pivot",
     // ordered EWMA fold; integer-cents frame sums
-    "i7_ewma", "h12_moving_avg")
+    "i7_ewma", "h12_moving_avg",
+    // round 10: rendezvous argmax, the per-radius aggregate over KMV
+    // sketches, and the Hilbert integer fold — invariant by construction
+    // but cheap to guard (the previous round listed them as covered
+    // without actually auditing them)
+    "p68_hrw_shard", "p77_effective_diameter", "g16_hilbert_layout",
+    // round 10 additions: per-doc BPE id reassembly (position-sorted
+    // collect_list), BPE-count packing windows, anchor-rank keep-first +
+    // island merge in the substring dedup and its scrub
+    "p78_bpe_tokenize", "p80_bpe_pack", "p79_substr_dedup",
+    "p81_substr_scrub")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()
