@@ -621,8 +621,13 @@ object Dedup {
       .where(conv(substring(md5(col("gram")), 1, 6), 16, 10).cast("long")
         % stride === 0)
     val w = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    // persist: the canonical and witness sides both read this relation —
+    // without it the gram explosion (the dominant O(n·k) map cost) and
+    // the anchor shuffle run twice. Backs the lazily-returned result →
+    // the operator's working set, freed with the caller's caches
     val ranked = anchors.withColumn("rn", row_number().over(w))
       .where(col("rn") <= bucketCap)
+      .persist()
     val canon = ranked.where(col("rn") === 1)
       .select(col("gram"), col("doc_id").as("a_id"), col("pos").as("a_pos"))
     val wit = ranked.where(col("rn") > 1)
