@@ -1117,7 +1117,10 @@ object CatalogPipeline {
        |    SELECT doc_id, pos, substr(text, pos + 1, $k) AS gram FROM (
        |      SELECT doc_id, text, unnest(range(length(text) - ${k - 1})) AS pos
        |      FROM dup WHERE length(text) >= $k))
-       |  WHERE ('0x' || substr(md5(gram), 1, 6))::BIGINT % $stride = 0),
+       |  WHERE (list_reduce(list_prepend(0::BIGINT,
+       |           list_transform(range(length(gram)),
+       |             c -> ascii(substr(gram, CAST(c + 1 AS INT), 1))::BIGINT)),
+       |           (acc, x) -> (acc * 31 + x) % 1000000007)) % $stride = 0),
        |r AS MATERIALIZED (
        |  SELECT doc_id, pos, gram,
        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
@@ -1189,6 +1192,41 @@ object CatalogPipeline {
        |  md5(coalesce(cl.clean, d.text)) AS clean_hash
        |FROM dup d LEFT JOIN st USING (doc_id) LEFT JOIN cl USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** Content-defined chunking ([[graft.pipeline.TextAnalysis.cdcChunks]])
+    * over the dup corpus: 16-gram rolling-hash boundaries at stride 32 —
+    * the insertion-robust counterpart of p26's fixed windows (the
+    * planted shifted copies re-align to the same chunk hashes, which a
+    * fixed-width chunker provably cannot). */
+  private def p82(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.cdcChunks(dupCorpus(s, d), "doc_id", "text",
+        k = 16, stride = 32)
+      .orderBy("doc_id", "chunk_idx")
+
+  private def cdcOracleSql: String =
+    s"""WITH dup AS MATERIALIZED ($dupCorpusSql),
+       |cuts AS MATERIALIZED (SELECT doc_id, text,
+       |  list_filter(list_filter(range(length(text) - 15), p ->
+       |    (list_reduce(list_prepend(0::BIGINT,
+       |       list_transform(range(16),
+       |         c -> ascii(substr(text, CAST(p + c + 1 AS INT), 1))::BIGINT)),
+       |       (acc, x) -> (acc * 31 + x) % 1000000007)) % 32 = 0),
+       |    p -> p > 0) AS cuts
+       |  FROM dup WHERE length(text) > 0),
+       |b AS (SELECT doc_id, text,
+       |        list_concat(list_concat([0::BIGINT], cuts),
+       |          [length(text)::BIGINT]) AS bounds
+       |      FROM cuts),
+       |ch AS (SELECT doc_id, text, bounds,
+       |         unnest(range(len(bounds) - 1)) AS i FROM b)
+       |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       |  CAST(bounds[CAST(i + 1 AS INT)] AS INT) AS chunk_start,
+       |  CAST(bounds[CAST(i + 2 AS INT)] - bounds[CAST(i + 1 AS INT)] AS INT)
+       |    AS chunk_len,
+       |  md5(substr(text, CAST(bounds[CAST(i + 1 AS INT)] + 1 AS INT),
+       |    CAST(bounds[CAST(i + 2 AS INT)] - bounds[CAST(i + 1 AS INT)] AS INT)))
+       |    AS chunk_hash
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** PII corpus: deterministic e-mail / phone / IPv4 tokens appended to a
     * subset of docs, so the scrub has known positives in both engines. */
@@ -2688,6 +2726,7 @@ object CatalogPipeline {
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     Q("p79_substr_dedup", p79, Some(substrSpansOracleSql)),
     Q("p81_substr_scrub", p81, Some(substrScrubOracleSql)),
+    Q("p82_cdc_chunks", p82, Some(cdcOracleSql)),
     Q("p19_pii_scrub", p19,
       Some(s"""WITH corpus AS ($piiCorpusSql)
               |SELECT doc_id,

@@ -568,14 +568,15 @@ object Dedup {
     * bounded-shuffle anchor-and-extend approximation with an explicit
     * contract:
     *
-    *   - ANCHORS: every k-code-point gram whose portable hash
-    *     (md5 hex prefix) ≡ 0 mod `stride` is an anchor. The anchor
-    *     choice depends only on CONTENT, so two copies of a duplicated
-    *     substring anchor at the same content-relative positions: any
-    *     duplicated run of ≥ k + stride·16 code points contains a shared
-    *     anchor with probability ≈ 1 − (1−1/stride)^16 per 16-gram
-    *     window (misses shrink geometrically; stride=1 is exact for runs
-    *     ≥ k).
+    *   - ANCHORS: every k-code-point gram whose poly31 rolling hash
+    *     ([[graft.functions.RollingAnchors]], a native O(n) codegen
+    *     expression — no gram string is materialized off-anchor) is
+    *     ≡ 0 mod `stride`. The anchor choice depends only on CONTENT,
+    *     so two copies of a duplicated substring anchor at the same
+    *     content-relative positions: any duplicated run of ≥ k +
+    *     stride·16 code points contains a shared anchor with probability
+    *     ≈ 1 − (1−1/stride)^16 per 16-gram window (misses shrink
+    *     geometrically; stride=1 is exact for runs ≥ k).
     *   - KEEP-FIRST per anchor gram: occurrence 1 in (doc_id, pos) order
     *     is canonical; occurrences 2..`bucketCap` become witnesses (a
     *     gram seen in > bucketCap places contributes bucketCap−1
@@ -607,19 +608,21 @@ object Dedup {
     require(maxExt >= 0, s"maxExt=$maxExt")
     require(bucketCap >= 2, s"bucketCap=$bucketCap")
     val par = df.sparkSession.sparkContext.defaultParallelism
+    graft.functions.RollingAnchors.register(df.sparkSession)
     // read three times (gram stream + both extension sides): the
     // operator's working set, freed with the caller's caches
     val d = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .persist()
+    // O(n) rolling-hash anchor selection, then gram strings extracted
+    // only AT anchors (~n/stride of positions) — the naive per-position
+    // substr+hash spelling allocates O(n·k) bytes per document
     val anchors = d.where(length(col("text")) >= k)
       .repartition(par)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), length(col("text")) - k),
-        p => struct(p.cast("int").as("pos"),
-          col("text").substr(p + 1, lit(k)).as("gram")))).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
-      .where(conv(substring(md5(col("gram")), 1, 6), 16, 10).cast("long")
-        % stride === 0)
+      .select(col("doc_id"), col("text"),
+        explode(call_function("rolling_anchors", col("text"), lit(k),
+          lit(stride))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos + 1, $k)").as("gram"))
     val w = Window.partitionBy("gram").orderBy("doc_id", "pos")
     // persist: the canonical and witness sides both read this relation —
     // without it the gram explosion (the dominant O(n·k) map cost) and

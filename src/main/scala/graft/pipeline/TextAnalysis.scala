@@ -453,6 +453,47 @@ object TextAnalysis {
         col("col.chunk_hash").as("chunk_hash"))
   }
 
+  /** Content-defined chunking (the storage-dedup CDC scheme applied to
+    * corpus text): chunk boundaries fall where the k-code-point rolling
+    * hash ([[graft.functions.RollingAnchors]], the poly31 family) is
+    * ≡ 0 mod `stride` — boundaries depend only on LOCAL content, so an
+    * insertion near the front shifts only the chunk it lands in while
+    * every later boundary re-aligns. [[chunkWithOverlap]]'s fixed
+    * windows shift ALL downstream chunk hashes on a one-word insertion;
+    * CDC is the standard fix (expected chunk length ≈ `stride` code
+    * points). Emits (doc_id, chunk_idx, chunk_start, chunk_len,
+    * chunk_hash) with offsets in code points; chunk-level dedup is a
+    * groupBy on chunk_hash downstream.
+    *
+    * Scale shape: entirely map-only — one native O(n) rolling-hash pass
+    * per document, builtin array ops for bounds, one substring per
+    * emitted chunk. Zero shuffles at any corpus size. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                k: Int, stride: Int): DataFrame = {
+    require(k >= 1 && stride >= 1, s"k=$k stride=$stride")
+    graft.functions.RollingAnchors.register(df.sparkSession)
+    val cuts = filter(
+      call_function("rolling_anchors", col("text"), lit(k), lit(stride)),
+      p => p > 0)
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .where(length(col("text")) > 0)
+      .withColumn("bounds",
+        concat(array(lit(0)), cuts, array(length(col("text")))))
+      .withColumn("cs", transform(sequence(lit(0), size(col("bounds")) - 2),
+        i => struct(
+          element_at(col("bounds"), i + 1).as("cstart"),
+          (element_at(col("bounds"), i + 2)
+            - element_at(col("bounds"), i + 1)).as("clen"))))
+      .select(col("doc_id"), col("text"), posexplode(col("cs")))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col.cstart").as("chunk_start"), col("col.clen").as("chunk_len"),
+        col("text"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_len"),
+        md5(expr("substring(text, chunk_start + 1, chunk_len)"))
+          .as("chunk_hash"))
+  }
+
   /** CCNet-style perplexity bucketing: score every document with the
     * corpus-trained bigram LM ([[bigramPerplexity]]), then split each
     * language into head / middle / tail by per-language perplexity

@@ -76,7 +76,9 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // collect_list), BPE-count packing windows, anchor-rank keep-first +
     // island merge in the substring dedup and its scrub
     "p78_bpe_tokenize", "p80_bpe_pack", "p79_substr_dedup",
-    "p81_substr_scrub")
+    "p81_substr_scrub",
+    // map-only rolling-hash boundaries — invariant by construction
+    "p82_cdc_chunks")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()
