@@ -1040,6 +1040,63 @@ object CatalogPipeline {
     TextAnalysis.qualityFeatures(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** ROC-AUC ([[graft.pipeline.Eval.rocAuc]]) of the p10 quality score
+    * as a predictor of lang = 'en' — the threshold-free measurement of a
+    * quality-filter signal, computed over the score histogram (the
+    * corpus never sorts; the rounded-6 score bounds distinct values). */
+  private def p83(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score"), col("lang"))
+    graft.pipeline.Eval.rocAuc(scored, "score", col("lang") === "en")
+  }
+
+  private val rocAucOracleSql =
+    s"""WITH $qualityFeatureCtes,
+       |sc AS (SELECT r.doc_id, $qualityScoreSql AS s,
+       |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |       FROM r JOIN documents d ON d.doc_id = r.doc_id),
+       |h AS (SELECT s, sum(y) AS pos, sum(1 - y) AS neg FROM sc GROUP BY s),
+       |hb AS (SELECT s, pos, neg,
+       |         coalesce(sum(neg) OVER (ORDER BY s
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS neg_below
+       |       FROM h)
+       |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       |  CAST(sum(neg) AS BIGINT) AS n_neg,
+       |  round(CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+       |    THEN sum(pos * (2 * neg_below + neg))::DOUBLE
+       |         / (2.0 * sum(pos) * sum(neg))
+       |    ELSE 0.5 END, 6) AS auc
+       |FROM hb""".stripMargin
+
+  /** Calibration bins ([[graft.pipeline.Eval.calibrationBins]]) of the
+    * same score/label pair: 10 equal-width bins, per-bin mean score vs
+    * empirical positive rate — the reliability-diagram relation. */
+  private def p84(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score"), col("lang"))
+    graft.pipeline.Eval.calibrationBins(scored, "score",
+        col("lang") === "en", nBins = 10)
+      .orderBy("bin")
+  }
+
+  private val calibrationOracleSql =
+    s"""WITH $qualityFeatureCtes,
+       |sc AS (SELECT r.doc_id, $qualityScoreSql AS s,
+       |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |       FROM r JOIN documents d ON d.doc_id = r.doc_id),
+       |b AS (SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin, s, y FROM sc)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(y) AS BIGINT) AS n_pos,
+       |  round(sum(CAST(s AS DECIMAL(20,6)))::DOUBLE / count(*), 6)
+       |    AS mean_score,
+       |  round(sum(y)::DOUBLE / count(*), 6) AS pos_rate,
+       |  round(abs(sum(CAST(s AS DECIMAL(20,6)))::DOUBLE / count(*)
+       |    - sum(y)::DOUBLE / count(*)), 6) AS gap
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   private def p11(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.bagFingerprint(col("text")).as("fingerprint"))
@@ -2727,6 +2784,8 @@ object CatalogPipeline {
     Q("p79_substr_dedup", p79, Some(substrSpansOracleSql)),
     Q("p81_substr_scrub", p81, Some(substrScrubOracleSql)),
     Q("p82_cdc_chunks", p82, Some(cdcOracleSql)),
+    Q("p83_roc_auc", p83, Some(rocAucOracleSql)),
+    Q("p84_calibration", p84, Some(calibrationOracleSql)),
     Q("p19_pii_scrub", p19,
       Some(s"""WITH corpus AS ($piiCorpusSql)
               |SELECT doc_id,

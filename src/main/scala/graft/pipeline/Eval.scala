@@ -41,6 +41,64 @@ object Eval {
         .otherwise(0.0), 6).as("ndcg"))
   }
 
+  /** ROC-AUC from a (score, binary label) relation — the Mann–Whitney
+    * rank statistic with average-rank tie handling, computed over the
+    * score HISTOGRAM in exact integer arithmetic:
+    *
+    *   2·P·N·AUC = Σ_s pos_s · (2·neg_below(s) + neg_s)
+    *
+    * (each positive beats every lower-scored negative once and ties
+    * every equal-scored negative half, doubled to stay integral).
+    *
+    * Scale shape: the corpus never sorts — one (score → pos/neg counts)
+    * hash aggregate (map-side combinable, bounded by DISTINCT score
+    * values; callers pass rounded scores, the same contract as the
+    * histogram-cutoff CCNet buckets), one running window over that
+    * bounded histogram, one scalar aggregate. Degenerate inputs (no
+    * positives or no negatives) score the conventional 0.5. */
+  def rocAuc(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(scoreCol).as("s"), label.cast("int").as("y"))
+      .groupBy("s")
+      .agg(sum(col("y")).as("pos"), sum(lit(1) - col("y")).as("neg"))
+    // global window over the bounded histogram relation, not the corpus
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("neg_below", coalesce(sum("neg").over(w), lit(0L)))
+      .agg(sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+        sum(col("pos") * (lit(2) * col("neg_below") + col("neg"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2").cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg")))
+          .otherwise(0.5), 6).as("auc"))
+  }
+
+  /** Calibration (reliability) bins for scores in [0, 1]: `nBins`
+    * equal-width buckets, per bin the count, exact positive count, mean
+    * score, empirical positive rate, and |mean − rate| (the reliability
+    * gap — what a calibration curve plots). Mean scores sum as
+    * DECIMAL(20,6) so the fold is associative and order-free (the h12
+    * integer-cents discipline); a score of exactly 1.0 lands in the top
+    * bin. One hash aggregate, |bins| output rows. */
+  def calibrationBins(df: DataFrame, scoreCol: String, label: Column,
+                      nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins=$nBins")
+    val d = df.select(col(scoreCol).as("s"), label.cast("long").as("y"))
+      .withColumn("bin",
+        least(floor(col("s") * nBins), lit(nBins - 1)).cast("int"))
+    d.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum(col("s").cast("decimal(20,6)")).as("ssum"))
+      // exact decimal SUM → one double cast → one IEEE division: both
+      // engines run the identical op sequence (decimal DIVISION scale
+      // rules differ between engines; decimal-sum-then-double does not)
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("ssum").cast("double") / col("n"), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(abs(col("ssum").cast("double") / col("n")
+          - col("n_pos").cast("double") / col("n")), 6).as("gap"))
+  }
+
   /** Per-class precision/recall/F1 from a (truth, prediction) relation.
     * Classes = the distinct truth ∪ prediction values, so a class the
     * model never predicts (or invents) still gets a row. All ratios are

@@ -78,7 +78,9 @@ class DeterminismAuditSpec extends AnyFunSuite {
     "p78_bpe_tokenize", "p80_bpe_pack", "p79_substr_dedup",
     "p81_substr_scrub",
     // map-only rolling-hash boundaries — invariant by construction
-    "p82_cdc_chunks")
+    "p82_cdc_chunks",
+    // integer rank statistic over the score histogram; decimal-sum bins
+    "p83_roc_auc", "p84_calibration")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()

@@ -44,6 +44,54 @@ class EvalSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("rocAuc: perfect, inverted, tied, and degenerate inputs") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      def auc(rows: Seq[(Double, Boolean)]): (Long, Long, Double) =
+        Eval.rocAuc(rows.toDF("score", "y"), "score", col("y"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+      // perfect separation
+      assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)))
+        == ((2L, 2L, 1.0)))
+      // inverted
+      assert(auc(Seq((0.9, false), (0.8, false), (0.2, true), (0.1, true)))
+        == ((2L, 2L, 0.0)))
+      // ties take average rank: pos at 0.5 ties one neg at 0.5 →
+      // pairs = (0.5pos vs 0.1neg: win) + (0.5 vs 0.5: half) = 1.5/2
+      assert(auc(Seq((0.5, true), (0.5, false), (0.1, false)))
+        == ((1L, 2L, 0.75)))
+      // hand case: P=2, N=2, one concordant + one discordant + two wins
+      // scores: pos 0.8, 0.3; neg 0.6, 0.1 → pairs won: (0.8>0.6),
+      // (0.8>0.1), (0.3>0.1) = 3 of 4 → 0.75
+      assert(auc(Seq((0.8, true), (0.3, true), (0.6, false), (0.1, false)))
+        == ((2L, 2L, 0.75)))
+      // degenerate: single class scores the 0.5 convention
+      assert(auc(Seq((0.9, true), (0.1, true))) == ((2L, 0L, 0.5)))
+    } finally spark.stop()
+  }
+
+  test("calibrationBins: hand-computed bins; score 1.0 lands in the top bin") {
+    val spark = session()
+    import spark.implicits._
+    try {
+      val rows = Seq(
+        (0.05, false), (0.08, true),           // bin 0: n=2, pos=1
+        (0.55, true), (0.52, true), (0.58, false), // bin 5: n=3, pos=2
+        (1.0, true))                           // bin 9 (not a phantom bin 10)
+      val got = Eval.calibrationBins(rows.toDF("score", "y"), "score",
+          col("y"), nBins = 10)
+        .collect()
+        .map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5)))).toMap
+      assert(got.keySet == Set(0, 5, 9))
+      assert(got(0) == ((2L, 1L, 0.065, 0.5, 0.435)))
+      assert(got(5) == ((3L, 2L, r6(0.55), r6(2.0 / 3), r6(2.0 / 3 - 0.55))))
+      assert(got(9) == ((1L, 1L, 1.0, 1.0, 0.0)))
+    } finally spark.stop()
+  }
+
   test("classifierEval: hand confusion matrix incl. degenerate classes") {
     val spark = session()
     import spark.implicits._
