@@ -1609,6 +1609,56 @@ object CatalogPipeline {
     Multimodal.extractFeatures(media).orderBy("doc_id")
   }
 
+  /** Image perceptual dedup ([[graft.pipeline.Multimodal.imageDhash]]):
+    * every doc gets a synthesized PNG, every 10th doc additionally a
+    * byte-identical copy under a new id — dHash over the DECODED pixels,
+    * then exact-hash grouping (canonical = min doc id, the p1 discipline
+    * at image level). The planted copies form real groups; the oracle
+    * replays the hash from the synthesis formula with no codec. */
+  private def p85(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { id =>
+        val base = Multimodal.MediaRow(id, "image/png", Multimodal.synthPngAsset(id))
+        if (id % 10 == 0)
+          Seq(base, Multimodal.MediaRow(id + 5000000L, "image/png",
+            Multimodal.synthPngAsset(id)))
+        else Seq(base)
+      }
+      .toDF()
+    val hashes = Multimodal.imageDhash(media)
+    val groups = hashes.groupBy("dhash")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+    hashes.join(groups, "dhash")
+      .select(col("doc_id"), col("w"), col("h"), col("dhash"),
+        col("canonical_id"), col("group_size"))
+      .orderBy("doc_id")
+  }
+
+  private val imageDhashOracleSql =
+    """WITH ids AS (SELECT doc_id, doc_id AS src_id FROM documents
+      |             UNION ALL
+      |             SELECT doc_id + 5000000, doc_id FROM documents
+      |             WHERE doc_id % 10 = 0),
+      |dims AS (SELECT doc_id, src_id,
+      |           16 + src_id % 8 AS w, 12 + src_id % 5 AS h FROM ids),
+      |hx AS (SELECT doc_id, w, h,
+      |  array_to_string(list_transform(range(8), y ->
+      |    printf('%02x', CAST(list_sum(list_transform(range(8), x ->
+      |      CASE WHEN ((src_id*7 + (((x+1)*w)//9)*13 + ((y*h)//8)*29) % 256)
+      |              > ((src_id*7 + ((x*w)//9)*13 + ((y*h)//8)*29) % 256)
+      |           THEN 1 << x ELSE 0 END)) AS INT))), '') AS dhash
+      |  FROM dims),
+      |g AS (SELECT dhash, min(doc_id) AS canonical_id,
+      |        count(*) AS group_size FROM hx GROUP BY dhash)
+      |SELECT hx.doc_id, CAST(hx.w AS INT) AS w, CAST(hx.h AS INT) AS h,
+      |  hx.dhash, CAST(g.canonical_id AS BIGINT) AS canonical_id,
+      |  CAST(g.group_size AS BIGINT) AS group_size
+      |FROM hx JOIN g USING (dhash)
+      |ORDER BY doc_id""".stripMargin
+
   /** Video frame sampling ([[graft.pipeline.Multimodal.videoFrameFeatures]]):
     * GVID containers (length-prefixed real-PNG frames) decoded
     * per-partition at stride 2 — non-sampled frames are index-skipped,
@@ -2786,6 +2836,7 @@ object CatalogPipeline {
     Q("p82_cdc_chunks", p82, Some(cdcOracleSql)),
     Q("p83_roc_auc", p83, Some(rocAucOracleSql)),
     Q("p84_calibration", p84, Some(calibrationOracleSql)),
+    Q("p85_image_dhash", p85, Some(imageDhashOracleSql)),
     Q("p19_pii_scrub", p19,
       Some(s"""WITH corpus AS ($piiCorpusSql)
               |SELECT doc_id,

@@ -253,6 +253,48 @@ object Multimodal {
 
   // ---- feature extraction ---------------------------------------------------
 
+  case class DhashRow(doc_id: Long, w: Int, h: Int, dhash: String)
+
+  /** Perceptual difference-hash (dHash) of grayscale PNGs — the standard
+    * image near-dup fingerprint: nearest-neighbor downsample to a 9×8
+    * grid, one bit per horizontally-adjacent pair (left < right), 64
+    * bits emitted as 16 hex chars (row-major bytes, bit x of row y =
+    * g[x+1][y] > g[x][y]). Identical images hash identically at any
+    * storage encoding (the hash reads decoded PIXELS); small brightness
+    * or single-pixel edits flip at most the few bits whose sample grid
+    * cells they touch — exact-hash grouping catches re-encodes, Hamming
+    * distance over the hash catches near-dups (the p4 SimHash
+    * machinery applies unchanged).
+    *
+    * Scale shape: mapPartitions decode — payloads never shuffle, only
+    * (doc_id, w, h, 16-char hash) rows leave the task. */
+  def imageDhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          require(r.media_type == "image/png",
+            s"imageDhash expects image/png, got ${r.media_type}")
+          val img = decodePng(r.payload)
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = Array.tabulate(9, 8)((x, y) =>
+            raster.getSample(x * w / 9, y * h / 8, 0))
+          val sb = new StringBuilder
+          var y = 0
+          while (y < 8) {
+            var b = 0
+            var x = 0
+            while (x < 8) { if (g(x + 1)(y) > g(x)(y)) b |= 1 << x; x += 1 }
+            sb.append(f"$b%02x")
+            y += 1
+          }
+          DhashRow(r.doc_id, w, h, sb.toString)
+        }
+      }.toDF()
+  }
+
   /** Per-partition decode + feature extraction: the decoders and any codec
     * state initialize once per partition and stream over the batch; only
     * the small integer feature rows leave the task — payloads never

@@ -80,7 +80,9 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // map-only rolling-hash boundaries — invariant by construction
     "p82_cdc_chunks",
     // integer rank statistic over the score histogram; decimal-sum bins
-    "p83_roc_auc", "p84_calibration")
+    "p83_roc_auc", "p84_calibration",
+    // row-local decode + hash; exact-hash grouping
+    "p85_image_dhash")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()

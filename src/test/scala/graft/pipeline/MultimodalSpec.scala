@@ -86,4 +86,40 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got.getLong(5) == sampled.sum && got.getLong(6) == expectMotion)
     } finally spark.stop()
   }
+
+  test("imageDhash: hand bits, re-encode invariance, and one-pixel locality") {
+    // 18x16 gradient brightening left-to-right: every adjacent pair
+    // rises → all 64 bits set → hash 'ff' x 8
+    val rising = Multimodal.encodePng(18, 16, (x, _) => x * 10)
+    // falling gradient → no bits set
+    val falling = Multimodal.encodePng(18, 16, (x, _) => 200 - x * 10)
+    // one-pixel edit touches one sample cell → at most 2 adjacent bits
+    val dent = Multimodal.encodePng(18, 16,
+      (x, y) => if (x == 6 && y == 4) 0 else x * 10)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .appName("dhash-spec").getOrCreate()
+    try {
+      import spark.implicits._
+      val got = Multimodal.imageDhash(Seq(
+          Multimodal.MediaRow(1, "image/png", rising),
+          Multimodal.MediaRow(2, "image/png", falling),
+          Multimodal.MediaRow(3, "image/png", rising), // identical bytes
+          Multimodal.MediaRow(4, "image/png", dent))
+        .toDF()).collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+        .toMap
+      assert(got(1L) == ((18, 16, "ff" * 8)))
+      assert(got(2L) == ((18, 16, "00" * 8)))
+      // identical pixels → identical hash (dedup-by-hash groups them)
+      assert(got(3L)._3 == got(1L)._3)
+      // locality: hamming(rising, dent) <= 2 and > 0
+      def bits(hx: String) = hx.grouped(2)
+        .map(b => Integer.parseInt(b, 16)).toSeq
+      val ham = bits(got(1L)._3).zip(bits(got(4L)._3))
+        .map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+      assert(ham >= 1 && ham <= 2, s"hamming $ham")
+    } finally spark.stop()
+  }
 }
