@@ -1659,6 +1659,64 @@ object CatalogPipeline {
       |FROM hx JOIN g USING (dhash)
       |ORDER BY doc_id""".stripMargin
 
+  /** Audio perceptual dedup ([[graft.pipeline.Multimodal.audioFingerprint]]):
+    * the p85 design on the time axis — 16-window delta-energy
+    * fingerprints over decoded WAV samples, planted byte-identical
+    * copies, exact-fingerprint grouping; the oracle replays energies
+    * from the synthesis formula with no codec. */
+  private def p86(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { id =>
+        val base = Multimodal.MediaRow(id, "audio/wav", Multimodal.synthWavAsset(id))
+        if (id % 10 == 0)
+          Seq(base, Multimodal.MediaRow(id + 5000000L, "audio/wav",
+            Multimodal.synthWavAsset(id)))
+        else Seq(base)
+      }
+      .toDF()
+    val fps = Multimodal.audioFingerprint(media, nWindows = 16)
+    val groups = fps.groupBy("fingerprint")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+    fps.join(groups, "fingerprint")
+      .select(col("doc_id"), col("n_samples"), col("n_windows"),
+        col("fingerprint"), col("canonical_id"), col("group_size"))
+      .orderBy("doc_id")
+  }
+
+  private val audioFpOracleSql =
+    """WITH ids AS (SELECT doc_id, doc_id AS src_id FROM documents
+      |             UNION ALL
+      |             SELECT doc_id + 5000000, doc_id FROM documents
+      |             WHERE doc_id % 10 = 0),
+      |par AS (SELECT doc_id, src_id,
+      |          CAST(200 + src_id % 100 AS INT) AS n FROM ids),
+      |en AS (SELECT doc_id, n,
+      |  list_transform(range(16), w ->
+      |    list_sum(list_transform(
+      |      range(w * (n // 16),
+      |            CASE WHEN w = 15 THEN n ELSE (w + 1) * (n // 16) END),
+      |      i -> ((src_id*31 + i*i*7) % 20001 - 10000)
+      |           * ((src_id*31 + i*i*7) % 20001 - 10000)))) AS e
+      |  FROM par),
+      |fp AS (SELECT doc_id, n,
+      |  array_to_string(list_transform(range(2), b ->
+      |    printf('%02x', CAST(list_sum(list_transform(range(8), j ->
+      |      CASE WHEN b*8 + j < 15
+      |             AND e[CAST(b*8 + j + 2 AS INT)] > e[CAST(b*8 + j + 1 AS INT)]
+      |           THEN 1 << j ELSE 0 END)) AS INT))), '') AS fingerprint
+      |  FROM en),
+      |g AS (SELECT fingerprint, min(doc_id) AS canonical_id,
+      |        count(*) AS group_size FROM fp GROUP BY fingerprint)
+      |SELECT fp.doc_id, CAST(fp.n AS INT) AS n_samples,
+      |  CAST(16 AS INT) AS n_windows, fp.fingerprint,
+      |  CAST(g.canonical_id AS BIGINT) AS canonical_id,
+      |  CAST(g.group_size AS BIGINT) AS group_size
+      |FROM fp JOIN g USING (fingerprint)
+      |ORDER BY doc_id""".stripMargin
+
   /** Video frame sampling ([[graft.pipeline.Multimodal.videoFrameFeatures]]):
     * GVID containers (length-prefixed real-PNG frames) decoded
     * per-partition at stride 2 — non-sampled frames are index-skipped,
@@ -2837,6 +2895,7 @@ object CatalogPipeline {
     Q("p83_roc_auc", p83, Some(rocAucOracleSql)),
     Q("p84_calibration", p84, Some(calibrationOracleSql)),
     Q("p85_image_dhash", p85, Some(imageDhashOracleSql)),
+    Q("p86_audio_fingerprint", p86, Some(audioFpOracleSql)),
     Q("p19_pii_scrub", p19,
       Some(s"""WITH corpus AS ($piiCorpusSql)
               |SELECT doc_id,

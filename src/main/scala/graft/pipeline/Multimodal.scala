@@ -295,6 +295,64 @@ object Multimodal {
       }.toDF()
   }
 
+  case class AudioFpRow(doc_id: Long, n_samples: Int, n_windows: Int,
+                        fingerprint: String)
+
+  /** Delta-energy audio fingerprint — [[imageDhash]]'s idea on the time
+    * axis (the Shazam/chromaprint family reduced to its deterministic
+    * core): the decoded samples split into `nWindows` equal windows
+    * (remainder to the last), per-window energy Σs², one bit per
+    * adjacent pair (energy rises), emitted as hex (nWindows−1 bits,
+    * zero-padded to whole bytes, little bit first — bit j of byte b =
+    * pair 8b+j). Byte-identical re-encodes fingerprint identically; a
+    * localized edit flips only the bits whose windows it touches.
+    * Energies are exact integer sums, so the fingerprint is
+    * engine/partitioning-invariant and the oracle replays it from the
+    * synthesis formula.
+    *
+    * Scale shape: mapPartitions decode, payloads never shuffle. */
+  def audioFingerprint(media: DataFrame, nWindows: Int): DataFrame = {
+    require(nWindows >= 2, s"nWindows=$nWindows")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          require(r.media_type == "audio/wav",
+            s"audioFingerprint expects audio/wav, got ${r.media_type}")
+          val (_, s) = decodeWav(r.payload)
+          val n = s.length
+          val base = n / nWindows
+          require(base >= 1, s"need >= $nWindows samples, got $n")
+          val e = new Array[Long](nWindows)
+          var w = 0
+          while (w < nWindows) {
+            val lo = w * base
+            val hi = if (w == nWindows - 1) n else (w + 1) * base
+            var acc = 0L
+            var i = lo
+            while (i < hi) { acc += s(i).toLong * s(i); i += 1 }
+            e(w) = acc
+            w += 1
+          }
+          val nBits = nWindows - 1
+          val sb = new StringBuilder
+          var b = 0
+          while (b * 8 < nBits) {
+            var by = 0
+            var j = 0
+            while (j < 8 && b * 8 + j < nBits) {
+              if (e(b * 8 + j + 1) > e(b * 8 + j)) by |= 1 << j
+              j += 1
+            }
+            sb.append(f"$by%02x")
+            b += 1
+          }
+          AudioFpRow(r.doc_id, n, nWindows, sb.toString)
+        }
+      }.toDF()
+  }
+
   /** Per-partition decode + feature extraction: the decoders and any codec
     * state initialize once per partition and stream over the batch; only
     * the small integer feature rows leave the task — payloads never

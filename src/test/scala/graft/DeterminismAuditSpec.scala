@@ -82,7 +82,7 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // integer rank statistic over the score histogram; decimal-sum bins
     "p83_roc_auc", "p84_calibration",
     // row-local decode + hash; exact-hash grouping
-    "p85_image_dhash")
+    "p85_image_dhash", "p86_audio_fingerprint")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()

@@ -122,4 +122,29 @@ class MultimodalSpec extends AnyFunSuite {
       assert(ham >= 1 && ham <= 2, s"hamming $ham")
     } finally spark.stop()
   }
+
+  test("audioFingerprint: hand bits on rising/falling energy; identical WAVs group") {
+    // 64 samples, 4 windows of 16. Amplitudes rise per window → energies
+    // rise → all 3 bits set (07); reversed → 00.
+    val rising = Multimodal.encodeWav(
+      Array.tabulate(64)(i => (i / 16 + 1) * 100), 8000)
+    val falling = Multimodal.encodeWav(
+      Array.tabulate(64)(i => (4 - i / 16) * 100), 8000)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .appName("audiofp-spec").getOrCreate()
+    try {
+      import spark.implicits._
+      val got = Multimodal.audioFingerprint(Seq(
+          Multimodal.MediaRow(1, "audio/wav", rising),
+          Multimodal.MediaRow(2, "audio/wav", falling),
+          Multimodal.MediaRow(3, "audio/wav", rising))
+        .toDF(), nWindows = 4).collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getString(3))).toMap
+      assert(got(1L) == ((64, "07")))
+      assert(got(2L) == ((64, "00")))
+      assert(got(3L)._2 == got(1L)._2, "identical samples must group")
+    } finally spark.stop()
+  }
 }
