@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
@@ -1628,12 +1629,13 @@ object CatalogPipeline {
         else Seq(base)
       }
       .toDF()
-    val hashes = Multimodal.imageDhash(media)
-    val groups = hashes.groupBy("dhash")
-      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
-    hashes.join(groups, "dhash")
+    // whole-partition window, not groupBy+join-back: the hash relation
+    // shuffles ONCE by dhash instead of twice (aggregate + re-join)
+    val wd = Window.partitionBy("dhash")
+    Multimodal.imageDhash(media)
       .select(col("doc_id"), col("w"), col("h"), col("dhash"),
-        col("canonical_id"), col("group_size"))
+        min("doc_id").over(wd).as("canonical_id"),
+        count(lit(1)).over(wd).as("group_size"))
       .orderBy("doc_id")
   }
 
@@ -1677,12 +1679,13 @@ object CatalogPipeline {
         else Seq(base)
       }
       .toDF()
-    val fps = Multimodal.audioFingerprint(media, nWindows = 16)
-    val groups = fps.groupBy("fingerprint")
-      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
-    fps.join(groups, "fingerprint")
+    // one dhash-keyed shuffle via a whole-partition window (the p85 shape)
+    val wf = Window.partitionBy("fingerprint")
+    Multimodal.audioFingerprint(media, nWindows = 16)
       .select(col("doc_id"), col("n_samples"), col("n_windows"),
-        col("fingerprint"), col("canonical_id"), col("group_size"))
+        col("fingerprint"),
+        min("doc_id").over(wf).as("canonical_id"),
+        count(lit(1)).over(wf).as("group_size"))
       .orderBy("doc_id")
   }
 
