@@ -143,18 +143,6 @@ object Bpe {
       .toDF("rank", "lft", "rgt", "freq")
   }
 
-  /** ENCODE side of the tokenizer: apply a trained merge list to a word
-    * histogram, in rank order, each merge greedy left-to-right — one
-    * map-only pass with the merges in the UDF closure (the merge table is
-    * a bounded driver artifact like the IVF centroids; at 100 TB this
-    * runs over the distinct-word histogram once and the corpus maps
-    * word→tokens through the resulting lookup). Because each round's
-    * merge touches every word independently, applying all merges
-    * per-word in rank order reproduces [[train]]'s final state exactly.
-    *
-    * Returns (word, cnt, n_tokens, toks_hash): the tokenized vocabulary
-    * with md5 over the Sep-joined symbol sequence, cross-engine
-    * hashable. */
   /** Apply `ms` (rank-ordered (left, right) pairs) to one word: code-point
     * split (NOT word.map(_.toString), which would cleave surrogate pairs
     * into half-characters and diverge from train's regex split and the
@@ -176,6 +164,18 @@ object Bpe {
     syms
   }
 
+  /** ENCODE side of the tokenizer: apply a trained merge list to a word
+    * histogram, in rank order, each merge greedy left-to-right — one
+    * map-only pass with the merges in the UDF closure (the merge table is
+    * a bounded driver artifact like the IVF centroids; at 100 TB this
+    * runs over the distinct-word histogram once and the corpus maps
+    * word→tokens through the resulting lookup). Because each round's
+    * merge touches every word independently, applying all merges
+    * per-word in rank order reproduces [[train]]'s final state exactly.
+    *
+    * Returns (word, cnt, n_tokens, toks_hash): the tokenized vocabulary
+    * with md5 over the Sep-joined symbol sequence, cross-engine
+    * hashable. */
   def encodeWords(words: DataFrame, merges: Seq[Merge]): DataFrame = {
     val ms = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
     val applyUdf = udf((word: String) => applyMergesToWord(ms, word))
