@@ -1286,6 +1286,51 @@ object CatalogPipeline {
        |    AS chunk_hash
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Chunk-level dedup verdict over the p82 CDC chunks: a chunk is
+    * duplicated when its content appears in MORE THAN ONE document
+    * (the p18 distinct-doc rule at CDC granularity); per doc the chunk
+    * count, duplicated-chunk count, duplicated character count, and
+    * fraction. The planted shifted copies light up: their re-aligned
+    * chunks match the originals' even at unaligned offsets. The
+    * distinct-doc frequency is a map-side-combinable aggregate joined
+    * back by hash (the p18 spanScrub shape) — NOT a per-hash
+    * collect_list window, whose buffer a pathologically common chunk
+    * would blow up. */
+  private def p87(s: SparkSession, d: String): DataFrame = {
+    val ch = TextAnalysis.cdcChunks(dupCorpus(s, d), "doc_id", "text",
+      k = 16, stride = 32)
+    val freq = ch.groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    ch.join(freq, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1).otherwise(0)).cast("int")
+          .as("n_dup_chunks"),
+        sum(when(col("n_docs") > 1, col("chunk_len")).otherwise(0))
+          .cast("int").as("dup_chars"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("dup_chars"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  private def cdcDedupOracleSql: String = {
+    // the p82 chain up to its chunk rows, then the distinct-doc rule
+    val base = cdcOracleSql.stripSuffix(" ORDER BY doc_id, chunk_idx")
+    s"""WITH chunks AS MATERIALIZED ($base),
+       |freq AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+       |         FROM chunks GROUP BY chunk_hash)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+       |  CAST(count(CASE WHEN n_docs > 1 THEN 1 END) AS INT) AS n_dup_chunks,
+       |  CAST(coalesce(sum(CASE WHEN n_docs > 1 THEN chunk_len END), 0) AS INT)
+       |    AS dup_chars,
+       |  round(count(CASE WHEN n_docs > 1 THEN 1 END)::DOUBLE / count(*), 6)
+       |    AS dup_frac
+       |FROM chunks JOIN freq USING (chunk_hash)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** PII corpus: deterministic e-mail / phone / IPv4 tokens appended to a
     * subset of docs, so the scrub has known positives in both engines. */
   private def piiCorpus(s: SparkSession, d: String): DataFrame =
@@ -2895,6 +2940,7 @@ object CatalogPipeline {
     Q("p79_substr_dedup", p79, Some(substrSpansOracleSql)),
     Q("p81_substr_scrub", p81, Some(substrScrubOracleSql)),
     Q("p82_cdc_chunks", p82, Some(cdcOracleSql)),
+    Q("p87_cdc_dedup", p87, Some(cdcDedupOracleSql)),
     Q("p83_roc_auc", p83, Some(rocAucOracleSql)),
     Q("p84_calibration", p84, Some(calibrationOracleSql)),
     Q("p85_image_dhash", p85, Some(imageDhashOracleSql)),

@@ -77,8 +77,9 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // island merge in the substring dedup and its scrub
     "p78_bpe_tokenize", "p80_bpe_pack", "p79_substr_dedup",
     "p81_substr_scrub",
-    // map-only rolling-hash boundaries — invariant by construction
-    "p82_cdc_chunks",
+    // map-only rolling-hash boundaries — invariant by construction —
+    // and the distinct-doc dedup verdict over them
+    "p82_cdc_chunks", "p87_cdc_dedup",
     // integer rank statistic over the score histogram; decimal-sum bins
     "p83_roc_auc", "p84_calibration",
     // row-local decode + hash; exact-hash grouping
