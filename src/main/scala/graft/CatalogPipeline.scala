@@ -1765,6 +1765,67 @@ object CatalogPipeline {
       |FROM fp JOIN g USING (fingerprint)
       |ORDER BY doc_id""".stripMargin
 
+  /** Image NEAR-dup pairs ([[graft.pipeline.Multimodal.dhashNearDupPairs]]):
+    * every 10th image gets a companion with ONE pixel zeroed — a
+    * re-encode p85's exact grouping may miss (the dent flips ≤ 1 hash
+    * bit when it lands on the sample grid, 0 otherwise) but banded
+    * Hamming matching catches either way. The oracle replays the dented
+    * 9×8 grid from the synthesis formula. */
+  private def p88(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { id =>
+        val base = Multimodal.MediaRow(id, "image/png", Multimodal.synthPngAsset(id))
+        if (id % 10 == 0) {
+          val (w, h) = ((16 + id % 8).toInt, (12 + id % 5).toInt)
+          Seq(base, Multimodal.MediaRow(id + 5000000L, "image/png",
+            Multimodal.encodePng(w, h, (x, y) =>
+              if (x == 6 && y == 4) 0
+              else ((id * 7 + x * 13 + y * 29) % 256).toInt)))
+        } else Seq(base)
+      }
+      .toDF()
+    Multimodal.dhashNearDupPairs(Multimodal.imageDhash(media), maxDist = 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val imageNearDupOracleSql =
+    """WITH ids AS (SELECT doc_id, doc_id AS src_id, FALSE AS is_dent
+      |             FROM documents
+      |             UNION ALL
+      |             SELECT doc_id + 5000000, doc_id, TRUE FROM documents
+      |             WHERE doc_id % 10 = 0),
+      |dims AS (SELECT doc_id, src_id, is_dent,
+      |           16 + src_id % 8 AS w, 12 + src_id % 5 AS h FROM ids),
+      |grid AS (SELECT doc_id,
+      |  list_transform(range(8), y -> list_transform(range(9), x ->
+      |    CASE WHEN is_dent AND ((x*w)//9) = 6 AND ((y*h)//8) = 4 THEN 0
+      |         ELSE (src_id*7 + ((x*w)//9)*13 + ((y*h)//8)*29) % 256 END))
+      |    AS g
+      |  FROM dims),
+      |hx AS (SELECT doc_id,
+      |  array_to_string(list_transform(range(8), y ->
+      |    printf('%02x', CAST(list_sum(list_transform(range(8), x ->
+      |      CASE WHEN g[CAST(y+1 AS INT)][CAST(x+2 AS INT)]
+      |              > g[CAST(y+1 AS INT)][CAST(x+1 AS INT)]
+      |           THEN 1 << x ELSE 0 END)) AS INT))), '') AS dhash
+      |  FROM grid),
+      |bands AS (SELECT doc_id, dhash, b,
+      |            substr(dhash, CAST(b*4+1 AS INT), 4) AS bv
+      |          FROM (SELECT doc_id, dhash, unnest(range(4)) AS b FROM hx)),
+      |pr AS (SELECT DISTINCT a.doc_id AS a_id, bb.doc_id AS b_id,
+      |         a.dhash AS a_hash, bb.dhash AS b_hash
+      |       FROM bands a JOIN bands bb
+      |       ON a.b = bb.b AND a.bv = bb.bv AND a.doc_id < bb.doc_id)
+      |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming FROM (
+      |  SELECT a_id, b_id, list_sum(list_transform(range(8), i ->
+      |    bit_count(xor(('0x' || substr(a_hash, CAST(i*2+1 AS INT), 2))::BIGINT,
+      |                  ('0x' || substr(b_hash, CAST(i*2+1 AS INT), 2))::BIGINT))))
+      |    AS hamming FROM pr)
+      |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
+
   /** Video frame sampling ([[graft.pipeline.Multimodal.videoFrameFeatures]]):
     * GVID containers (length-prefixed real-PNG frames) decoded
     * per-partition at stride 2 — non-sampled frames are index-skipped,
@@ -2945,6 +3006,7 @@ object CatalogPipeline {
     Q("p84_calibration", p84, Some(calibrationOracleSql)),
     Q("p85_image_dhash", p85, Some(imageDhashOracleSql)),
     Q("p86_audio_fingerprint", p86, Some(audioFpOracleSql)),
+    Q("p88_image_neardup", p88, Some(imageNearDupOracleSql)),
     Q("p19_pii_scrub", p19,
       Some(s"""WITH corpus AS ($piiCorpusSql)
               |SELECT doc_id,

@@ -353,6 +353,37 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Banded near-dup candidate pairs over [[imageDhash]] hashes — the
+    * [[graft.pipeline.Dedup.simhashPairs]] discipline on the image
+    * fingerprint: the 64-bit hash splits into 4 bands of 16 bits
+    * (4 hex chars), candidates share at least one band, verification is
+    * the exact per-byte Hamming distance. Pigeonhole: ≤ 3 flipped bits
+    * leave ≥ 1 of 4 bands intact, so recall is GUARANTEED for
+    * `maxDist` ≤ 3 (hence the same require as simhashPairs). Never
+    * all-pairs: only (doc_id, band) rows join, bounded by band-bucket
+    * occupancy. */
+  def dhashNearDupPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-band blocking guarantees recall only for dist<=3")
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          substring(col("dhash"), b * 4 + 1, 4).as("v"))): _*)).as("band"))
+    val ham = (0 until 8).map(i =>
+      bit_count(conv(substring(col("a_hash"), i * 2 + 1, 2), 16, 10)
+        .cast("long")
+        .bitwiseXOR(conv(substring(col("b_hash"), i * 2 + 1, 2), 16, 10)
+          .cast("long"))))
+      .reduce(_ + _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.dhash").as("a_hash"), col("b.dhash").as("b_hash"))
+      .distinct()
+      .withColumn("hamming", ham.cast("int"))
+      .where(col("hamming") <= maxDist)
+      .select("a_id", "b_id", "hamming")
+  }
+
   /** Per-partition decode + feature extraction: the decoders and any codec
     * state initialize once per partition and stream over the batch; only
     * the small integer feature rows leave the task — payloads never

@@ -82,8 +82,8 @@ class DeterminismAuditSpec extends AnyFunSuite {
     "p82_cdc_chunks", "p87_cdc_dedup",
     // integer rank statistic over the score histogram; decimal-sum bins
     "p83_roc_auc", "p84_calibration",
-    // row-local decode + hash; exact-hash grouping
-    "p85_image_dhash", "p86_audio_fingerprint")
+    // row-local decode + hash; exact-hash grouping; banded hamming pairs
+    "p85_image_dhash", "p86_audio_fingerprint", "p88_image_neardup")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()

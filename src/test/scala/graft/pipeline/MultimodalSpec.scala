@@ -120,6 +120,19 @@ class MultimodalSpec extends AnyFunSuite {
       val ham = bits(got(1L)._3).zip(bits(got(4L)._3))
         .map { case (a, b) => Integer.bitCount(a ^ b) }.sum
       assert(ham >= 1 && ham <= 2, s"hamming $ham")
+
+      // banded near-dup pairs: the dent pairs with its original (and with
+      // the identical copy 3); the opposite gradient shares no band with
+      // anything, so it never even becomes a candidate
+      val pairs = Multimodal.dhashNearDupPairs(
+          Multimodal.imageDhash(Seq(
+            Multimodal.MediaRow(1, "image/png", rising),
+            Multimodal.MediaRow(2, "image/png", falling),
+            Multimodal.MediaRow(3, "image/png", rising),
+            Multimodal.MediaRow(4, "image/png", dent)).toDF()),
+          maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(pairs == Set((1L, 3L, 0), (1L, 4L, ham), (3L, 4L, ham)), pairs)
     } finally spark.stop()
   }
 
