@@ -1297,8 +1297,12 @@ object CatalogPipeline {
     * collect_list window, whose buffer a pathologically common chunk
     * would blow up. */
   private def p87(s: SparkSession, d: String): DataFrame = {
+    // persist: the chunk relation feeds the frequency aggregate AND the
+    // join-back — without it the rolling-hash chunking pass runs twice.
+    // Narrow rows (ids + 16-char hash); the query's working set
     val ch = TextAnalysis.cdcChunks(dupCorpus(s, d), "doc_id", "text",
-      k = 16, stride = 32)
+        k = 16, stride = 32)
+      .persist()
     val freq = ch.groupBy("chunk_hash")
       .agg(countDistinct("doc_id").as("n_docs"))
     ch.join(freq, "chunk_hash")
