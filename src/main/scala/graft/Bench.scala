@@ -91,12 +91,15 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_detail.json"),
         detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // calib appears FIRST and LAST: the driver records a bounded window
-    // of this line and past rounds have seen both front- and tail-
-    // truncation — duplicating the scalar noise-floor probe at both ends
-    // guarantees it survives either cut, so a contended run (r7, r9) is
-    // self-evident from the recorded artifact instead of re-litigated
-    println(s"""{"calib":$calib,"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"calib_end":$calib}""")
+    // TWO lines, headline first: the driver records a bounded window of
+    // stdout and r10's single fat line came back "parsed": null — the
+    // per-query map pushed the headline scalars past the cut. Line 1 is
+    // ~120 bytes of complete JSON (total, n_queries, calib, sf) that
+    // parses even if everything after it is truncated; line 2 carries the
+    // per-query medians with the calib probe repeated at its tail, so a
+    // contended run (r7, r9) is still self-evident from either line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calib":$calib,"sf":$sfNum}""")
+    println(s"""{"queries":$qs,"calib_end":$calib}""")
     spark.stop()
   }
 }

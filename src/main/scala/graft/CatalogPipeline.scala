@@ -1088,7 +1088,8 @@ object CatalogPipeline {
        |sc AS (SELECT r.doc_id, $qualityScoreSql AS s,
        |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
        |       FROM r JOIN documents d ON d.doc_id = r.doc_id),
-       |b AS (SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin, s, y FROM sc)
+       |b AS (SELECT CAST(greatest(0, least(floor(s * 10), 9)) AS INT) AS bin,
+       |        s, y FROM sc)
        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
        |  CAST(sum(y) AS BIGINT) AS n_pos,
        |  round(sum(CAST(s AS DECIMAL(20,6)))::DOUBLE / count(*), 6)
@@ -1261,7 +1262,10 @@ object CatalogPipeline {
         k = 16, stride = 32)
       .orderBy("doc_id", "chunk_idx")
 
-  private def cdcOracleSql: String =
+  /** The p82 chunk-row relation WITHOUT a trailing ORDER BY, so p87 can
+    * embed it as a subquery directly (the substrChainSql/finalSymsSql
+    * convention) instead of string-stripping the rendered p82 query. */
+  private def cdcChunkRowsSql: String =
     s"""WITH dup AS MATERIALIZED ($dupCorpusSql),
        |cuts AS MATERIALIZED (SELECT doc_id, text,
        |  list_filter(list_filter(range(length(text) - 15), p ->
@@ -1284,7 +1288,10 @@ object CatalogPipeline {
        |  md5(substr(text, CAST(bounds[CAST(i + 1 AS INT)] + 1 AS INT),
        |    CAST(bounds[CAST(i + 2 AS INT)] - bounds[CAST(i + 1 AS INT)] AS INT)))
        |    AS chunk_hash
-       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+       |FROM ch""".stripMargin
+
+  private def cdcOracleSql: String =
+    cdcChunkRowsSql + " ORDER BY doc_id, chunk_idx"
 
   /** Chunk-level dedup verdict over the p82 CDC chunks: a chunk is
     * duplicated when its content appears in MORE THAN ONE document
@@ -1320,8 +1327,8 @@ object CatalogPipeline {
   }
 
   private def cdcDedupOracleSql: String = {
-    // the p82 chain up to its chunk rows, then the distinct-doc rule
-    val base = cdcOracleSql.stripSuffix(" ORDER BY doc_id, chunk_idx")
+    // the p82 chunk rows (shared helper), then the distinct-doc rule
+    val base = cdcChunkRowsSql
     s"""WITH chunks AS MATERIALIZED ($base),
        |freq AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
        |         FROM chunks GROUP BY chunk_hash)

@@ -13,18 +13,18 @@ import org.apache.spark.sql.functions._
   *    classic BPE-on-histogram reduction; every later round works on the
   *    distinct-word relation (vocabulary-sized, corpus-size-independent);
   *  - each round is ONE map-side-combinable hash aggregate over the
-  *    histogram's adjacent pairs (weighted by word count), a 1-row
-  *    `LIMIT 1` collect (the argmax pair — bounded driver traffic, like
-  *    the IVF centroid pull), and a map-only re-tokenize with the merged
-  *    pair inlined as literals;
+  *    histogram's adjacent pairs (weighted by word count), a bounded
+  *    top-`batchK` collect (driver traffic like the IVF centroid pull),
+  *    and a map-only re-tokenize with the round's ACCEPTED MERGE BATCH
+  *    inlined — [[selectBatch]] proves which prefix of the ranked pairs
+  *    sequential training would pick verbatim, so a 32k-merge vocabulary
+  *    runs in ~hundreds of rounds, not 32k driver-synchronized jobs,
+  *    while staying bit-identical to one-merge-at-a-time training;
   *  - `localCheckpoint` after each round keeps the plan flat instead of
   *    stacking `numMerges` UDF layers of lineage.
   *
   * The re-tokenize itself is a row-local Scala UDF — acceptable off the
-  * hot path because it runs over the histogram, never the corpus; a
-  * production variant can batch several non-overlapping merges per round
-  * to cut the round count (the standard optimization), which changes no
-  * per-round machinery.
+  * hot path because it runs over the histogram, never the corpus.
   *
   * Merging is greedy left-to-right non-overlapping, exactly the semantics
   * of a string `replace` over a separator-joined symbol string — which is
@@ -56,10 +56,6 @@ object Bpe {
         x => x =!= "" && !x.contains(Sep))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
-  /** `numMerges` rounds of global argmax-pair merging over the histogram.
-    * Ties on frequency resolve to the lexicographically smallest
-    * separator-joined pair string, matching the oracle's `ORDER BY freq
-    * DESC, pr`. Stops early only when no adjacent pair remains. */
   /** The persisted-RDD id behind a checkpointed Dataset (its analyzed
     * plan is a single LogicalRDD) — lets [[train]] free exactly the
     * checkpoints it created, never a concurrent job's. */
@@ -68,8 +64,90 @@ object Bpe {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }
 
-  def train(words: DataFrame, numMerges: Int): Seq[Merge] = {
+  /** BATCHED merge selection with an EXACT-equivalence guarantee: from
+    * the round's top-`batchK` pairs (sorted (freq desc, pair-string asc),
+    * the sequential tie-break), accept the longest prefix that sequential
+    * greedy training would provably pick in this order. A 32k-merge
+    * vocabulary then needs ~hundreds of synchronized rounds instead of
+    * 32k sequential argmax jobs — the standard batched-BPE optimization,
+    * but with acceptance rules strict enough that the result is
+    * BIT-IDENTICAL to one-merge-at-a-time training (pinned in `BpeSpec`
+    * against a scalar reference; the sequential-unrolled DuckDB oracle
+    * is unchanged).
+    *
+    * Why a prefix of the sorted list, and when it must stop — the proof
+    * obligations, stated as the rules:
+    *
+    *  - head always accepted: it is the literal argmax with the exact
+    *    sequential tie-break.
+    *  - disjoint symbols: merging (a,b) neither creates nor destroys an
+    *    occurrence of any pair sharing no symbol with it, so a disjoint
+    *    next pair keeps its exact count; applying pairwise-disjoint
+    *    merges in ONE left-to-right scan equals applying them one at a
+    *    time. First conflicting candidate → stop (its post-merge count
+    *    is unknowable without recounting).
+    *  - tie safety: a merge of (a,b) can CREATE pairs (x,ab)/(ab,y),
+    *    each bounded by the round-start count of a generator pair that
+    *    shares a symbol with (a,b). All non-accepted pairs rank at or
+    *    below the candidate, so a created pair can only beat it on an
+    *    exact frequency TIE — accept only when the candidate's count is
+    *    strictly above every potential generator: above the collected
+    *    tail when the list was truncated (out-of-list generators), and
+    *    above every EQUAL-count in-list pair that conflicts with the
+    *    accepted set.
+    *  - self-pair (l==r): accept, then stop — runs of l create (ll,ll)
+    *    pairs whose generator is the accepted pair itself, which the
+    *    conflict bound cannot see.
+    *  - alias (l+r equals a previously created symbol, or another
+    *    in-batch output): accept, then stop — the new symbol pools
+    *    counts with an existing one, so later created-pair bounds
+    *    stop holding.
+    */
+  private[pipeline] def selectBatch(cands: Seq[(String, String, Long)],
+                                    truncated: Boolean,
+                                    priorSymbols: Set[String]): Seq[(String, String, Long)] = {
+    val tailFreq = if (truncated) cands.last._3 else -1L
+    val acc = Seq.newBuilder[(String, String, Long)]
+    val accSyms = scala.collection.mutable.Set[String]()
+    val accNew = scala.collection.mutable.Set[String]()
+    var stop = false
+    var i = 0
+    while (!stop && i < cands.length) {
+      val (l, r, f) = cands(i)
+      val disjoint = !accSyms(l) && !accSyms(r) && !accNew(l) && !accNew(r)
+      val tieSafe = f > tailFreq &&
+        !cands.drop(i + 1).exists { case (l2, r2, f2) =>
+          f2 == f && (accSyms(l2) || accSyms(r2))
+        }
+      if (i == 0 || (disjoint && tieSafe)) {
+        acc += ((l, r, f))
+        // stop-AFTER rules: the accepted merge is still provably the
+        // sequential pick; only picks beyond it lose their bounds
+        if (l == r || priorSymbols(l + r) || accNew(l + r)) stop = true
+        accSyms += l; accSyms += r; accNew += (l + r)
+      } else stop = true
+      i += 1
+    }
+    acc.result()
+  }
+
+  /** Up to `numMerges` global argmax-pair merges over the histogram,
+    * batched per round by [[selectBatch]] (exact — see its proof notes).
+    * Ties on frequency resolve to the lexicographically smallest
+    * separator-joined pair string, matching the oracle's `ORDER BY freq
+    * DESC, pr`. Stops early only when no adjacent pair remains.
+    * Per round: ONE map-side-combinable hash aggregate over the
+    * histogram's adjacent pairs, one bounded top-`batchK` collect, one
+    * map-only re-tokenize with ALL accepted merges inlined. */
+  def train(words: DataFrame, numMerges: Int): Seq[Merge] =
+    trainRounds(words, numMerges)._1
+
+  /** [[train]] plus the number of Spark rounds it ran — exposed for the
+    * batching-effectiveness assertion in `BpeSpec`. */
+  private[pipeline] def trainRounds(words: DataFrame, numMerges: Int,
+                                    batchK: Int = 64): (Seq[Merge], Int) = {
     require(numMerges > 0, "need at least one merge round")
+    require(batchK >= 1, s"batchK=$batchK")
     val sc = words.sparkSession.sparkContext
     val ownCheckpoints = Seq.newBuilder[Int]
     // (?s) so line terminators survive as symbols — a bare `.` silently
@@ -84,29 +162,52 @@ object Bpe {
       .localCheckpoint()
     ownCheckpoints ++= checkpointRddId(st)
     val merges = Seq.newBuilder[Merge]
-    var round = 0
+    // all merge outputs so far: selectBatch's alias rule needs to know
+    // every multi-code-point symbol that can exist in the state (original
+    // symbols are single code points, so prior outputs are exactly that
+    // set). Bounded by numMerges — a driver artifact like the merge list.
+    val createdSymbols = scala.collection.mutable.Set[String]()
+    var done = 0
+    var rounds = 0
     var exhausted = false
-    try while (round < numMerges && !exhausted) {
+    try while (done < numMerges && !exhausted) {
       val n = size(col("syms"))
-      val best = st
+      val top = st
         .select(explode(zip_with(
           slice(col("syms"), lit(1), n - 1), slice(col("syms"), lit(2), n - 1),
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("cnt"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("freq"))
         .orderBy(col("freq").desc, concat(col("l"), lit(Sep), col("r")).asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(batchK).collect()
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += Merge(round + 1, l, r, f)
+        val cands = top.toSeq.map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2)))
+        val accepted = selectBatch(cands, truncated = cands.length == batchK,
+            priorSymbols = createdSymbols.toSet)
+          .take(numMerges - done)
+        accepted.foreach { case (l, r, f) =>
+          done += 1
+          merges += Merge(done, l, r, f)
+          createdSymbols += (l + r)
+        }
+        // ONE scan applies the whole batch: accepted pairs are pairwise
+        // symbol-disjoint, so simultaneous == one-at-a-time (see
+        // selectBatch). Map lookup keyed on the separator-joined pair —
+        // Sep never occurs inside a symbol (wordHistogram's invariant).
+        val mmap = accepted.map { case (l, r, _) => (l + Sep + r) -> (l + r) }.toMap
         val mergeUdf = udf((syms: Seq[String]) => {
           val out = Seq.newBuilder[String]
           var i = 0
           while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-              out += l + r; i += 2
-            } else { out += syms(i); i += 1 }
+            val merged =
+              if (i + 1 < syms.length) mmap.get(syms(i) + Sep + syms(i + 1))
+              else None
+            merged match {
+              case Some(m) => out += m; i += 2
+              case None => out += syms(i); i += 1
+            }
           }
           out.result()
         })
@@ -115,7 +216,7 @@ object Bpe {
         // round overhead dominates when the histogram is small)
         st = st.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint(false)
         ownCheckpoints ++= checkpointRddId(st)
-        round += 1
+        rounds += 1
       }
     }
     // free exactly the checkpoints THIS call created (tracked by RDD id
@@ -130,7 +231,7 @@ object Bpe {
       val persisted = sc.getPersistentRDDs
       ownCheckpoints.result().foreach(id => persisted.get(id).foreach(_.unpersist(false)))
     }
-    merges.result()
+    (merges.result(), rounds)
   }
 
   /** Train on `df(textCol)` and return the merge table as a DataFrame:

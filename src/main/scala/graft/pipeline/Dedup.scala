@@ -610,9 +610,13 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism
     graft.functions.RollingAnchors.register(df.sparkSession)
     // read three times (gram stream + both extension sides): the
-    // operator's working set, freed with the caller's caches
+    // operator's working set, freed with the caller's caches. Serialized
+    // + disk-spillable on purpose — this relation holds FULL corpus
+    // texts, much heavier than the narrow (id, key) working sets the
+    // other persists here cache, so deserialized-on-heap residency would
+    // pressure execution memory for the rest of the session.
     val d = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // O(n) rolling-hash anchor selection, then gram strings extracted
     // only AT anchors (~n/stride of positions) — the naive per-position
     // substr+hash spelling allocates O(n·k) bytes per document

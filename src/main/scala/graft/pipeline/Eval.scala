@@ -83,9 +83,14 @@ object Eval {
   def calibrationBins(df: DataFrame, scoreCol: String, label: Column,
                       nBins: Int): DataFrame = {
     require(nBins >= 1, s"nBins=$nBins")
+    // clamp BOTH edges: a score of exactly 1.0 lands in the top bin, and
+    // an out-of-contract score below 0 lands in bin 0 instead of silently
+    // minting a negative bin id (the documented [0,1] contract holds for
+    // every in-range input either way)
     val d = df.select(col(scoreCol).as("s"), label.cast("long").as("y"))
       .withColumn("bin",
-        least(floor(col("s") * nBins), lit(nBins - 1)).cast("int"))
+        greatest(lit(0), least(floor(col("s") * nBins), lit(nBins - 1)))
+          .cast("int"))
     d.groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
         sum(col("s").cast("decimal(20,6)")).as("ssum"))

@@ -119,7 +119,15 @@ object EventStreams {
     * is no later). The standard streaming as-of tradeoffs otherwise: a
     * late view cannot retro-enrich an already-emitted purchase, and a
     * late purchase arriving behind a newer view emits null (the stored
-    * state is ahead of it) rather than the future view's payload. */
+    * state is ahead of it) rather than the future view's payload.
+    *
+    * BREAKING DEFAULT (since the TTL-on change): `stateTtlMs` used to
+    * default to `None`. Call sites that relied on the old default now
+    * evict keys idle past 24 h — a purchase arriving later than that
+    * enriches as null where it previously matched — and previously-legal
+    * explicit `stateTtlMs = None` calls now throw unless they also pass
+    * `unboundedKeys = true`. Audit call sites on upgrade rather than
+    * discovering null enrichments at runtime. */
   def asofEnrichStream(events: Dataset[Event],
                        watermark: String = "15 minutes",
                        stateTtlMs: Option[Long] = Some(24L * 3600 * 1000),

@@ -189,5 +189,81 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.contains(3L), "empty doc must produce no row")
   }
 
+  // ---- batched training: exactness + effectiveness --------------------------
+
+  test("selectBatch accepts a disjoint prefix and stops at the first conflict") {
+    val cands = Seq(("a", "b", 100L), ("c", "d", 90L), ("e", "f", 80L),
+      ("b", "c", 70L), ("g", "h", 60L))
+    // (b,c) shares b with accepted (a,b) → stop there; (g,h) after the
+    // conflict is NOT accepted even though it is disjoint (its post-merge
+    // rank is unknowable without recounting)
+    assert(Bpe.selectBatch(cands, truncated = false, Set.empty) ==
+      Seq(("a", "b", 100L), ("c", "d", 90L), ("e", "f", 80L)))
+  }
+
+  test("selectBatch tie safety: an equal-count conflicting pair blocks the tied candidate") {
+    // (x,a) ties (c,d) at 90 and shares a with accepted (a,b): merging
+    // (a,b) could create a pair of count 90 that wins the string
+    // tie-break, so (c,d) cannot be proven to be the next sequential pick
+    val cands = Seq(("a", "b", 100L), ("c", "d", 90L), ("x", "a", 90L))
+    assert(Bpe.selectBatch(cands, truncated = false, Set.empty) ==
+      Seq(("a", "b", 100L)))
+    // at 89 the created-pair bound is strictly below 90 → safe
+    val cands2 = Seq(("a", "b", 100L), ("c", "d", 90L), ("x", "a", 89L))
+    assert(Bpe.selectBatch(cands2, truncated = false, Set.empty) ==
+      Seq(("a", "b", 100L), ("c", "d", 90L)))
+  }
+
+  test("selectBatch truncation: a candidate tying the collected tail stops the batch") {
+    val cands = Seq(("a", "b", 100L), ("c", "d", 90L), ("e", "f", 90L))
+    // truncated list: pairs beyond the tail may also hold 90 and conflict
+    assert(Bpe.selectBatch(cands, truncated = true, Set.empty) ==
+      Seq(("a", "b", 100L)))
+    // complete list: no out-of-list generators exist → both accepted
+    assert(Bpe.selectBatch(cands, truncated = false, Set.empty).size == 3)
+  }
+
+  test("selectBatch stops AFTER a self-pair and AFTER an alias") {
+    val self = Seq(("a", "a", 100L), ("c", "d", 90L))
+    assert(Bpe.selectBatch(self, truncated = false, Set.empty) ==
+      Seq(("a", "a", 100L)))
+    // "cd" was created by a previous round's merge → its counts pool
+    val alias = Seq(("c", "d", 100L), ("e", "f", 90L))
+    assert(Bpe.selectBatch(alias, truncated = false, Set("cd")) ==
+      Seq(("c", "d", 100L)))
+    // in-batch alias: ("x","yz") and ("xy","z") both output "xyz"
+    val inBatch = Seq(("x", "yz", 100L), ("xy", "z", 90L), ("p", "q", 80L))
+    assert(Bpe.selectBatch(inBatch, truncated = false, Set.empty) ==
+      Seq(("x", "yz", 100L), ("xy", "z", 90L)))
+  }
+
+  test("batched training runs fewer rounds than merges on a batch-friendly corpus") {
+    import spark.implicits._
+    // many frequent DISJOINT pairs with distinct counts: a sequential
+    // trainer needs one round per merge; the batch proof accepts several
+    val words = Map("ab" -> 100L, "cd" -> 90L, "ef" -> 80L, "gh" -> 70L,
+      "ij" -> 60L, "kl" -> 50L, "mn" -> 40L, "op" -> 30L)
+    val hist = words.toSeq.toDF("word", "cnt")
+    val (merges, rounds) = Bpe.trainRounds(hist, numMerges = 8)
+    assert(merges.map(m => (m.left, m.right, m.freq)) == scalarBpe(words, 8))
+    assert(rounds < 8, s"expected batching to cut rounds, ran $rounds")
+  }
+
+  test("high-collision fuzz: batched == scalar-sequential across seeds") {
+    import spark.implicits._
+    // tiny alphabet → constant ties, self-pairs, aliases ("abab" from
+    // both (a,b)+(ab,ab) chains) — the regime where an unsound batch
+    // rule diverges from sequential
+    (11 to 15).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val words = (1 to 300).map { _ =>
+        (1 to (2 + rnd.nextInt(5))).map(_ => "ab" (rnd.nextInt(2))).mkString
+      }.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val hist = words.toSeq.toDF("word", "cnt")
+      val got = Bpe.train(hist, numMerges = 12).map(m => (m.left, m.right, m.freq))
+      assert(got == scalarBpe(words, 12), s"seed $seed diverged")
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
