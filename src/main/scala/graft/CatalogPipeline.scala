@@ -1837,6 +1837,212 @@ object CatalogPipeline {
       |    AS hamming FROM pr)
       |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
 
+  /** Image near-dup RESOLUTION
+    * ([[graft.pipeline.Multimodal.resolveImageNearDups]]): the p88 pair
+    * list composed with connected components into the canonical
+    * keep-verdict — the p17 shape for images. Fixture: every 10th doc a
+    * one-pixel dent (the p88 companion), every 20th ADDITIONALLY a
+    * second dent at a different cell — a 3-image chain whose members
+    * must all resolve to one canonical even when the two dents differ
+    * from each other by more than they differ from the base. */
+  private def p89(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { id =>
+        val (w, h) = ((16 + id % 8).toInt, (12 + id % 5).toInt)
+        def dent(off: Long, dx: Int, dy: Int) =
+          Multimodal.MediaRow(id + off, "image/png",
+            Multimodal.encodePng(w, h, (x, y) =>
+              if (x == dx && y == dy) 0
+              else ((id * 7 + x * 13 + y * 29) % 256).toInt))
+        Seq(Multimodal.MediaRow(id, "image/png", Multimodal.synthPngAsset(id))) ++
+          (if (id % 10 == 0) Seq(dent(5000000L, 6, 4)) else Seq.empty) ++
+          (if (id % 20 == 0) Seq(dent(6000000L, 2, 1)) else Seq.empty)
+      }
+      .toDF()
+    Multimodal.resolveImageNearDups(media, maxDist = 3).orderBy("doc_id")
+  }
+
+  private val imageResolveOracleSql =
+    """WITH ids AS (SELECT doc_id, doc_id AS src_id, 0 AS dk FROM documents
+      |             UNION ALL
+      |             SELECT doc_id + 5000000, doc_id, 1 FROM documents
+      |             WHERE doc_id % 10 = 0
+      |             UNION ALL
+      |             SELECT doc_id + 6000000, doc_id, 2 FROM documents
+      |             WHERE doc_id % 20 = 0),
+      |dims AS (SELECT doc_id, src_id, dk,
+      |           16 + src_id % 8 AS w, 12 + src_id % 5 AS h FROM ids),
+      |grid AS (SELECT doc_id,
+      |  list_transform(range(8), y -> list_transform(range(9), x ->
+      |    CASE WHEN dk = 1 AND ((x*w)//9) = 6 AND ((y*h)//8) = 4 THEN 0
+      |         WHEN dk = 2 AND ((x*w)//9) = 2 AND ((y*h)//8) = 1 THEN 0
+      |         ELSE (src_id*7 + ((x*w)//9)*13 + ((y*h)//8)*29) % 256 END))
+      |    AS g
+      |  FROM dims),
+      |hx AS (SELECT doc_id,
+      |  array_to_string(list_transform(range(8), y ->
+      |    printf('%02x', CAST(list_sum(list_transform(range(8), x ->
+      |      CASE WHEN g[CAST(y+1 AS INT)][CAST(x+2 AS INT)]
+      |              > g[CAST(y+1 AS INT)][CAST(x+1 AS INT)]
+      |           THEN 1 << x ELSE 0 END)) AS INT))), '') AS dhash
+      |  FROM grid),
+      |bands AS (SELECT doc_id, dhash, b,
+      |            substr(dhash, CAST(b*4+1 AS INT), 4) AS bv
+      |          FROM (SELECT doc_id, dhash, unnest(range(4)) AS b FROM hx)),
+      |pr AS (SELECT DISTINCT a.doc_id AS a_id, bb.doc_id AS b_id,
+      |         a.dhash AS a_hash, bb.dhash AS b_hash
+      |       FROM bands a JOIN bands bb
+      |       ON a.b = bb.b AND a.bv = bb.bv AND a.doc_id < bb.doc_id),
+      |pairs AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, list_sum(list_transform(range(8), i ->
+      |    bit_count(xor(('0x' || substr(a_hash, CAST(i*2+1 AS INT), 2))::BIGINT,
+      |                  ('0x' || substr(b_hash, CAST(i*2+1 AS INT), 2))::BIGINT))))
+      |    AS hamming FROM pr)
+      |  WHERE hamming <= 3),
+      |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+      |          UNION SELECT b_id, a_id FROM pairs),
+      |reach AS (
+      |  WITH RECURSIVE r(s, t) AS (
+      |    SELECT doc_id, doc_id FROM hx
+      |    UNION
+      |    SELECT r.s, e.b FROM r JOIN edges e ON r.t = e.a)
+      |  SELECT * FROM r)
+      |SELECT s AS doc_id, min(t) AS cluster_id, s = min(t) AS keep
+      |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+
+  /** Audio near-dup banded pairs
+    * ([[graft.pipeline.Multimodal.audioNearDupPairs]]): 33-window
+    * delta-energy fingerprints (32 bits → 4 one-byte bands), every 10th
+    * doc a companion whose WINDOW-5 samples are shifted by +1000 — a
+    * localized edit that perturbs one window's energy and flips at most
+    * the two adjacent delta bits, so p86's exact-fingerprint grouping
+    * misses it while one of the 4 bands is pigeonhole-guaranteed to
+    * survive. The oracle replays energies from the synthesis formula. */
+  private def p90(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { id =>
+        val base = Multimodal.MediaRow(id, "audio/wav", Multimodal.synthWavAsset(id))
+        if (id % 10 == 0) {
+          val n = (200 + id % 100).toInt
+          val b = n / 33
+          val samples = Array.tabulate(n) { i =>
+            val v = (((id * 31 + i.toLong * i * 7) % 20001) - 10000).toInt
+            if (i >= 5 * b && i < 6 * b) v + 1000 else v
+          }
+          Seq(base, Multimodal.MediaRow(id + 5000000L, "audio/wav",
+            Multimodal.encodeWav(samples, 8000)))
+        } else Seq(base)
+      }
+      .toDF()
+    Multimodal.audioNearDupPairs(media, nWindows = 33, maxDist = 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val audioNearDupOracleSql =
+    """WITH ids AS (SELECT doc_id, doc_id AS src_id, FALSE AS pert
+      |             FROM documents
+      |             UNION ALL
+      |             SELECT doc_id + 5000000, doc_id, TRUE FROM documents
+      |             WHERE doc_id % 10 = 0),
+      |par AS (SELECT doc_id, src_id, pert,
+      |          CAST(200 + src_id % 100 AS INT) AS n FROM ids),
+      |en AS (SELECT doc_id, n,
+      |  list_transform(range(33), w ->
+      |    list_sum(list_transform(
+      |      range(w * (n // 33),
+      |            CASE WHEN w = 32 THEN n ELSE (w + 1) * (n // 33) END),
+      |      i -> ((src_id*31 + i*i*7) % 20001 - 10000
+      |            + CASE WHEN pert AND i >= 5 * (n // 33)
+      |                        AND i < 6 * (n // 33) THEN 1000 ELSE 0 END)
+      |           * ((src_id*31 + i*i*7) % 20001 - 10000
+      |            + CASE WHEN pert AND i >= 5 * (n // 33)
+      |                        AND i < 6 * (n // 33) THEN 1000 ELSE 0 END))))
+      |    AS e
+      |  FROM par),
+      |fp AS (SELECT doc_id,
+      |  array_to_string(list_transform(range(4), b ->
+      |    printf('%02x', CAST(list_sum(list_transform(range(8), j ->
+      |      CASE WHEN e[CAST(b*8 + j + 2 AS INT)] > e[CAST(b*8 + j + 1 AS INT)]
+      |           THEN 1 << j ELSE 0 END)) AS INT))), '') AS fingerprint
+      |  FROM en),
+      |bands AS (SELECT doc_id, fingerprint, b,
+      |            substr(fingerprint, CAST(b*2+1 AS INT), 2) AS bv
+      |          FROM (SELECT doc_id, fingerprint, unnest(range(4)) AS b FROM fp)),
+      |pr AS (SELECT DISTINCT a.doc_id AS a_id, bb.doc_id AS b_id,
+      |         a.fingerprint AS a_hash, bb.fingerprint AS b_hash
+      |       FROM bands a JOIN bands bb
+      |       ON a.b = bb.b AND a.bv = bb.bv AND a.doc_id < bb.doc_id)
+      |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming FROM (
+      |  SELECT a_id, b_id, list_sum(list_transform(range(4), i ->
+      |    bit_count(xor(('0x' || substr(a_hash, CAST(i*2+1 AS INT), 2))::BIGINT,
+      |                  ('0x' || substr(b_hash, CAST(i*2+1 AS INT), 2))::BIGINT))))
+      |    AS hamming FROM pr)
+      |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
+
+  /** Video perceptual near-dup
+    * ([[graft.pipeline.Multimodal.videoSeqFingerprint]]): per-sampled-
+    * frame dHash folded order-sensitively into a sequence fingerprint,
+    * then exact-fingerprint grouping (the p85 shape at video level).
+    * Fixture: every 10th doc a RE-ENCODED companion — byte-identical
+    * frames in a container with different metadata (fps 8 vs 4), which
+    * byte-level dedup provably misses (the payloads differ) while the
+    * perceptual fingerprint reads decoded pixels only. The oracle
+    * replays each sampled frame's dHash from the synthesis formula. */
+  private def p92(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { id =>
+        val base = Multimodal.MediaRow(id, "video/gvid", Multimodal.synthVideoAsset(id))
+        if (id % 10 == 0) {
+          val (w, h) = ((16 + id % 8).toInt, (12 + id % 5).toInt)
+          val frames = (0 until (6 + id % 5).toInt).map(f =>
+            Multimodal.encodePng(w, h,
+              (x, y) => ((id * 7 + f * 11 + x * 13 + y * 29) % 256).toInt))
+          Seq(base, Multimodal.MediaRow(id + 5000000L, "video/gvid",
+            Multimodal.encodeVideo(frames, fps = 8)))
+        } else Seq(base)
+      }
+      .toDF()
+    val wf = Window.partitionBy("seq_fp")
+    Multimodal.videoSeqFingerprint(media, stride = 2)
+      .select(col("doc_id"), col("n_frames"), col("n_sampled"), col("seq_fp"),
+        min("doc_id").over(wf).as("canonical_id"),
+        count(lit(1)).over(wf).as("group_size"))
+      .orderBy("doc_id")
+  }
+
+  private val videoNearDupOracleSql =
+    """WITH ids AS (SELECT doc_id, doc_id AS src_id FROM documents
+      |             UNION ALL
+      |             SELECT doc_id + 5000000, doc_id FROM documents
+      |             WHERE doc_id % 10 = 0),
+      |par AS (SELECT doc_id, src_id, 16 + src_id % 8 AS w, 12 + src_id % 5 AS h,
+      |          CAST(6 + src_id % 5 AS INT) AS nf FROM ids),
+      |fp AS (SELECT doc_id, nf,
+      |  CAST(len(list_filter(range(nf), f -> f % 2 = 0)) AS INT) AS n_sampled,
+      |  md5(array_to_string(list_transform(list_filter(range(nf), f -> f % 2 = 0), f ->
+      |    array_to_string(list_transform(range(8), y ->
+      |      printf('%02x', CAST(list_sum(list_transform(range(8), x ->
+      |        CASE WHEN (src_id*7 + f*11 + (((x+1)*w)//9)*13 + ((y*h)//8)*29) % 256
+      |                > (src_id*7 + f*11 + ((x*w)//9)*13 + ((y*h)//8)*29) % 256
+      |             THEN 1 << x ELSE 0 END)) AS INT))), '')), '')) AS seq_fp
+      |  FROM par),
+      |g AS (SELECT seq_fp, min(doc_id) AS canonical_id,
+      |        count(*) AS group_size FROM fp GROUP BY seq_fp)
+      |SELECT fp.doc_id, fp.nf AS n_frames, fp.n_sampled, fp.seq_fp,
+      |  CAST(g.canonical_id AS BIGINT) AS canonical_id,
+      |  CAST(g.group_size AS BIGINT) AS group_size
+      |FROM fp JOIN g USING (seq_fp)
+      |ORDER BY doc_id""".stripMargin
+
   /** Video frame sampling ([[graft.pipeline.Multimodal.videoFrameFeatures]]):
     * GVID containers (length-prefixed real-PNG frames) decoded
     * per-partition at stride 2 — non-sampled frames are index-skipped,
@@ -3018,6 +3224,9 @@ object CatalogPipeline {
     Q("p85_image_dhash", p85, Some(imageDhashOracleSql)),
     Q("p86_audio_fingerprint", p86, Some(audioFpOracleSql)),
     Q("p88_image_neardup", p88, Some(imageNearDupOracleSql)),
+    Q("p89_image_dedup_resolve", p89, Some(imageResolveOracleSql)),
+    Q("p90_audio_neardup", p90, Some(audioNearDupOracleSql)),
+    Q("p92_video_neardup", p92, Some(videoNearDupOracleSql)),
     Q("p19_pii_scrub", p19,
       Some(s"""WITH corpus AS ($piiCorpusSql)
               |SELECT doc_id,

@@ -268,6 +268,25 @@ object Multimodal {
     *
     * Scale shape: mapPartitions decode — payloads never shuffle, only
     * (doc_id, w, h, 16-char hash) rows leave the task. */
+  /** The 64-bit dHash of one decoded image as 16 hex chars — shared by
+    * [[imageDhash]] and the per-frame video fingerprint. */
+  private def dhashOf(img: BufferedImage): String = {
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = Array.tabulate(9, 8)((x, y) =>
+      raster.getSample(x * w / 9, y * h / 8, 0))
+    val sb = new StringBuilder
+    var y = 0
+    while (y < 8) {
+      var b = 0
+      var x = 0
+      while (x < 8) { if (g(x + 1)(y) > g(x)(y)) b |= 1 << x; x += 1 }
+      sb.append(f"$b%02x")
+      y += 1
+    }
+    sb.toString
+  }
+
   def imageDhash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -277,20 +296,7 @@ object Multimodal {
           require(r.media_type == "image/png",
             s"imageDhash expects image/png, got ${r.media_type}")
           val img = decodePng(r.payload)
-          val raster = img.getRaster
-          val (w, h) = (img.getWidth, img.getHeight)
-          val g = Array.tabulate(9, 8)((x, y) =>
-            raster.getSample(x * w / 9, y * h / 8, 0))
-          val sb = new StringBuilder
-          var y = 0
-          while (y < 8) {
-            var b = 0
-            var x = 0
-            while (x < 8) { if (g(x + 1)(y) > g(x)(y)) b |= 1 << x; x += 1 }
-            sb.append(f"$b%02x")
-            y += 1
-          }
-          DhashRow(r.doc_id, w, h, sb.toString)
+          DhashRow(r.doc_id, img.getWidth, img.getHeight, dhashOf(img))
         }
       }.toDF()
   }
@@ -362,13 +368,28 @@ object Multimodal {
     * `maxDist` ≤ 3 (hence the same require as simhashPairs). Never
     * all-pairs: only (doc_id, band) rows join, bounded by band-bucket
     * occupancy. */
-  def dhashNearDupPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+  def dhashNearDupPairs(hashes: DataFrame, maxDist: Int): DataFrame =
+    bandedHexPairs(hashes, "dhash", nBytes = 8, maxDist = maxDist)
+
+  /** The shared 4-band Hamming blocking over an `nBytes`-byte hex
+    * fingerprint column (2·nBytes hex chars): candidates share at least
+    * one of 4 equal-width bands, verification is the exact per-byte
+    * Hamming distance. Pigeonhole: ≤ 3 flipped bits leave ≥ 1 of 4
+    * bands intact, so recall is GUARANTEED for `maxDist` ≤ 3. Never
+    * all-pairs: only (doc_id, band) rows join, bounded by band-bucket
+    * occupancy. Used by the image ([[dhashNearDupPairs]], 8 bytes) and
+    * audio ([[audioNearDupPairs]], 4 bytes) fingerprints. */
+  private def bandedHexPairs(hashes: DataFrame, hashCol: String,
+                             nBytes: Int, maxDist: Int): DataFrame = {
     require(maxDist <= 3, "4-band blocking guarantees recall only for dist<=3")
-    val banded = hashes.select(col("doc_id"), col("dhash"),
+    require(nBytes % 4 == 0, s"nBytes=$nBytes must split into 4 byte bands")
+    val bandHex = nBytes / 2 // hex chars per band
+    val banded = hashes.select(col("doc_id"), col(hashCol).as("hash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
-          substring(col("dhash"), b * 4 + 1, 4).as("v"))): _*)).as("band"))
-    val ham = (0 until 8).map(i =>
+          substring(col(hashCol), b * bandHex + 1, bandHex).as("v"))): _*))
+        .as("band"))
+    val ham = (0 until nBytes).map(i =>
       bit_count(conv(substring(col("a_hash"), i * 2 + 1, 2), 16, 10)
         .cast("long")
         .bitwiseXOR(conv(substring(col("b_hash"), i * 2 + 1, 2), 16, 10)
@@ -377,11 +398,87 @@ object Multimodal {
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.dhash").as("a_hash"), col("b.dhash").as("b_hash"))
+        col("a.hash").as("a_hash"), col("b.hash").as("b_hash"))
       .distinct()
       .withColumn("hamming", ham.cast("int"))
       .where(col("hamming") <= maxDist)
       .select("a_id", "b_id", "hamming")
+  }
+
+  /** Banded near-dup candidate pairs over [[audioFingerprint]] outputs —
+    * the [[dhashNearDupPairs]] machinery on the delta-energy audio
+    * fingerprint (which previously only got EXACT-equal grouping): the
+    * (nWindows−1)-bit fingerprint splits into 4 byte-aligned bands, so a
+    * clip whose perturbation flips ≤ 3 delta bits (a localized edit
+    * touches one window → ≤ 2 adjacent bits) is still guaranteed a
+    * candidate band. Requires nWindows−1 divisible by 32 so the bands
+    * are whole equal bytes (33 windows → 32 bits → 4×1-byte bands). */
+  def audioNearDupPairs(media: DataFrame, nWindows: Int,
+                        maxDist: Int): DataFrame = {
+    require((nWindows - 1) % 32 == 0,
+      s"nWindows=$nWindows: need (nWindows-1) divisible by 32 for 4 whole-byte bands")
+    audioFingerprint(media, nWindows)
+      .select(col("doc_id"), col("fingerprint"))
+      .transform(bandedHexPairs(_, "fingerprint", (nWindows - 1) / 8, maxDist))
+  }
+
+  /** Canonical keep-verdict over image near-dups — the
+    * [[graft.pipeline.Dedup.resolveByComponents]] composition applied to
+    * [[dhashNearDupPairs]]: near-dup pairs become edges, connected
+    * components become duplicate clusters, the minimum doc id is the
+    * canonical. Returns (doc_id, cluster_id, keep) for EVERY image —
+    * the keep-list a corpus dedup actually consumes, not the pair list.
+    * The hash relation (narrow: id + 16 hex chars) persists once: the
+    * band self-join reads it twice and the id spine once. */
+  def resolveImageNearDups(media: DataFrame, maxDist: Int): DataFrame = {
+    val hashes = imageDhash(media).select("doc_id", "dhash").persist()
+    Dedup.resolveByComponents(hashes.select("doc_id"), "doc_id",
+      dhashNearDupPairs(hashes, maxDist))
+  }
+
+  case class VideoFpRow(doc_id: Long, n_frames: Int, n_sampled: Int,
+                        seq_fp: String)
+
+  /** Perceptual video fingerprint: per-sampled-frame [[dhashOf]] over the
+    * GVID index walk (non-sampled frames are index-skipped, never
+    * decoded — the [[videoFrameFeatures]] stride discipline), folded
+    * ORDER-SENSITIVELY into one sequence fingerprint: md5 over the
+    * concatenated frame dHash hex strings in frame order. Two videos
+    * match iff their sampled frames are perceptually identical IN THE
+    * SAME ORDER — a re-encode (same frames, different container
+    * metadata/bytes) fingerprints identically, while a reordered or
+    * edited cut does not. Exact grouping on `seq_fp` is the video
+    * analogue of [[imageDhash]]-based exact grouping.
+    *
+    * Scale shape: mapPartitions decode, payloads never shuffle; only
+    * (doc_id, counts, 32-char fingerprint) rows leave the task. */
+  def videoSeqFingerprint(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          require(r.media_type == "video/gvid",
+            s"no video decoder for ${r.media_type}")
+          val (_, frames) = decodeVideo(r.payload)
+          val sb = new StringBuilder
+          var sampled = 0
+          var f = 0
+          while (f < frames.length) {
+            if (f % stride == 0) {
+              sb.append(dhashOf(decodePng(frames(f))))
+              sampled += 1
+            }
+            f += 1
+          }
+          md.reset()
+          val fp = md.digest(sb.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          VideoFpRow(r.doc_id, frames.length, sampled, fp)
+        }
+      }.toDF()
   }
 
   /** Per-partition decode + feature extraction: the decoders and any codec

@@ -160,4 +160,85 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got(3L)._2 == got(1L)._2, "identical samples must group")
     } finally spark.stop()
   }
+
+  test("resolveImageNearDups: a 3-image chain (A~B, B~C, A!~C) resolves to one canonical") {
+    // 9x8 images so the dHash sample grid IS the pixel grid; base rises
+    // along x (all 64 bits set). B flips 1 bit vs A; C flips 4 vs A and
+    // 3 vs B — so (A,C) is BEYOND maxDist=3 and only the chain through B
+    // connects them: the pair list alone cannot produce the keep-list.
+    def img(hot: Set[(Int, Int)]) = Multimodal.encodePng(9, 8,
+      (x, y) => if (hot((x, y))) 100 else x * 10)
+    val a = img(Set.empty)
+    val b = img(Set((0, 0)))
+    val c = img(Set((0, 0), (0, 2), (0, 4), (0, 6)))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .appName("imgresolve-spec").getOrCreate()
+    try {
+      import spark.implicits._
+      val media = Seq(Multimodal.MediaRow(1, "image/png", a),
+        Multimodal.MediaRow(2, "image/png", b),
+        Multimodal.MediaRow(3, "image/png", c)).toDF()
+      val pairs = Multimodal.dhashNearDupPairs(
+          Multimodal.imageDhash(media), maxDist = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+      assert(pairs.toSeq == Seq((1L, 2L, 1), (2L, 3L, 3)),
+        s"expected exactly the chain pairs, got ${pairs.toSeq}")
+      val got = Multimodal.resolveImageNearDups(media, maxDist = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+      assert(got.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+    } finally spark.stop()
+  }
+
+  test("audioNearDupPairs catches a one-window perturbation exact grouping provably misses") {
+    // 33 windows x 4 samples; energies rise with window index → all 32
+    // delta bits set. Zeroing window 5 flips exactly bit 4 (e5>e4) —
+    // the fingerprints DIFFER (exact grouping misses) but Hamming is 1.
+    val base = Multimodal.encodeWav(
+      Array.tabulate(132)(i => (i / 4) * 10), 8000)
+    val pert = Multimodal.encodeWav(
+      Array.tabulate(132)(i => if (i / 4 == 5) 0 else (i / 4) * 10), 8000)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .appName("audiodup-spec").getOrCreate()
+    try {
+      import spark.implicits._
+      val media = Seq(Multimodal.MediaRow(1, "audio/wav", base),
+        Multimodal.MediaRow(2, "audio/wav", pert)).toDF()
+      val fps = Multimodal.audioFingerprint(media, nWindows = 33).collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(fps(1L) != fps(2L), "exact grouping must miss the perturbation")
+      val pairs = Multimodal.audioNearDupPairs(media, nWindows = 33, maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(pairs.toSeq == Seq((1L, 2L, 1)))
+    } finally spark.stop()
+  }
+
+  test("videoSeqFingerprint: re-encode groups, reorder does not") {
+    val frames = (0 until 3).map(f =>
+      Multimodal.encodePng(9, 8, (x, y) => (f * 11 + x * 13 + y * 29) % 256))
+    val origBytes = Multimodal.encodeVideo(frames, fps = 4)
+    val reencBytes = Multimodal.encodeVideo(frames, fps = 8)
+    val reordered = Multimodal.encodeVideo(frames.reverse, fps = 4)
+    assert(!java.util.Arrays.equals(origBytes, reencBytes),
+      "containers must differ at byte level — that is what exact dedup misses")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .appName("videofp-spec").getOrCreate()
+    try {
+      import spark.implicits._
+      val media = Seq(Multimodal.MediaRow(1, "video/gvid", origBytes),
+        Multimodal.MediaRow(2, "video/gvid", reencBytes),
+        Multimodal.MediaRow(3, "video/gvid", reordered)).toDF()
+      val got = Multimodal.videoSeqFingerprint(media, stride = 1).collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+        .toMap
+      assert(got(1L)._1 == 3 && got(1L)._2 == 3)
+      assert(got(1L)._3 == got(2L)._3, "re-encoded identical frames must group")
+      assert(got(1L)._3 != got(3L)._3, "the fold must be order-sensitive")
+    } finally spark.stop()
+  }
 }
