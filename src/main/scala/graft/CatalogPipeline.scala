@@ -1164,34 +1164,26 @@ object CatalogPipeline {
         k = 30, stride = 4, maxExt = 300, bucketCap = 8)
       .orderBy("doc_id", "span_start")
 
-  /** The p79/p81 anchor-extend-merge chain (shared CTE prefix): anchors →
-    * keep-first ranking → witness×canonical pairs → capped greedy
-    * extension (prefix-monotone list_filter count = the greedy loop) →
-    * island merge. Ends after `mi` (merged islands). */
-  private def substrChainSql(k: Int, stride: Int, maxExt: Int,
-                             cap: Int): String =
-    s"""dup AS MATERIALIZED ($dupCorpusSql),
-       |anch AS MATERIALIZED (
-       |  SELECT doc_id, pos, gram FROM (
+  /** The content-keyed anchor selection over one (doc_id, text) relation
+    * — the SQL twin of Dedup.contentAnchors, shared by the intra-corpus
+    * chain and the p93 two-relation decontamination chain. */
+  private def anchorSql(rel: String, k: Int, stride: Int): String =
+    s"""SELECT doc_id, pos, gram FROM (
        |    SELECT doc_id, pos, substr(text, pos + 1, $k) AS gram FROM (
        |      SELECT doc_id, text, unnest(range(length(text) - ${k - 1})) AS pos
-       |      FROM dup WHERE length(text) >= $k))
+       |      FROM $rel WHERE length(text) >= $k))
        |  WHERE (list_reduce(list_prepend(0::BIGINT,
        |           list_transform(range(length(gram)),
        |             c -> ascii(substr(gram, CAST(c + 1 AS INT), 1))::BIGINT)),
-       |           (acc, x) -> (acc * 31 + x) % 1000000007)) % $stride = 0),
-       |r AS MATERIALIZED (
-       |  SELECT doc_id, pos, gram,
-       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
-       |  FROM anch),
-       |pr AS (SELECT c.gram, c.doc_id AS a_id, c.pos AS a_pos,
-       |         w.doc_id AS b_id, w.pos AS b_pos
-       |       FROM r c JOIN r w ON w.gram = c.gram
-       |       WHERE c.rn = 1 AND w.rn BETWEEN 2 AND $cap),
-       |px AS (SELECT pr.*, da.text AS atext, db.text AS btext
-       |       FROM pr JOIN dup da ON da.doc_id = pr.a_id
-       |               JOIN dup db ON db.doc_id = pr.b_id),
-       |sp AS (SELECT b_id AS doc_id,
+       |           (acc, x) -> (acc * 31 + x) % 1000000007)) % $stride = 0""".stripMargin
+
+  /** Capped greedy extension + island merge (the SQL twin of
+    * Dedup.extendMergeIslands): expects a `px` CTE carrying
+    * (b_id, b_pos, a_pos, atext, btext); emits sp → fl → isl → mi,
+    * ending after `mi` (merged islands), no trailing comma. The
+    * prefix-monotone list_filter count IS the greedy loop. */
+  private def extendIslandsSql(k: Int, maxExt: Int): String =
+    s"""sp AS (SELECT b_id AS doc_id,
        |         b_pos - len(list_filter(range(1, ${maxExt + 1}), e ->
        |           e <= least(a_pos, b_pos) AND
        |           substr(atext, CAST(a_pos - e + 1 AS INT), CAST(e AS INT))
@@ -1214,6 +1206,27 @@ object CatalogPipeline {
        |           ROWS UNBOUNDED PRECEDING) AS island FROM fl),
        |mi AS (SELECT doc_id, island, min(s0) AS ss, max(e0) AS ee
        |       FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  /** The p79/p81 anchor-extend-merge chain (shared CTE prefix): anchors →
+    * keep-first ranking → witness×canonical pairs → capped greedy
+    * extension → island merge. Ends after `mi` (merged islands). */
+  private def substrChainSql(k: Int, stride: Int, maxExt: Int,
+                             cap: Int): String =
+    s"""dup AS MATERIALIZED ($dupCorpusSql),
+       |anch AS MATERIALIZED (
+       |  ${anchorSql("dup", k, stride)}),
+       |r AS MATERIALIZED (
+       |  SELECT doc_id, pos, gram,
+       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |  FROM anch),
+       |pr AS (SELECT c.gram, c.doc_id AS a_id, c.pos AS a_pos,
+       |         w.doc_id AS b_id, w.pos AS b_pos
+       |       FROM r c JOIN r w ON w.gram = c.gram
+       |       WHERE c.rn = 1 AND w.rn BETWEEN 2 AND $cap),
+       |px AS (SELECT pr.*, da.text AS atext, db.text AS btext
+       |       FROM pr JOIN dup da ON da.doc_id = pr.a_id
+       |               JOIN dup db ON db.doc_id = pr.b_id),
+       |${extendIslandsSql(k, maxExt)}""".stripMargin
 
   private def substrSpansOracleSql: String =
     s"""WITH ${substrChainSql(30, 4, 300, 8)}
@@ -1251,6 +1264,86 @@ object CatalogPipeline {
        |  md5(coalesce(cl.clean, d.text)) AS clean_hash
        |FROM dup d LEFT JOIN st USING (doc_id) LEFT JOIN cl USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** Corpus with eval-set sentences embedded MID-PARAGRAPH at unaligned
+    * character offsets: every 9th (non-eval) doc gets a 140-char slice
+    * (from char 23 — mid-word) of a deterministic eval doc spliced in
+    * after char 50. The p21 word-n-gram screen sees only a sub-threshold
+    * fraction of corrupted-boundary grams; content-keyed char anchors
+    * catch the slice at any offset. */
+  private def contamCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ev = docs.select(col("doc_id").as("e_id"), col("text").as("e_text"))
+    docs.withColumn("e_id", (col("doc_id") % 5) * 97)
+      .join(broadcast(ev), Seq("e_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 0 && col("doc_id") % 97 =!= 0 &&
+            col("e_text").isNotNull,
+          concat(substring(col("text"), 1, 50),
+            substring(col("e_text"), 23, 140),
+            expr("substring(text, 51)")))
+          .otherwise(col("text")).as("text"))
+  }
+
+  // NB: no line may start with "||" — this string is re-embedded in a
+  // stripMargin oracle, which would eat the first bar of the operator
+  private val contamCorpusSql =
+    """SELECT d.doc_id,
+      | CASE WHEN d.doc_id % 9 = 0 AND d.doc_id % 97 <> 0
+      |           AND e.text IS NOT NULL
+      |      THEN substr(d.text, 1, 50) || substr(e.text, 23, 140) ||
+      |           substr(d.text, 51)
+      |      ELSE d.text END AS text
+      |FROM documents d LEFT JOIN documents e
+      |  ON e.doc_id = (d.doc_id % 5) * 97""".stripMargin
+
+  /** Substring-level decontamination
+    * ([[graft.pipeline.Dedup.substrContamination]]): the p79 anchor
+    * machinery pointed at the p21 eval set (every 97th doc), so eval
+    * text is caught at ARBITRARY offsets — the planted mid-paragraph
+    * unaligned slices that fixed word n-grams under-count. */
+  private def p93(s: SparkSession, d: String): DataFrame =
+    Dedup.substrContamination(contamCorpus(s, d),
+        Tables.documents(s, d).where(col("doc_id") % 97 === 0)
+          .select("doc_id", "text"),
+        "doc_id", "text", k = 30, stride = 4, maxExt = 300, bucketCap = 8,
+        minFrac = 0.05)
+      .orderBy("doc_id")
+
+  private def substrContamOracleSql: String =
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+       |corp AS MATERIALIZED ($contamCorpusSql),
+       |eanch AS MATERIALIZED (
+       |  ${anchorSql("ev", 30, 4)}),
+       |canch AS MATERIALIZED (
+       |  ${anchorSql("corp", 30, 4)}),
+       |re AS (SELECT gram, doc_id AS a_id, pos AS a_pos FROM (
+       |    SELECT gram, doc_id, pos,
+       |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |    FROM eanch) WHERE rn = 1),
+       |rc AS (SELECT gram, doc_id AS b_id, pos AS b_pos FROM (
+       |    SELECT gram, doc_id, pos,
+       |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |    FROM canch) WHERE rn <= 8),
+       |px AS (SELECT rc.b_id, rc.b_pos, re.a_pos,
+       |         ea.text AS atext, cb.text AS btext
+       |       FROM rc JOIN re USING (gram)
+       |       JOIN ev ea ON ea.doc_id = re.a_id
+       |       JOIN corp cb ON cb.doc_id = rc.b_id),
+       |${extendIslandsSql(30, 300)},
+       |st AS (SELECT doc_id, count(*) AS n_spans, sum(ee - ss) AS contam_chars
+       |       FROM mi GROUP BY doc_id),
+       |fr AS (SELECT c.doc_id,
+       |         CAST(coalesce(st.n_spans, 0) AS INT) AS n_spans,
+       |         CAST(coalesce(st.contam_chars, 0) AS BIGINT) AS contam_chars,
+       |         round(CASE WHEN length(c.text) > 0
+       |           THEN coalesce(st.contam_chars, 0)::DOUBLE / length(c.text)
+       |           ELSE 0.0 END, 6) AS contam_frac
+       |       FROM corp c LEFT JOIN st USING (doc_id))
+       |SELECT doc_id, n_spans, contam_chars, contam_frac,
+       |       contam_frac >= 0.05 AS contaminated
+       |FROM fr ORDER BY doc_id""".stripMargin
 
   /** Content-defined chunking ([[graft.pipeline.TextAnalysis.cdcChunks]])
     * over the dup corpus: 16-gram rolling-hash boundaries at stride 32 —
@@ -3217,6 +3310,7 @@ object CatalogPipeline {
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     Q("p79_substr_dedup", p79, Some(substrSpansOracleSql)),
     Q("p81_substr_scrub", p81, Some(substrScrubOracleSql)),
+    Q("p93_substr_contamination", p93, Some(substrContamOracleSql)),
     Q("p82_cdc_chunks", p82, Some(cdcOracleSql)),
     Q("p87_cdc_dedup", p87, Some(cdcDedupOracleSql)),
     Q("p83_roc_auc", p83, Some(rocAucOracleSql)),

@@ -600,48 +600,35 @@ object Dedup {
     * a self-join on the anchor relation bounded by bucketCap; texts ship
     * only to PAIR rows (bounded by duplicated-anchor volume, not corpus
     * volume). Nothing is all-pairs, nothing is corpus-broadcast. */
-  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
-                       k: Int, stride: Int, maxExt: Int,
-                       bucketCap: Int): DataFrame = {
-    require(k >= 4, s"k=$k")
-    require(stride >= 1, s"stride=$stride")
-    require(maxExt >= 0, s"maxExt=$maxExt")
-    require(bucketCap >= 2, s"bucketCap=$bucketCap")
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    graft.functions.RollingAnchors.register(df.sparkSession)
-    // read three times (gram stream + both extension sides): the
-    // operator's working set, freed with the caller's caches. Serialized
-    // + disk-spillable on purpose — this relation holds FULL corpus
-    // texts, much heavier than the narrow (id, key) working sets the
-    // other persists here cache, so deserialized-on-heap residency would
-    // pressure execution memory for the rest of the session.
-    val d = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // O(n) rolling-hash anchor selection, then gram strings extracted
-    // only AT anchors (~n/stride of positions) — the naive per-position
-    // substr+hash spelling allocates O(n·k) bytes per document
-    val anchors = d.where(length(col("text")) >= k)
+  /** Content-keyed anchor positions + grams over a (doc_id, text)
+    * relation — the shared front end of [[exactSubstrSpans]] and
+    * [[substrContamination]]. O(n) rolling-hash selection; gram strings
+    * extracted only AT anchors (~n/stride of positions). Because the
+    * anchor rule depends only on CONTENT, two copies of a duplicated
+    * substring anchor at the same content-relative positions even across
+    * relations. */
+  private def contentAnchors(d: DataFrame, k: Int, stride: Int): DataFrame = {
+    val par = d.sparkSession.sparkContext.defaultParallelism
+    graft.functions.RollingAnchors.register(d.sparkSession)
+    d.where(length(col("text")) >= k)
       .repartition(par)
       .select(col("doc_id"), col("text"),
         explode(call_function("rolling_anchors", col("text"), lit(k),
           lit(stride))).as("pos"))
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, pos + 1, $k)").as("gram"))
-    val w = Window.partitionBy("gram").orderBy("doc_id", "pos")
-    // persist: the canonical and witness sides both read this relation —
-    // without it the gram explosion (the dominant O(n·k) map cost) and
-    // the anchor shuffle run twice. Backs the lazily-returned result →
-    // the operator's working set, freed with the caller's caches
-    val ranked = anchors.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= bucketCap)
-      .persist()
-    val canon = ranked.where(col("rn") === 1)
-      .select(col("gram"), col("doc_id").as("a_id"), col("pos").as("a_pos"))
-    val wit = ranked.where(col("rn") > 1)
-      .select(col("gram"), col("doc_id").as("b_id"), col("pos").as("b_pos"))
-    // row-local greedy extension in CODE POINTS (matching Spark
-    // length/substr and DuckDB length/substr semantics — Java charAt
-    // would count UTF-16 units and diverge beyond the BMP)
+  }
+
+  /** Greedy both-direction extension of witness anchors against their
+    * canonical occurrence, then per-doc maximal-island merge — the shared
+    * back end of [[exactSubstrSpans]] and [[substrContamination]].
+    * `pairs` carries (b_id, b_pos, a_pos, atext, btext); returns one row
+    * per island (doc_id, span_start, span_len), offsets in code points.
+    * Extension is row-local in CODE POINTS (matching Spark length/substr
+    * and DuckDB length/substr — Java charAt would count UTF-16 units and
+    * diverge beyond the BMP). */
+  private def extendMergeIslands(pairs: DataFrame, k: Int,
+                                 maxExt: Int): DataFrame = {
     val ext = udf((aText: String, aPos: Int, bText: String, bPos: Int) => {
       val ac = aText.codePoints().toArray
       val bc = bText.codePoints().toArray
@@ -654,9 +641,7 @@ object Dedup {
         ac(aPos + k + er) == bc(bPos + k + er)) er += 1
       (el, er)
     })
-    val spans = wit.join(canon, "gram")
-      .join(d.select(col("doc_id").as("a_id"), col("text").as("atext")), "a_id")
-      .join(d.select(col("doc_id").as("b_id"), col("text").as("btext")), "b_id")
+    val spans = pairs
       .withColumn("e", ext(col("atext"), col("a_pos"),
         col("btext"), col("b_pos")))
       .select(col("b_id").as("doc_id"),
@@ -678,6 +663,102 @@ object Dedup {
       .agg(min("start").as("span_start"), max("endp").as("span_end"))
       .select(col("doc_id"), col("span_start").cast("int").as("span_start"),
         (col("span_end") - col("span_start")).cast("int").as("span_len"))
+  }
+
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, stride: Int, maxExt: Int,
+                       bucketCap: Int): DataFrame = {
+    require(k >= 4, s"k=$k")
+    require(stride >= 1, s"stride=$stride")
+    require(maxExt >= 0, s"maxExt=$maxExt")
+    require(bucketCap >= 2, s"bucketCap=$bucketCap")
+    // read three times (gram stream + both extension sides): the
+    // operator's working set, freed with the caller's caches. Serialized
+    // + disk-spillable on purpose — this relation holds FULL corpus
+    // texts, much heavier than the narrow (id, key) working sets the
+    // other persists here cache, so deserialized-on-heap residency would
+    // pressure execution memory for the rest of the session.
+    val d = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val w = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    // persist: the canonical and witness sides both read this relation —
+    // without it the gram explosion (the dominant O(n·k) map cost) and
+    // the anchor shuffle run twice. Backs the lazily-returned result →
+    // the operator's working set, freed with the caller's caches
+    val ranked = contentAnchors(d, k, stride)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= bucketCap)
+      .persist()
+    val canon = ranked.where(col("rn") === 1)
+      .select(col("gram"), col("doc_id").as("a_id"), col("pos").as("a_pos"))
+    val wit = ranked.where(col("rn") > 1)
+      .select(col("gram"), col("doc_id").as("b_id"), col("pos").as("b_pos"))
+    val pairs = wit.join(canon, "gram")
+      .join(d.select(col("doc_id").as("a_id"), col("text").as("atext")), "a_id")
+      .join(d.select(col("doc_id").as("b_id"), col("text").as("btext")), "b_id")
+    extendMergeIslands(pairs, k, maxExt)
+  }
+
+  /** Substring-level benchmark decontamination — [[contaminationFlags]]'s
+    * screen upgraded from fixed word n-grams to ARBITRARY character
+    * offsets, by pointing [[exactSubstrSpans]]'s content-keyed anchor
+    * machinery at an eval set: corpus anchors that match an eval-set
+    * anchor gram extend against the eval occurrence, overlapping matches
+    * merge into islands, and every corpus document reports
+    * (doc_id, n_spans, contam_chars, contam_frac, contaminated) with
+    * `contam_frac` = contaminated code points / document length and the
+    * flag at `minFrac`. An eval sentence embedded mid-paragraph at an
+    * unaligned offset — which shifts every fixed-width span boundary and
+    * corrupts the boundary words' n-grams — is caught because anchors
+    * are chosen by CONTENT, so the shared substring anchors at the same
+    * content-relative positions in both relations.
+    *
+    * Scale shape: the corpus side anchors at ~1/stride of positions
+    * map-side before any exchange; the eval side is the small side by
+    * construction (eval sets are thousands of docs against a 100 TB
+    * corpus) and keeps ONE canonical occurrence per gram; pairing is a
+    * join on the anchor gram bounded by `bucketCap` corpus witnesses
+    * per gram; texts ship only to matched-pair rows. */
+  def substrContamination(corpus: DataFrame, evalSet: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int, stride: Int, maxExt: Int,
+                          bucketCap: Int, minFrac: Double): DataFrame = {
+    require(k >= 4, s"k=$k")
+    require(stride >= 1, s"stride=$stride")
+    require(maxExt >= 0, s"maxExt=$maxExt")
+    require(bucketCap >= 1, s"bucketCap=$bucketCap")
+    val dc = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val de = evalSet.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .persist()
+    val w = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    // ONE canonical eval occurrence per gram (first in (doc_id, pos)
+    // order) — extension against any occurrence of the shared content
+    // yields the same island, so one witness-per-gram is lossless here
+    val canon = contentAnchors(de, k, stride)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("gram"), col("doc_id").as("a_id"), col("pos").as("a_pos"))
+    val wit = contentAnchors(dc, k, stride)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= bucketCap)
+      .select(col("gram"), col("doc_id").as("b_id"), col("pos").as("b_pos"))
+    val pairs = wit.join(canon, "gram")
+      .join(de.select(col("doc_id").as("a_id"), col("text").as("atext")), "a_id")
+      .join(dc.select(col("doc_id").as("b_id"), col("text").as("btext")), "b_id")
+    val stats = extendMergeIslands(pairs, k, maxExt)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum("span_len").cast("long").as("contam_chars"))
+    dc.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("contam_chars"), lit(0L)).as("contam_chars"),
+        round(when(col("len") > 0,
+          coalesce(col("contam_chars"), lit(0L)).cast("double") / col("len"))
+          .otherwise(lit(0.0)), 6).as("contam_frac"))
+      .withColumn("contaminated", col("contam_frac") >= minFrac)
   }
 
   /** [[exactSubstrSpans]] applied: remove every reported island from its

@@ -195,6 +195,35 @@ class CurationScrubSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$plan")
   }
 
+  test("substrContamination catches an unaligned eval slice the n-gram screen under-counts") {
+    import spark.implicits._
+    // eval sentence; the corpus doc embeds eval.substring(10, 55) —
+    // starting MID-WORD — after char 123 of 240 chars of filler
+    val evalText = "the quick brown fox jumps over a lazy dog while the band plays waltzes on"
+    val filler = (1 to 40).map(i => f"w$i%03d").mkString(" ") // 240 chars, no letters shared with the slice boundaries
+    val slice = evalText.substring(10, 55) // 45 chars, unaligned both ends
+    val doc1 = filler.substring(0, 123) + slice + filler.substring(123)
+    val corpus = Seq((1L, doc1), (2L, filler)).toDF("id", "text")
+    val bench = Seq((100L, evalText)).toDF("id", "text")
+
+    // the word-5-gram screen sees only the slice's few interior grams —
+    // far under its 0.3 fraction threshold → NOT flagged
+    val p21 = Dedup.contaminationFlags(corpus, bench, "id", "text",
+        n = 5, minFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(!p21(1L), "the fixture must be one the fixed n-gram screen misses")
+
+    // char-level anchors catch the exact 45-char island at its offset
+    val got = Dedup.substrContamination(corpus, bench, "id", "text",
+        k = 20, stride = 1, maxExt = 100, bucketCap = 8, minFrac = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L)._1 == 1, s"one island expected: ${got(1L)}")
+    assert(got(1L)._2 == 45L, s"exact slice length expected: ${got(1L)}")
+    assert(got(1L)._4, "substring decontamination must flag the doc")
+    assert(got(2L) === ((0, 0L, 0.0, false)))
+  }
+
   test("piiScrub counts and redacts emails, phones, IPv4; order prevents half-matches") {
     import spark.implicits._
     val df = Seq(
