@@ -68,12 +68,27 @@ object MinhashBandKeys {
   def kernel(words: ArrayData, n: Int, numHashes: Int, bandRows: Int): ArrayData = {
     val m = words.numElements()
     if (m < n || n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val ws = new Array[String](m)
+    var k = 0
+    while (k < m) { ws(k) = words.getUTF8String(k).toString; k += 1 }
+    val sig = sigOf(ws, n, numHashes)
+    if (sig.isEmpty) new GenericArrayData(Array.emptyLongArray)
+    else new GenericArrayData(bandsOf(sig, bandRows))
+  }
+
+  /** MinHash signature of a word sequence's n-grams — the batch kernel as
+    * a plain-Scala function, shared with the streaming near-dup state
+    * ([[graft.streaming.DedupStream]]) so stream and batch signatures are
+    * bit-identical. Empty when fewer than n words. */
+  def sigOf(words: Array[String], n: Int, numHashes: Int): Array[Long] = {
+    val m = words.length
+    if (m < n || n <= 0) return Array.emptyLongArray
     // per-word rolling hash + 31^len, each character folded exactly once
     val wh = new Array[Long](m)
     val wp = new Array[Long](m)
     var k = 0
     while (k < m) {
-      val s = words.getUTF8String(k).toString
+      val s = words(k)
       var h = 0L; var p = 1L
       var i = 0
       while (i < s.length) {
@@ -114,8 +129,14 @@ object MinhashBandKeys {
       sig(s) = mn
       s += 1
     }
-    // banded fold keys, seeded by band index
-    val bands = numHashes / bandRows
+    sig
+  }
+
+  /** Banded fold keys over a signature, seeded by band index — the LSH
+    * bucket keys both the batch pair generator and the streaming state
+    * group on. */
+  def bandsOf(sig: Array[Long], bandRows: Int): Array[Long] = {
+    val bands = sig.length / bandRows
     val out = new Array[Long](bands)
     var bi = 0
     while (bi < bands) {
@@ -128,7 +149,7 @@ object MinhashBandKeys {
       out(bi) = h
       bi += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
   val info = new ExpressionInfo(classOf[MinhashBandKeys].getName, "minhash_band_keys")

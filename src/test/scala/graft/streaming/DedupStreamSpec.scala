@@ -60,6 +60,78 @@ class DedupStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming NEAR-dup: cross-batch near-duplicates match band owners; finisher resolves chains") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val a1 = "alpha beta gamma delta epsilon zeta eta theta"
+      val a2 = "alpha beta gamma delta epsilon zeta eta iota"   // near-dup of a1
+      val a3 = "alpha beta gamma delta epsilon zeta eta iota kappa" // near-dup of a2
+      val b1 = "one two three four five six seven eight"
+      val all = Seq(
+        DedupStream.Doc(1, ts(0), a1),
+        DedupStream.Doc(2, ts(1), b1),
+        DedupStream.Doc(3, ts(10), a2),   // cross-batch near-dup of 1
+        DedupStream.Doc(4, ts(20), a3))   // cross-batch near-dup of 3 (and 1)
+      val mem = MemoryStream[DedupStream.Doc]
+      val q = DedupStream.nearDedupStream(mem.toDS(), n = 2, numHashes = 64,
+          bandRows = 4, watermark = "5 minutes")
+        .writeStream.format("memory").queryName("neardup")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        all.grouped(2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        val cands = spark.table("neardup")
+
+        // batch reference: fold the SAME owner rule over the log in
+        // (ts, doc_id) order — cross-batch matches hit earlier state
+        val owners = scala.collection.mutable.Map[Long, (Long, Array[Long])]()
+        val want = scala.collection.mutable.Set[(Long, Long, Long, Double)]()
+        all.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+          val sig = graft.functions.MinhashBandKeys.sigOf(
+            d.text.split(" ").filter(_.nonEmpty), 2, 64)
+          graft.functions.MinhashBandKeys.bandsOf(sig, 4).foreach { bk =>
+            owners.get(bk) match {
+              case Some((oid, osig)) =>
+                val eq = sig.zip(osig).count(p => p._1 == p._2)
+                want += ((d.doc_id, bk, oid, eq.toDouble / 64))
+              case None => owners(bk) = (d.doc_id, sig)
+            }
+          }
+        }
+        val got = cands.collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+          .toSet
+        assert(got == want.toSet, s"stream/batch candidate mismatch")
+        assert(got.exists(c => c._1 == 3 && c._3 == 1),
+          "doc 3 must match doc 1's bands across batches")
+        assert(got.exists(c => c._1 == 4 && c._3 == 3),
+          "doc 4 must match a band doc 3 owns")
+        assert(!got.exists(c => c._1 == 2), "unrelated doc must match nothing")
+
+        // finisher: edges at minSim → connected components → keep-list;
+        // the whole a-family resolves to canonical 1 transitively
+        val verdicts = DedupStream.resolveNearVerdicts(
+            all.map(_.doc_id).toDF("doc_id"), cands.toDF(), minSim = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          .toSet
+        assert(verdicts == Set((1L, 1L, true), (2L, 2L, true),
+          (3L, 1L, false), (4L, 1L, false)))
+      } finally q.stop()
+    }
+  }
+
+  test("near-dup state TTL: evictionless setup requires the explicit opt-in") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[DedupStream.Doc]
+      val ex = intercept[IllegalArgumentException] {
+        DedupStream.nearDedupStream(mem.toDS(), stateTtlMs = None)
+      }
+      assert(ex.getMessage.contains("unboundedKeys"))
+    }
+  }
+
   test("default TTL evicts: a repeat after 24h idle becomes a new canonical") {
     withSpark { spark =>
       import spark.implicits._
