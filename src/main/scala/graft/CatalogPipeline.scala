@@ -1265,6 +1265,18 @@ object CatalogPipeline {
        |FROM dup d LEFT JOIN st USING (doc_id) LEFT JOIN cl USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Unigram-LM tokenizer induction ([[graft.pipeline.Unigram.train]]):
+    * SentencePiece-style hard-EM prune over a seeded substring
+    * vocabulary — the second production tokenizer family next to the
+    * p31/p33/p78 BPE chain. Integer centi-nat scores keep the Viterbi
+    * DP engine-exact; the oracle unrolls both EM iterations into
+    * MATERIALIZED DP chains. */
+  private def p91(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Unigram.train(Tables.documents(s, d), "text",
+        maxTokLen = 4, maxWordLen = 12, maxVocab = 200, minFreq = 5,
+        emIters = 2)
+      .orderBy("tok")
+
   /** Corpus with eval-set sentences embedded MID-PARAGRAPH at unaligned
     * character offsets: every 9th (non-eval) doc gets a 140-char slice
     * (from char 23 — mid-word) of a deterministic eval doc spliced in
@@ -3310,6 +3322,8 @@ object CatalogPipeline {
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     Q("p79_substr_dedup", p79, Some(substrSpansOracleSql)),
     Q("p81_substr_scrub", p81, Some(substrScrubOracleSql)),
+    Q("p91_unigram_vocab", p91,
+      Some(graft.pipeline.Unigram.oracleSql(4, 12, 200, 5, 2))),
     Q("p93_substr_contamination", p93, Some(substrContamOracleSql)),
     Q("p82_cdc_chunks", p82, Some(cdcOracleSql)),
     Q("p87_cdc_dedup", p87, Some(cdcDedupOracleSql)),

@@ -1,0 +1,262 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer induction by hard-EM prune
+  * (Kudo 2018, arXiv:1804.10959) — the OTHER production tokenizer family
+  * next to BPE merges ([[Bpe]]): seed a large substring vocabulary, then
+  * alternate (E) Viterbi-segment the corpus under current token scores
+  * and (M) re-score from segmentation counts, pruning multi-character
+  * tokens the optimal segmentations stopped using. Single code points
+  * are never pruned (coverage, the SentencePiece discipline).
+  *
+  * Determinism contract (what makes the DuckDB oracle bit-exact):
+  *   - scores are INTEGER centi-nats: nll = round(100·ln(total/freq)).
+  *     Integer DP costs compare exactly — no float-sum ulp divergence
+  *     between engines can flip a Viterbi comparison. (The one double op,
+  *     ln of a ratio of integers, is rounded to 0.01 nat; a flip would
+  *     need libm implementations ~1e-13 apart exactly at a rounding
+  *     boundary.)
+  *   - Viterbi ties break by (cost, token count, md5 of the ␟-joined
+  *     token path) — md5 hex is ASCII, so Java string order and UTF-8
+  *     byte order agree; comparing raw paths would diverge above the BMP
+  *     (UTF-16 code-unit vs UTF-8 byte order).
+  *   - all slicing is in CODE POINTS (Spark length/substr, DuckDB
+  *     length/substr, and the UDF's codePoints all agree).
+  *   - training words longer than `maxWordLen` code points are excluded
+  *     (SentencePiece's max-sentencepiece-length discipline) in both
+  *     engines.
+  *
+  * Scale shape (100 TB): the corpus is scanned ONCE into the word
+  * histogram ([[Bpe.wordHistogram]] — the same reduction BPE trains on);
+  * every E-step is a map-only Viterbi UDF over the DISTINCT-WORD relation
+  * plus one map-side-combinable count aggregate; the vocabulary (≤
+  * distinct code points + `maxVocab` substrings) and its per-iteration
+  * counts are bounded driver artifacts like the IVF centroids and the BPE
+  * merge list — `emIters` rounds total, never a per-merge loop.
+  */
+object Unigram {
+
+  /** Separator for the tie-break path string — [[Bpe.Sep]], guaranteed
+    * absent from any token by [[Bpe.wordHistogram]]'s filter. */
+  private val Sep = Bpe.Sep
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def cpCount(s: String): Int = s.codePointCount(0, s.length)
+
+  /** All code-point substrings of length 1..maxTokLen — the seed
+    * candidate stream (one row per occurrence, overlaps included). */
+  private def cpSubstrings(word: String, maxTokLen: Int): Seq[String] = {
+    val cps = word.codePoints().toArray
+    val out = Seq.newBuilder[String]
+    var s = 0
+    while (s < cps.length) {
+      var l = 1
+      while (l <= maxTokLen && s + l <= cps.length) {
+        out += new String(cps, s, l)
+        l += 1
+      }
+      s += 1
+    }
+    out.result()
+  }
+
+  /** Viterbi segmentation of one word under integer token costs; ties by
+    * (cost, token count, md5 of the joined path) — see the determinism
+    * contract above. Every single code point of a training word is in
+    * the vocabulary, so a path always exists. */
+  private[pipeline] def viterbi(word: String, nll: collection.Map[String, Int],
+                                maxTokLen: Int): Seq[String] = {
+    val cps = word.codePoints().toArray
+    val L = cps.length
+    // dp(k): (cost, nTokens, pathKey, path) — best segmentation of the
+    // first k code points
+    val dp = new Array[(Long, Int, String, Vector[String])](L + 1)
+    dp(0) = (0L, 0, "", Vector.empty)
+    var k = 1
+    while (k <= L) {
+      var best: (Long, Int, String, Vector[String]) = null
+      var j = math.max(0, k - maxTokLen)
+      while (j < k) {
+        if (dp(j) != null) {
+          val tok = new String(cps, j, k - j)
+          nll.get(tok) match {
+            case Some(c) =>
+              val path = dp(j)._4 :+ tok
+              val key = md5hex(path.mkString(Sep))
+              val cand = (dp(j)._1 + c, dp(j)._2 + 1, key, path)
+              if (best == null ||
+                cand._1 < best._1 ||
+                (cand._1 == best._1 && (cand._2 < best._2 ||
+                  (cand._2 == best._2 && cand._3 < best._3))))
+                best = cand
+            case None => ()
+          }
+        }
+        j += 1
+      }
+      dp(k) = best
+      k += 1
+    }
+    require(dp(L) != null, s"unsegmentable word (vocab missing a code point): $word")
+    dp(L)._4
+  }
+
+  private def centiNll(total: Long, freq: Long): Int =
+    math.round(100.0 * math.log(total.toDouble / freq)).toInt
+
+  /** Train the unigram vocabulary on `df(textCol)`: seed → `emIters` ×
+    * (Viterbi E-step, prune-and-rescore M-step). Returns one row per
+    * surviving token: (tok, cnt, nll_c) where `cnt` is the final
+    * E-step's raw Viterbi count (0 possible for never-used single code
+    * points, whose score floors at freq 1) and `nll_c` the integer
+    * centi-nat score. */
+  def train(df: DataFrame, textCol: String, maxTokLen: Int = 4,
+            maxWordLen: Int = 12, maxVocab: Int = 200, minFreq: Int = 5,
+            emIters: Int = 2): DataFrame = {
+    require(maxTokLen >= 1 && maxWordLen >= 1 && maxVocab >= 1 &&
+      minFreq >= 1 && emIters >= 1, "all unigram parameters must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // one corpus scan; every later pass is over the distinct-word relation
+    val hist = Bpe.wordHistogram(df, textCol)
+      .where(length(col("word")) <= maxWordLen)
+      .localCheckpoint()
+    val subUdf = udf((w: String) => cpSubstrings(w, maxTokLen))
+    val seedFreqs = hist
+      .select(explode(subUdf(col("word"))).as("tok"), col("cnt"))
+      .groupBy("tok").agg(sum("cnt").as("freq"))
+      .persist()
+    val singles = seedFreqs.where(length(col("tok")) === 1)
+    val multis = seedFreqs.where(length(col("tok")) >= 2 &&
+        col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(maxVocab)
+    // the vocabulary is a bounded driver artifact (≤ distinct code points
+    // + maxVocab rows) — the IVF-centroid / BPE-merge-list convention
+    var vocab: Map[String, Long] = singles.unionByName(multis).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var rawCnt: Map[String, Long] = Map.empty
+    var it = 0
+    while (it < emIters) {
+      val total = vocab.values.sum
+      val nll = vocab.map { case (t, f) => t -> centiNll(total, f) }
+      val bc = spark.sparkContext.broadcast(nll)
+      val segUdf = udf((w: String) => viterbi(w, bc.value, maxTokLen))
+      val counts = hist
+        .select(explode(segUdf(col("word"))).as("tok"), col("cnt"))
+        .groupBy("tok").agg(sum("cnt").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      rawCnt = vocab.keysIterator.map(t => t -> counts.getOrElse(t, 0L)).toMap
+      // M-step: singles always survive (score floored at freq 1); unused
+      // multi-char tokens are pruned
+      vocab = rawCnt.flatMap { case (t, c) =>
+        if (cpCount(t) == 1) Some(t -> math.max(c, 1L))
+        else if (c > 0) Some(t -> c)
+        else None
+      }
+      bc.unpersist()
+      it += 1
+    }
+    seedFreqs.unpersist()
+    val total = vocab.values.sum
+    val rows = vocab.toSeq.map { case (t, f) =>
+      (t, rawCnt(t), centiNll(total, f))
+    }
+    rows.toDF("tok", "cnt", "nll_c")
+  }
+
+  /** The DuckDB oracle: seed CTEs, then each EM iteration UNROLLED —
+    * a Viterbi DP chain dp{it}_k for k = 1..maxWordLen (each position one
+    * MATERIALIZED CTE whose `min(struct_pack(cost, n, key, path))` is
+    * exactly the UDF's tie-broken argmin), final segmentations, counts,
+    * and the prune-and-rescore vocabulary. Ends with the final vocab
+    * ordered by token (byte order — both engines). */
+  def oracleSql(maxTokLen: Int, maxWordLen: Int, maxVocab: Int,
+                minFreq: Int, emIters: Int): String = {
+    val S = "chr(31)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH w AS (SELECT word, count(*) AS cnt FROM (
+              |  SELECT unnest(list_filter(string_split(text, ' '),
+              |           x -> x <> '' AND NOT contains(x, $S))) AS word
+              |  FROM documents) GROUP BY word),
+              |tw AS MATERIALIZED (
+              |  SELECT word, cnt FROM w WHERE length(word) <= $maxWordLen),
+              |sf AS MATERIALIZED (
+              |  SELECT tok, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+              |    SELECT unnest(flatten(list_transform(range(length(word)), s ->
+              |      list_transform(range(1, 1 + least($maxTokLen, length(word) - s)),
+              |        l -> substr(word, CAST(s+1 AS INT), CAST(l AS INT))))))
+              |      AS tok, cnt
+              |    FROM tw) GROUP BY tok),
+              |v0 AS MATERIALIZED (
+              |  SELECT tok, freq FROM sf WHERE length(tok) = 1
+              |  UNION ALL
+              |  SELECT tok, freq FROM (
+              |    SELECT tok, freq FROM sf
+              |    WHERE length(tok) >= 2 AND freq >= $minFreq
+              |    ORDER BY freq DESC, tok LIMIT $maxVocab)),
+              |sc0 AS MATERIALIZED (
+              |  SELECT tok, CAST(round(100 * ln(
+              |    (SELECT sum(freq) FROM v0)::DOUBLE / freq)) AS INT) AS nll
+              |  FROM v0)""".stripMargin
+    for (it <- 1 to emIters) {
+      sb ++= s""",
+                |dp${it}_0 AS (SELECT word, 0::BIGINT AS cost, 0 AS n, '' AS path
+                |  FROM tw)""".stripMargin
+      for (k <- 1 to maxWordLen) {
+        val branches = (math.max(0, k - maxTokLen) until k).map { j =>
+          s"""SELECT d.word, d.cost + v.nll AS c, d.n + 1 AS nn,
+             |  md5(CASE WHEN d.path = '' THEN v.tok
+             |       ELSE d.path || $S || v.tok END) AS key,
+             |  CASE WHEN d.path = '' THEN v.tok
+             |       ELSE d.path || $S || v.tok END AS p
+             |FROM dp${it}_$j d JOIN sc${it - 1} v
+             |  ON v.tok = substr(d.word, ${j + 1}, ${k - j})
+             |WHERE length(d.word) >= $k""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        sb ++= s""",
+                  |dp${it}_$k AS MATERIALIZED (
+                  |  SELECT word, s['cost'] AS cost, s['n'] AS n, s['path'] AS path
+                  |  FROM (SELECT word, min(struct_pack(cost := c, n := nn,
+                  |          key := key, path := p)) AS s
+                  |        FROM ($branches) GROUP BY word))""".stripMargin
+      }
+      val fsUnion = (1 to maxWordLen)
+        .map(k => s"SELECT word, path FROM dp${it}_$k WHERE length(word) = $k")
+        .mkString("\nUNION ALL\n")
+      sb ++= s""",
+                |fs$it AS MATERIALIZED ($fsUnion),
+                |cnt$it AS MATERIALIZED (
+                |  SELECT tok, CAST(sum(cnt) AS BIGINT) AS c FROM (
+                |    SELECT unnest(string_split(f.path, $S)) AS tok, t.cnt
+                |    FROM fs$it f JOIN tw t USING (word))
+                |  GROUP BY tok),
+                |v$it AS MATERIALIZED (
+                |  SELECT v.tok,
+                |    CASE WHEN length(v.tok) = 1
+                |         THEN greatest(coalesce(c.c, 0), 1)
+                |         ELSE c.c END AS freq,
+                |    coalesce(c.c, 0) AS rawcnt
+                |  FROM v${it - 1} v LEFT JOIN cnt$it c USING (tok)
+                |  WHERE length(v.tok) = 1 OR coalesce(c.c, 0) > 0)""".stripMargin
+      if (it < emIters)
+        sb ++= s""",
+                  |sc$it AS MATERIALIZED (
+                  |  SELECT tok, CAST(round(100 * ln(
+                  |    (SELECT sum(freq) FROM v$it)::DOUBLE / freq)) AS INT) AS nll
+                  |  FROM v$it)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT tok, CAST(rawcnt AS BIGINT) AS cnt,
+              |  CAST(round(100 * ln(
+              |    (SELECT sum(freq) FROM v$emIters)::DOUBLE / freq)) AS INT)
+              |    AS nll_c
+              |FROM v$emIters ORDER BY tok""".stripMargin
+    sb.toString
+  }
+}
