@@ -91,15 +91,19 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_detail.json"),
         detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // TWO lines, headline first: the driver records a bounded window of
-    // stdout and r10's single fat line came back "parsed": null — the
-    // per-query map pushed the headline scalars past the cut. Line 1 is
-    // ~120 bytes of complete JSON (total, n_queries, calib, sf) that
-    // parses even if everything after it is truncated; line 2 carries the
-    // per-query medians with the calib probe repeated at its tail, so a
-    // contended run (r7, r9) is still self-evident from either line.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calib":$calib,"sf":$sfNum}""")
+    // Headline FIRST and LAST, queries in the middle: the driver records
+    // a bounded window of stdout and r10's single fat line came back
+    // "parsed": null — the per-query map pushed the headline scalars past
+    // the cut, and the recorded artifact shows the window is a TAIL
+    // (front-truncated). A ~130-byte complete-JSON headline line printed
+    // both before and after the query map survives either cut: a
+    // front-truncated capture still ends with a parseable headline line,
+    // a tail-truncated one still starts with one.
+    val headline =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calib":$calib,"sf":$sfNum}"""
+    println(headline)
     println(s"""{"queries":$qs,"calib_end":$calib}""")
+    println(headline)
     spark.stop()
   }
 }

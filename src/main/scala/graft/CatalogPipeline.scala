@@ -1277,6 +1277,16 @@ object CatalogPipeline {
         emIters = 2)
       .orderBy("tok")
 
+  /** Corpus-level unigram tokenization
+    * ([[graft.pipeline.Unigram.tokenizeDocs]]): the trained unigram
+    * vocabulary applied per DOCUMENT under the final EM iteration's
+    * segmentation — the p78 shape for the second tokenizer family. */
+  private def p94(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Unigram.tokenizeDocs(Tables.documents(s, d), "doc_id",
+        "text", maxTokLen = 4, maxWordLen = 12, maxVocab = 200, minFreq = 5,
+        emIters = 2)
+      .orderBy("doc_id")
+
   /** Corpus with eval-set sentences embedded MID-PARAGRAPH at unaligned
     * character offsets: every 9th (non-eval) doc gets a 140-char slice
     * (from char 23 — mid-word) of a deterministic eval doc spliced in
@@ -3324,6 +3334,8 @@ object CatalogPipeline {
     Q("p81_substr_scrub", p81, Some(substrScrubOracleSql)),
     Q("p91_unigram_vocab", p91,
       Some(graft.pipeline.Unigram.oracleSql(4, 12, 200, 5, 2))),
+    Q("p94_unigram_tokenize", p94,
+      Some(graft.pipeline.Unigram.tokenizeOracleSql(4, 12, 200, 5, 2))),
     Q("p93_substr_contamination", p93, Some(substrContamOracleSql)),
     Q("p82_cdc_chunks", p82, Some(cdcOracleSql)),
     Q("p87_cdc_dedup", p87, Some(cdcDedupOracleSql)),

@@ -109,19 +109,20 @@ object Unigram {
   private def centiNll(total: Long, freq: Long): Int =
     math.round(100.0 * math.log(total.toDouble / freq)).toInt
 
-  /** Train the unigram vocabulary on `df(textCol)`: seed → `emIters` ×
-    * (Viterbi E-step, prune-and-rescore M-step). Returns one row per
-    * surviving token: (tok, cnt, nll_c) where `cnt` is the final
-    * E-step's raw Viterbi count (0 possible for never-used single code
-    * points, whose score floors at freq 1) and `nll_c` the integer
-    * centi-nat score. */
-  def train(df: DataFrame, textCol: String, maxTokLen: Int = 4,
-            maxWordLen: Int = 12, maxVocab: Int = 200, minFreq: Int = 5,
-            emIters: Int = 2): DataFrame = {
+  /** The EM core shared by [[train]] and [[tokenizeDocs]]: the training
+    * histogram, the final (post-M-step) vocabulary with floored freqs,
+    * the final E-step's raw counts, and the scores that DROVE that final
+    * E-step (so the encode side can reproduce its exact segmentation). */
+  private case class EmResult(hist: DataFrame, vocab: Map[String, Long],
+                              rawCnt: Map[String, Long],
+                              lastNll: Map[String, Int])
+
+  private def runEm(df: DataFrame, textCol: String, maxTokLen: Int,
+                    maxWordLen: Int, maxVocab: Int, minFreq: Int,
+                    emIters: Int): EmResult = {
     require(maxTokLen >= 1 && maxWordLen >= 1 && maxVocab >= 1 &&
       minFreq >= 1 && emIters >= 1, "all unigram parameters must be >= 1")
     val spark = df.sparkSession
-    import spark.implicits._
     // one corpus scan; every later pass is over the distinct-word relation
     val hist = Bpe.wordHistogram(df, textCol)
       .where(length(col("word")) <= maxWordLen)
@@ -141,11 +142,12 @@ object Unigram {
     var vocab: Map[String, Long] = singles.unionByName(multis).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     var rawCnt: Map[String, Long] = Map.empty
+    var lastNll: Map[String, Int] = Map.empty
     var it = 0
     while (it < emIters) {
       val total = vocab.values.sum
-      val nll = vocab.map { case (t, f) => t -> centiNll(total, f) }
-      val bc = spark.sparkContext.broadcast(nll)
+      lastNll = vocab.map { case (t, f) => t -> centiNll(total, f) }
+      val bc = spark.sparkContext.broadcast(lastNll)
       val segUdf = udf((w: String) => viterbi(w, bc.value, maxTokLen))
       val counts = hist
         .select(explode(segUdf(col("word"))).as("tok"), col("cnt"))
@@ -163,11 +165,71 @@ object Unigram {
       it += 1
     }
     seedFreqs.unpersist()
-    val total = vocab.values.sum
-    val rows = vocab.toSeq.map { case (t, f) =>
-      (t, rawCnt(t), centiNll(total, f))
-    }
-    rows.toDF("tok", "cnt", "nll_c")
+    EmResult(hist, vocab, rawCnt, lastNll)
+  }
+
+  /** Train the unigram vocabulary on `df(textCol)`: seed → `emIters` ×
+    * (Viterbi E-step, prune-and-rescore M-step). Returns one row per
+    * surviving token: (tok, cnt, nll_c) where `cnt` is the final
+    * E-step's raw Viterbi count (0 possible for never-used single code
+    * points, whose score floors at freq 1) and `nll_c` the integer
+    * centi-nat score. */
+  def train(df: DataFrame, textCol: String, maxTokLen: Int = 4,
+            maxWordLen: Int = 12, maxVocab: Int = 200, minFreq: Int = 5,
+            emIters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val em = runEm(df, textCol, maxTokLen, maxWordLen, maxVocab, minFreq,
+      emIters)
+    val total = em.vocab.values.sum
+    em.vocab.toSeq.map { case (t, f) =>
+      (t, em.rawCnt(t), centiNll(total, f))
+    }.toDF("tok", "cnt", "nll_c")
+  }
+
+  /** Corpus-level unigram tokenization — the encode side [[train]] stops
+    * short of (the p78 shape for this tokenizer family): train, then emit
+    * each DOCUMENT's token-id sequence under the FINAL EM iteration's
+    * segmentation (the segmentation that produced the final counts, so
+    * every emitted token is in the final vocabulary by construction).
+    * Returns (doc_id, n_tokens, ids_hash); ids are the 1-based md5-rank
+    * of the token (portable across engine collations, the
+    * [[Bpe.tokenizeDocs]] convention); words longer than `maxWordLen`
+    * code points are dropped exactly as in training, and documents with
+    * no tokenizable words produce no row.
+    *
+    * Scale shape: word → token ids computes once over the DISTINCT-WORD
+    * histogram (map-only Viterbi off the corpus hot path); the corpus
+    * maps through one word-keyed join + one doc-keyed reassembly — the
+    * same two shuffles as the BPE corpus tokenizer. */
+  def tokenizeDocs(df: DataFrame, idCol: String, textCol: String,
+                   maxTokLen: Int = 4, maxWordLen: Int = 12,
+                   maxVocab: Int = 200, minFreq: Int = 5,
+                   emIters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val em = runEm(df, textCol, maxTokLen, maxWordLen, maxVocab, minFreq,
+      emIters)
+    val vmap = em.vocab.keysIterator.toSeq
+      .map(t => t -> md5hex(t)).sortBy(_._2)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }.toMap
+    val bcNll = spark.sparkContext.broadcast(em.lastNll)
+    val bcIds = spark.sparkContext.broadcast(vmap)
+    val idsUdf = udf((w: String) =>
+      viterbi(w, bcNll.value, maxTokLen).map(bcIds.value))
+    val wordIds = em.hist.select(col("word"), idsUdf(col("word")).as("ids"))
+    val docWords = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(filter(split(col(textCol), " "),
+          x => x =!= "" && !x.contains(Sep))))
+      .toDF("doc_id", "wpos", "word")
+    docWords.join(wordIds, "word")
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wpos"), col("ids")))),
+        p => p.getField("ids"))).as("ids"))
+      .select(col("doc_id"), size(col("ids")).as("n_tokens"),
+        md5(array_join(transform(col("ids"), _.cast("string")), ","))
+          .as("ids_hash"))
   }
 
   /** The DuckDB oracle: seed CTEs, then each EM iteration UNROLLED —
@@ -177,7 +239,49 @@ object Unigram {
     * and the prune-and-rescore vocabulary. Ends with the final vocab
     * ordered by token (byte order — both engines). */
   def oracleSql(maxTokLen: Int, maxWordLen: Int, maxVocab: Int,
-                minFreq: Int, emIters: Int): String = {
+                minFreq: Int, emIters: Int): String =
+    chainSql(maxTokLen, maxWordLen, maxVocab, minFreq, emIters) +
+      s"""
+         |SELECT tok, CAST(rawcnt AS BIGINT) AS cnt,
+         |  CAST(round(100 * ln(
+         |    (SELECT sum(freq) FROM v$emIters)::DOUBLE / freq)) AS INT)
+         |    AS nll_c
+         |FROM v$emIters ORDER BY tok""".stripMargin
+
+  /** DuckDB oracle for [[tokenizeDocs]]: the training chain, token ids by
+    * md5 rank over the final vocabulary, per-word id sequences from the
+    * final E-step's segmentations (fs{emIters} — every path token
+    * survives the final prune by construction), and per-doc reassembly
+    * in word-position order via DuckDB's zipped unnest. */
+  def tokenizeOracleSql(maxTokLen: Int, maxWordLen: Int, maxVocab: Int,
+                        minFreq: Int, emIters: Int): String = {
+    val S = "chr(31)"
+    chainSql(maxTokLen, maxWordLen, maxVocab, minFreq, emIters) +
+      s""",
+         |vids AS MATERIALIZED (SELECT tok,
+         |    CAST(row_number() OVER (ORDER BY md5(tok)) AS INT) AS tok_id
+         |  FROM v$emIters),
+         |wseg AS (SELECT word, unnest(string_split(path, $S)) AS tok,
+         |    unnest(range(len(string_split(path, $S)))) AS pos
+         |  FROM fs$emIters),
+         |wmap AS MATERIALIZED (SELECT word, list(tok_id ORDER BY pos) AS ids
+         |  FROM wseg JOIN vids USING (tok) GROUP BY word),
+         |dw AS (SELECT doc_id, unnest(ws) AS word,
+         |    unnest(range(len(ws))) AS wpos
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+         |          x -> x <> '' AND NOT contains(x, $S)) AS ws
+         |        FROM documents)),
+         |agg AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
+         |  FROM dw JOIN wmap USING (word) GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(ids) AS INT) AS n_tokens,
+         |  md5(array_to_string(ids, ',')) AS ids_hash
+         |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** The shared training chain: seed CTEs + emIters unrolled EM rounds,
+    * ending after v{emIters} (no trailing comma). */
+  private def chainSql(maxTokLen: Int, maxWordLen: Int, maxVocab: Int,
+                       minFreq: Int, emIters: Int): String = {
     val S = "chr(31)"
     val sb = new StringBuilder
     sb ++= s"""WITH w AS (SELECT word, count(*) AS cnt FROM (
@@ -251,12 +355,6 @@ object Unigram {
                   |    (SELECT sum(freq) FROM v$it)::DOUBLE / freq)) AS INT) AS nll
                   |  FROM v$it)""".stripMargin
     }
-    sb ++= s"""
-              |SELECT tok, CAST(rawcnt AS BIGINT) AS cnt,
-              |  CAST(round(100 * ln(
-              |    (SELECT sum(freq) FROM v$emIters)::DOUBLE / freq)) AS INT)
-              |    AS nll_c
-              |FROM v$emIters ORDER BY tok""".stripMargin
     sb.toString
   }
 }

@@ -27,10 +27,13 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Unigram.viterbi("ab", tie, 4) == Seq("ab"))
   }
 
-  /** Scalar EM replica of Unigram.train over a word histogram. */
-  private def scalarUnigram(words: Map[String, Long], maxTokLen: Int,
-                            maxWordLen: Int, maxVocab: Int, minFreq: Int,
-                            emIters: Int): Map[String, (Long, Int)] = {
+  /** Scalar EM replica of Unigram.train over a word histogram; also
+    * returns the scores that drove the final E-step (the encode side's
+    * segmentation scores). */
+  private def scalarUnigramFull(words: Map[String, Long], maxTokLen: Int,
+                                maxWordLen: Int, maxVocab: Int, minFreq: Int,
+                                emIters: Int)
+      : (Map[String, (Long, Int)], Map[String, Int]) = {
     def cp(s: String) = s.codePointCount(0, s.length)
     val tw = words.filter { case (w, _) => cp(w) <= maxWordLen }
     val seedFreq = scala.collection.mutable.Map[String, Long]()
@@ -50,11 +53,12 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
       v.map { case (t, f) =>
         t -> math.round(100.0 * math.log(total.toDouble / f)).toInt }
     }
+    var lastNll: Map[String, Int] = Map.empty
     for (_ <- 1 to emIters) {
-      val nll = nllOf(vocab)
+      lastNll = nllOf(vocab)
       val counts = scala.collection.mutable.Map[String, Long]()
       tw.foreach { case (w, c) =>
-        Unigram.viterbi(w, nll, maxTokLen).foreach(t =>
+        Unigram.viterbi(w, lastNll, maxTokLen).foreach(t =>
           counts.updateWith(t)(v => Some(v.getOrElse(0L) + c)))
       }
       raw = vocab.keysIterator.map(t => t -> counts.getOrElse(t, 0L)).toMap
@@ -64,8 +68,14 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     val fin = nllOf(vocab)
-    vocab.map { case (t, _) => t -> ((raw(t), fin(t))) }
+    (vocab.map { case (t, _) => t -> ((raw(t), fin(t))) }, lastNll)
   }
+
+  private def scalarUnigram(words: Map[String, Long], maxTokLen: Int,
+                            maxWordLen: Int, maxVocab: Int, minFreq: Int,
+                            emIters: Int): Map[String, (Long, Int)] =
+    scalarUnigramFull(words, maxTokLen, maxWordLen, maxVocab, minFreq,
+      emIters)._1
 
   test("train matches the scalar EM on a small corpus; multis prune, singles survive") {
     import spark.implicits._
@@ -96,6 +106,38 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     val allSingles = hist.keys.flatMap(_.codePoints().toArray.map(c =>
       new String(Character.toChars(c)))).toSet
     assert(allSingles.subsetOf(got.keySet))
+  }
+
+  test("tokenizeDocs: per-doc id sequences match a scalar replica end-to-end") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a hat and  a cat"),        // double space: empty words dropped
+      (3L, "supercalifragilistic"),    // beyond maxWordLen → no row
+      (4L, "")).toDF("doc_id", "text")
+    val got = Unigram.tokenizeDocs(docs, "doc_id", "text", maxTokLen = 3,
+        maxWordLen = 8, maxVocab = 20, minFreq = 2, emIters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+
+    val hist = Bpe.wordHistogram(docs, "text")
+      .where(org.apache.spark.sql.functions.length($"word") <= 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (fin, lastNll) = scalarUnigramFull(hist, 3, 8, 20, 2, 2)
+    val ids = fin.keys.toSeq.map(t => t -> md5hex(t)).sortBy(_._2)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }.toMap
+    val corpus = Map(
+      1L -> "the cat sat on the mat", 2L -> "a hat and  a cat")
+    val expect = corpus.map { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+        .filter(hist.contains) // maxWordLen drop, as in training
+        .flatMap(w => Unigram.viterbi(w, lastNll, 3))
+      id -> ((toks.length, md5hex(toks.map(ids).mkString(","))))
+    }
+    assert(got == expect)
+    assert(!got.contains(3L) && !got.contains(4L),
+      "long-word-only and empty docs must produce no row")
   }
 
   test("words longer than maxWordLen are excluded from training") {
