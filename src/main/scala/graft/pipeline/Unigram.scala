@@ -181,6 +181,13 @@ object Unigram {
     import spark.implicits._
     val em = runEm(df, textCol, maxTokLen, maxWordLen, maxVocab, minFreq,
       emIters)
+    // the result below is pure driver data — unlike tokenizeDocs (whose
+    // returned DataFrame reads the histogram lazily), train can free its
+    // checkpoint immediately (at this operator's claimed scale the
+    // histogram of a 100 TB corpus is billions of rows)
+    em.hist.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
     val total = em.vocab.values.sum
     em.vocab.toSeq.map { case (t, f) =>
       (t, em.rawCnt(t), centiNll(total, f))
