@@ -2029,13 +2029,15 @@ object CatalogPipeline {
       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
 
   /** Audio near-dup banded pairs
-    * ([[graft.pipeline.Multimodal.audioNearDupPairs]]): 33-window
-    * delta-energy fingerprints (32 bits → 4 one-byte bands), every 10th
-    * doc a companion whose WINDOW-5 samples are shifted by +1000 — a
-    * localized edit that perturbs one window's energy and flips at most
-    * the two adjacent delta bits, so p86's exact-fingerprint grouping
-    * misses it while one of the 4 bands is pigeonhole-guaranteed to
-    * survive. The oracle replays energies from the synthesis formula. */
+    * ([[graft.pipeline.Multimodal.audioNearDupPairs]]): 65-window
+    * delta-energy fingerprints (64 bits → 4 sixteen-bit bands — the
+    * p88 band width, 65k buckets per band, so bucket occupancy stays
+    * sub-quadratic at corpus scale), every 10th doc a companion whose
+    * WINDOW-5 samples are shifted by +1000 — a localized edit that
+    * perturbs one window's energy and flips at most the two adjacent
+    * delta bits, so p86's exact-fingerprint grouping misses it while
+    * one of the 4 bands is pigeonhole-guaranteed to survive. The
+    * oracle replays energies from the synthesis formula. */
   private def p90(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d).select(col("doc_id"))
@@ -2045,7 +2047,7 @@ object CatalogPipeline {
         val base = Multimodal.MediaRow(id, "audio/wav", Multimodal.synthWavAsset(id))
         if (id % 10 == 0) {
           val n = (200 + id % 100).toInt
-          val b = n / 33
+          val b = n / 65
           val samples = Array.tabulate(n) { i =>
             val v = (((id * 31 + i.toLong * i * 7) % 20001) - 10000).toInt
             if (i >= 5 * b && i < 6 * b) v + 1000 else v
@@ -2055,7 +2057,7 @@ object CatalogPipeline {
         } else Seq(base)
       }
       .toDF()
-    Multimodal.audioNearDupPairs(media, nWindows = 33, maxDist = 3)
+    Multimodal.audioNearDupPairs(media, nWindows = 65, maxDist = 3)
       .orderBy("a_id", "b_id")
   }
 
@@ -2068,33 +2070,33 @@ object CatalogPipeline {
       |par AS (SELECT doc_id, src_id, pert,
       |          CAST(200 + src_id % 100 AS INT) AS n FROM ids),
       |en AS (SELECT doc_id, n,
-      |  list_transform(range(33), w ->
+      |  list_transform(range(65), w ->
       |    list_sum(list_transform(
-      |      range(w * (n // 33),
-      |            CASE WHEN w = 32 THEN n ELSE (w + 1) * (n // 33) END),
+      |      range(w * (n // 65),
+      |            CASE WHEN w = 64 THEN n ELSE (w + 1) * (n // 65) END),
       |      i -> ((src_id*31 + i*i*7) % 20001 - 10000
-      |            + CASE WHEN pert AND i >= 5 * (n // 33)
-      |                        AND i < 6 * (n // 33) THEN 1000 ELSE 0 END)
+      |            + CASE WHEN pert AND i >= 5 * (n // 65)
+      |                        AND i < 6 * (n // 65) THEN 1000 ELSE 0 END)
       |           * ((src_id*31 + i*i*7) % 20001 - 10000
-      |            + CASE WHEN pert AND i >= 5 * (n // 33)
-      |                        AND i < 6 * (n // 33) THEN 1000 ELSE 0 END))))
+      |            + CASE WHEN pert AND i >= 5 * (n // 65)
+      |                        AND i < 6 * (n // 65) THEN 1000 ELSE 0 END))))
       |    AS e
       |  FROM par),
       |fp AS (SELECT doc_id,
-      |  array_to_string(list_transform(range(4), b ->
+      |  array_to_string(list_transform(range(8), b ->
       |    printf('%02x', CAST(list_sum(list_transform(range(8), j ->
       |      CASE WHEN e[CAST(b*8 + j + 2 AS INT)] > e[CAST(b*8 + j + 1 AS INT)]
       |           THEN 1 << j ELSE 0 END)) AS INT))), '') AS fingerprint
       |  FROM en),
       |bands AS (SELECT doc_id, fingerprint, b,
-      |            substr(fingerprint, CAST(b*2+1 AS INT), 2) AS bv
+      |            substr(fingerprint, CAST(b*4+1 AS INT), 4) AS bv
       |          FROM (SELECT doc_id, fingerprint, unnest(range(4)) AS b FROM fp)),
       |pr AS (SELECT DISTINCT a.doc_id AS a_id, bb.doc_id AS b_id,
       |         a.fingerprint AS a_hash, bb.fingerprint AS b_hash
       |       FROM bands a JOIN bands bb
       |       ON a.b = bb.b AND a.bv = bb.bv AND a.doc_id < bb.doc_id)
       |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming FROM (
-      |  SELECT a_id, b_id, list_sum(list_transform(range(4), i ->
+      |  SELECT a_id, b_id, list_sum(list_transform(range(8), i ->
       |    bit_count(xor(('0x' || substr(a_hash, CAST(i*2+1 AS INT), 2))::BIGINT,
       |                  ('0x' || substr(b_hash, CAST(i*2+1 AS INT), 2))::BIGINT))))
       |    AS hamming FROM pr)

@@ -412,7 +412,11 @@ object Multimodal {
     * clip whose perturbation flips ≤ 3 delta bits (a localized edit
     * touches one window → ≤ 2 adjacent bits) is still guaranteed a
     * candidate band. Requires nWindows−1 divisible by 32 so the bands
-    * are whole equal bytes (33 windows → 32 bits → 4×1-byte bands). */
+    * are whole equal bytes. Band-width picks bucket count — the
+    * quadratic-occupancy knob at corpus scale: prefer 65 windows
+    * (64 bits → 4×16-bit bands, 65k buckets/band — the [[imageDhash]]
+    * shape) whenever clips have ≥ 65 samples; 33 (1-byte bands, 256
+    * buckets) only for very short clips. */
   def audioNearDupPairs(media: DataFrame, nWindows: Int,
                         maxDist: Int): DataFrame = {
     require((nWindows - 1) % 32 == 0,
