@@ -2102,6 +2102,95 @@ object CatalogPipeline {
       |    AS hamming FROM pr)
       |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
 
+  /** Audio near-dup RESOLUTION
+    * ([[graft.pipeline.Multimodal.resolveAudioNearDups]]): the p90 pair
+    * machinery composed with connected components into the canonical
+    * keep-verdict — the p89 shape for audio. Fixture: every 10th doc a
+    * window-5 perturbed companion, every 20th ADDITIONALLY a window-9
+    * perturbed one; the two companions differ from the base by ≤ 2 bits
+    * each but from EACH OTHER by up to 4 — beyond maxDist — so only
+    * transitive resolution through the base yields the keep-list. */
+  private def p95(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { id =>
+        val n = (200 + id % 100).toInt
+        val b = n / 65
+        def pert(off: Long, w: Int) = Multimodal.MediaRow(id + off, "audio/wav",
+          Multimodal.encodeWav(Array.tabulate(n) { i =>
+            val v = (((id * 31 + i.toLong * i * 7) % 20001) - 10000).toInt
+            if (i >= w * b && i < (w + 1) * b) v + 1000 else v
+          }, 8000))
+        Seq(Multimodal.MediaRow(id, "audio/wav", Multimodal.synthWavAsset(id))) ++
+          (if (id % 10 == 0) Seq(pert(5000000L, 5)) else Seq.empty) ++
+          (if (id % 20 == 0) Seq(pert(6000000L, 9)) else Seq.empty)
+      }
+      .toDF()
+    Multimodal.resolveAudioNearDups(media, nWindows = 65, maxDist = 3)
+      .orderBy("doc_id")
+  }
+
+  private val audioResolveOracleSql =
+    """WITH ids AS (SELECT doc_id, doc_id AS src_id, 0 AS dk FROM documents
+      |             UNION ALL
+      |             SELECT doc_id + 5000000, doc_id, 1 FROM documents
+      |             WHERE doc_id % 10 = 0
+      |             UNION ALL
+      |             SELECT doc_id + 6000000, doc_id, 2 FROM documents
+      |             WHERE doc_id % 20 = 0),
+      |par AS (SELECT doc_id, src_id, dk,
+      |          CAST(200 + src_id % 100 AS INT) AS n FROM ids),
+      |en AS (SELECT doc_id, n,
+      |  list_transform(range(65), w ->
+      |    list_sum(list_transform(
+      |      range(w * (n // 65),
+      |            CASE WHEN w = 64 THEN n ELSE (w + 1) * (n // 65) END),
+      |      i -> ((src_id*31 + i*i*7) % 20001 - 10000
+      |            + CASE WHEN dk = 1 AND i >= 5 * (n // 65)
+      |                        AND i < 6 * (n // 65) THEN 1000
+      |                   WHEN dk = 2 AND i >= 9 * (n // 65)
+      |                        AND i < 10 * (n // 65) THEN 1000
+      |                   ELSE 0 END)
+      |           * ((src_id*31 + i*i*7) % 20001 - 10000
+      |            + CASE WHEN dk = 1 AND i >= 5 * (n // 65)
+      |                        AND i < 6 * (n // 65) THEN 1000
+      |                   WHEN dk = 2 AND i >= 9 * (n // 65)
+      |                        AND i < 10 * (n // 65) THEN 1000
+      |                   ELSE 0 END))))
+      |    AS e
+      |  FROM par),
+      |fp AS (SELECT doc_id,
+      |  array_to_string(list_transform(range(8), b ->
+      |    printf('%02x', CAST(list_sum(list_transform(range(8), j ->
+      |      CASE WHEN e[CAST(b*8 + j + 2 AS INT)] > e[CAST(b*8 + j + 1 AS INT)]
+      |           THEN 1 << j ELSE 0 END)) AS INT))), '') AS fingerprint
+      |  FROM en),
+      |bands AS (SELECT doc_id, fingerprint, b,
+      |            substr(fingerprint, CAST(b*4+1 AS INT), 4) AS bv
+      |          FROM (SELECT doc_id, fingerprint, unnest(range(4)) AS b FROM fp)),
+      |pr AS (SELECT DISTINCT a.doc_id AS a_id, bb.doc_id AS b_id,
+      |         a.fingerprint AS a_hash, bb.fingerprint AS b_hash
+      |       FROM bands a JOIN bands bb
+      |       ON a.b = bb.b AND a.bv = bb.bv AND a.doc_id < bb.doc_id),
+      |pairs AS (SELECT a_id, b_id FROM (
+      |  SELECT a_id, b_id, list_sum(list_transform(range(8), i ->
+      |    bit_count(xor(('0x' || substr(a_hash, CAST(i*2+1 AS INT), 2))::BIGINT,
+      |                  ('0x' || substr(b_hash, CAST(i*2+1 AS INT), 2))::BIGINT))))
+      |    AS hamming FROM pr)
+      |  WHERE hamming <= 3),
+      |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+      |          UNION SELECT b_id, a_id FROM pairs),
+      |reach AS (
+      |  WITH RECURSIVE r(s, t) AS (
+      |    SELECT doc_id, doc_id FROM fp
+      |    UNION
+      |    SELECT r.s, e.b FROM r JOIN edges e ON r.t = e.a)
+      |  SELECT * FROM r)
+      |SELECT s AS doc_id, min(t) AS cluster_id, s = min(t) AS keep
+      |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+
   /** Video perceptual near-dup
     * ([[graft.pipeline.Multimodal.videoSeqFingerprint]]): per-sampled-
     * frame dHash folded order-sensitively into a sequence fingerprint,
@@ -3349,6 +3438,7 @@ object CatalogPipeline {
     Q("p89_image_dedup_resolve", p89, Some(imageResolveOracleSql)),
     Q("p90_audio_neardup", p90, Some(audioNearDupOracleSql)),
     Q("p92_video_neardup", p92, Some(videoNearDupOracleSql)),
+    Q("p95_audio_dedup_resolve", p95, Some(audioResolveOracleSql)),
     Q("p19_pii_scrub", p19,
       Some(s"""WITH corpus AS ($piiCorpusSql)
               |SELECT doc_id,

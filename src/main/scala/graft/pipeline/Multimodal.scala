@@ -440,6 +440,19 @@ object Multimodal {
       dhashNearDupPairs(hashes, maxDist))
   }
 
+  /** [[resolveImageNearDups]] for audio: banded near-dup pairs over the
+    * delta-energy fingerprint composed with connected components into the
+    * canonical keep-verdict (doc_id, cluster_id, keep) for EVERY clip. */
+  def resolveAudioNearDups(media: DataFrame, nWindows: Int,
+                           maxDist: Int): DataFrame = {
+    require((nWindows - 1) % 32 == 0,
+      s"nWindows=$nWindows: need (nWindows-1) divisible by 32 for 4 whole-byte bands")
+    val fps = audioFingerprint(media, nWindows)
+      .select("doc_id", "fingerprint").persist()
+    Dedup.resolveByComponents(fps.select("doc_id"), "doc_id",
+      bandedHexPairs(fps, "fingerprint", (nWindows - 1) / 8, maxDist))
+  }
+
   case class VideoFpRow(doc_id: Long, n_frames: Int, n_sampled: Int,
                         seq_fp: String)
 

@@ -216,6 +216,34 @@ class MultimodalSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("resolveAudioNearDups: a 3-clip chain (A~B, A~C, B!~C) resolves to one canonical") {
+    // 65 windows x 2 samples, energies rising with window index. B zeroes
+    // windows {5,7} (flips delta bits {4,6}), C zeroes {10,12} (bits
+    // {9,11}): Hamming(A,B)=Hamming(A,C)=2 but Hamming(B,C)=4 > maxDist —
+    // only transitive resolution through A connects B and C.
+    def clip(zeroed: Set[Int]) = Multimodal.encodeWav(
+      Array.tabulate(130)(i => if (zeroed(i / 2)) 0 else (i / 2) * 10), 8000)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .appName("audioresolve-spec").getOrCreate()
+    try {
+      import spark.implicits._
+      val media = Seq(Multimodal.MediaRow(1, "audio/wav", clip(Set.empty)),
+        Multimodal.MediaRow(2, "audio/wav", clip(Set(5, 7))),
+        Multimodal.MediaRow(3, "audio/wav", clip(Set(10, 12)))).toDF()
+      val pairs = Multimodal.audioNearDupPairs(media, nWindows = 65,
+          maxDist = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+      assert(pairs.toSeq == Seq((1L, 2L, 2), (1L, 3L, 2)),
+        s"expected exactly the chain pairs, got ${pairs.toSeq}")
+      val got = Multimodal.resolveAudioNearDups(media, nWindows = 65,
+          maxDist = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+      assert(got.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+    } finally spark.stop()
+  }
+
   test("videoSeqFingerprint: re-encode groups, reorder does not") {
     val frames = (0 until 3).map(f =>
       Multimodal.encodePng(9, 8, (x, y) => (f * 11 + x * 13 + y * 29) % 256))
