@@ -2249,6 +2249,85 @@ object CatalogPipeline {
       |FROM fp JOIN g USING (seq_fp)
       |ORDER BY doc_id""".stripMargin
 
+  /** Tolerant video near-dup pairs
+    * ([[graft.pipeline.Multimodal.videoNearDupPairs]]): per-frame dHash
+    * bands keyed (frame, band) + exact total-Hamming verify — catches
+    * what p92's exact sequence grouping cannot. Fixture: every 10th doc
+    * a re-encoded companion with ONE pixel zeroed in ONE sampled frame;
+    * its sequence fingerprint differs (p92 misses it) but the total
+    * frame distance is ≤ 1 bit. */
+  private def p96(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { id =>
+        val base = Multimodal.MediaRow(id, "video/gvid", Multimodal.synthVideoAsset(id))
+        if (id % 10 == 0) {
+          val (w, h) = ((16 + id % 8).toInt, (12 + id % 5).toInt)
+          val frames = (0 until (6 + id % 5).toInt).map(f =>
+            Multimodal.encodePng(w, h, (x, y) =>
+              if (f == 2 && x == 6 && y == 4) 0
+              else ((id * 7 + f * 11 + x * 13 + y * 29) % 256).toInt))
+          Seq(base, Multimodal.MediaRow(id + 5000000L, "video/gvid",
+            Multimodal.encodeVideo(frames, fps = 8)))
+        } else Seq(base)
+      }
+      .toDF()
+    Multimodal.videoNearDupPairs(media, stride = 2, maxTotal = 6)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val videoNearDupPairsOracleSql =
+    """WITH ids AS (SELECT doc_id, doc_id AS src_id, FALSE AS is_dent
+      |             FROM documents
+      |             UNION ALL
+      |             SELECT doc_id + 5000000, doc_id, TRUE FROM documents
+      |             WHERE doc_id % 10 = 0),
+      |par AS (SELECT doc_id, src_id, is_dent,
+      |          16 + src_id % 8 AS w, 12 + src_id % 5 AS h,
+      |          CAST(6 + src_id % 5 AS INT) AS nf FROM ids),
+      |sf AS (SELECT doc_id, src_id, is_dent, w, h,
+      |         CAST(len(list_filter(range(nf), f -> f % 2 = 0)) AS INT) AS ns,
+      |         unnest(list_filter(range(nf), f -> f % 2 = 0)) AS f,
+      |         unnest(range(len(list_filter(range(nf), f -> f % 2 = 0))))
+      |           AS fidx
+      |       FROM par),
+      |grid AS (SELECT doc_id, ns, fidx,
+      |  list_transform(range(8), y -> list_transform(range(9), x ->
+      |    CASE WHEN is_dent AND f = 2
+      |              AND ((x*w)//9) = 6 AND ((y*h)//8) = 4 THEN 0
+      |         ELSE (src_id*7 + f*11 + ((x*w)//9)*13 + ((y*h)//8)*29) % 256
+      |    END)) AS g
+      |  FROM sf),
+      |fh AS MATERIALIZED (SELECT doc_id, ns, fidx,
+      |  array_to_string(list_transform(range(8), y ->
+      |    printf('%02x', CAST(list_sum(list_transform(range(8), x ->
+      |      CASE WHEN g[CAST(y+1 AS INT)][CAST(x+2 AS INT)]
+      |              > g[CAST(y+1 AS INT)][CAST(x+1 AS INT)]
+      |           THEN 1 << x ELSE 0 END)) AS INT))), '') AS fhash
+      |  FROM grid),
+      |bands AS (SELECT doc_id, ns, fidx, b,
+      |            substr(fhash, CAST(b*4+1 AS INT), 4) AS bv
+      |          FROM (SELECT doc_id, ns, fidx, fhash,
+      |                  unnest(range(4)) AS b FROM fh)),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, bb.doc_id AS b_id
+      |         FROM bands a JOIN bands bb
+      |         ON a.fidx = bb.fidx AND a.b = bb.b AND a.bv = bb.bv
+      |            AND a.ns = bb.ns AND a.doc_id < bb.doc_id),
+      |tot AS (SELECT c.a_id, c.b_id,
+      |          CAST(sum(list_sum(list_transform(range(8), i ->
+      |            bit_count(xor(
+      |              ('0x' || substr(fa.fhash, CAST(i*2+1 AS INT), 2))::BIGINT,
+      |              ('0x' || substr(fb.fhash, CAST(i*2+1 AS INT), 2))::BIGINT)))))
+      |            AS INT) AS total_hamming
+      |        FROM cand c JOIN fh fa ON fa.doc_id = c.a_id
+      |                    JOIN fh fb ON fb.doc_id = c.b_id
+      |                              AND fb.fidx = fa.fidx
+      |        GROUP BY c.a_id, c.b_id)
+      |SELECT a_id, b_id, total_hamming FROM tot
+      |WHERE total_hamming <= 6 ORDER BY a_id, b_id""".stripMargin
+
   /** Video frame sampling ([[graft.pipeline.Multimodal.videoFrameFeatures]]):
     * GVID containers (length-prefixed real-PNG frames) decoded
     * per-partition at stride 2 — non-sampled frames are index-skipped,
@@ -3439,6 +3518,7 @@ object CatalogPipeline {
     Q("p90_audio_neardup", p90, Some(audioNearDupOracleSql)),
     Q("p92_video_neardup", p92, Some(videoNearDupOracleSql)),
     Q("p95_audio_dedup_resolve", p95, Some(audioResolveOracleSql)),
+    Q("p96_video_neardup_pairs", p96, Some(videoNearDupPairsOracleSql)),
     Q("p19_pii_scrub", p19,
       Some(s"""WITH corpus AS ($piiCorpusSql)
               |SELECT doc_id,

@@ -379,6 +379,16 @@ object Multimodal {
     * all-pairs: only (doc_id, band) rows join, bounded by band-bucket
     * occupancy. Used by the image ([[dhashNearDupPairs]], 8 bytes) and
     * audio ([[audioNearDupPairs]], 4 bytes) fingerprints. */
+  /** Exact per-byte Hamming distance between two hex-string columns of
+    * `nBytes` bytes. */
+  private def hexHamming(a: org.apache.spark.sql.Column,
+                         b: org.apache.spark.sql.Column,
+                         nBytes: Int): org.apache.spark.sql.Column =
+    (0 until nBytes).map(i =>
+      bit_count(conv(substring(a, i * 2 + 1, 2), 16, 10).cast("long")
+        .bitwiseXOR(conv(substring(b, i * 2 + 1, 2), 16, 10).cast("long"))))
+      .reduce(_ + _)
+
   private def bandedHexPairs(hashes: DataFrame, hashCol: String,
                              nBytes: Int, maxDist: Int): DataFrame = {
     require(maxDist <= 3, "4-band blocking guarantees recall only for dist<=3")
@@ -389,18 +399,13 @@ object Multimodal {
         struct(lit(b).as("b"),
           substring(col(hashCol), b * bandHex + 1, bandHex).as("v"))): _*))
         .as("band"))
-    val ham = (0 until nBytes).map(i =>
-      bit_count(conv(substring(col("a_hash"), i * 2 + 1, 2), 16, 10)
-        .cast("long")
-        .bitwiseXOR(conv(substring(col("b_hash"), i * 2 + 1, 2), 16, 10)
-          .cast("long"))))
-      .reduce(_ + _)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.hash").as("a_hash"), col("b.hash").as("b_hash"))
       .distinct()
-      .withColumn("hamming", ham.cast("int"))
+      .withColumn("hamming",
+        hexHamming(col("a_hash"), col("b_hash"), nBytes).cast("int"))
       .where(col("hamming") <= maxDist)
       .select("a_id", "b_id", "hamming")
   }
@@ -496,6 +501,72 @@ object Multimodal {
           VideoFpRow(r.doc_id, frames.length, sampled, fp)
         }
       }.toDF()
+  }
+
+  case class FrameHashRow(doc_id: Long, n_sampled: Int, fidx: Int,
+                          fhash: String)
+
+  /** Per-sampled-frame dHash rows — [[videoSeqFingerprint]] WITHOUT the
+    * order-sensitive fold, for tolerant frame-level matching. */
+  def videoFrameHashes(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          require(r.media_type == "video/gvid",
+            s"no video decoder for ${r.media_type}")
+          val (_, frames) = decodeVideo(r.payload)
+          val sampled = (0 until frames.length by stride).toArray
+          sampled.iterator.zipWithIndex.map { case (f, i) =>
+            FrameHashRow(r.doc_id, sampled.length, i,
+              dhashOf(decodePng(frames(f))))
+          }
+        }
+      }.toDF()
+  }
+
+  /** Tolerant video near-dup pairs — the banded-Hamming discipline at
+    * FRAME level, catching what [[videoSeqFingerprint]]'s exact grouping
+    * cannot: a re-encode with a few perturbed frames. Per sampled frame,
+    * the 64-bit dHash splits into 4 bands keyed by (frame index, band);
+    * candidate videos share a band on SOME aligned frame (and have the
+    * same sampled-frame count — the alignment contract), then verify by
+    * the exact TOTAL Hamming distance summed over all aligned frames,
+    * kept at ≤ `maxTotal`. Recall contract: any pair with at least one
+    * aligned frame within 3 flipped bits is guaranteed a candidate
+    * (pigeonhole per frame) — the typical near-dup, where most frames
+    * are untouched, trivially qualifies.
+    *
+    * Scale shape: only (doc_id, frame, band) keys join — bounded by
+    * per-(frame, band) bucket occupancy, never all-pairs; payloads are
+    * dropped map-side after the per-partition decode. */
+  def videoNearDupPairs(media: DataFrame, stride: Int,
+                        maxTotal: Int): DataFrame = {
+    require(maxTotal >= 0, s"maxTotal=$maxTotal")
+    // read twice (band explode + both verify sides): the operator's
+    // narrow working set, freed with the caller's caches
+    val fh = videoFrameHashes(media, stride).persist()
+    val banded = fh.select(col("doc_id"), col("n_sampled"), col("fidx"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          substring(col("fhash"), b * 4 + 1, 4).as("v"))): _*)).as("band"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.fidx") === col("b.fidx") && col("a.band") === col("b.band") &&
+          col("a.n_sampled") === col("b.n_sampled") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(fh.select(col("doc_id").as("a_id"), col("fidx"),
+        col("fhash").as("a_hash")), Seq("a_id"))
+      .join(fh.select(col("doc_id").as("b_id"), col("fidx"),
+        col("fhash").as("b_hash")), Seq("b_id", "fidx"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(hexHamming(col("a_hash"), col("b_hash"), 8)).cast("int")
+        .as("total_hamming"))
+      .where(col("total_hamming") <= maxTotal)
   }
 
   /** Per-partition decode + feature extraction: the decoders and any codec

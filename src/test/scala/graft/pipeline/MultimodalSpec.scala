@@ -244,6 +244,43 @@ class MultimodalSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("videoNearDupPairs catches a one-frame dent the exact sequence fingerprint misses") {
+    // 9x8 frames (sample grid = pixel grid). B = A re-encoded with ONE
+    // pixel flipped in frame 1 → one dHash bit differs: seq_fp differs
+    // (exact grouping misses) but total frame Hamming is 1. C reorders
+    // A's frames: every aligned frame differs → far beyond maxTotal.
+    // distinct dHash per frame: rising (all bits 1), falling (all 0),
+    // alternating — so misaligned frames are FAR apart
+    def frames(perm: Seq[Int], dent: Boolean) = perm.map(f =>
+      Multimodal.encodePng(9, 8, (x, y) =>
+        if (dent && f == 1 && x == 0 && y == 0) 0
+        else f match {
+          case 0 => x * 10
+          case 1 => (8 - x) * 25
+          case _ => if (x % 2 == 0) 0 else 200
+        }))
+    val a = Multimodal.encodeVideo(frames(Seq(0, 1, 2), dent = false), fps = 4)
+    val b = Multimodal.encodeVideo(frames(Seq(0, 1, 2), dent = true), fps = 8)
+    val c = Multimodal.encodeVideo(frames(Seq(2, 0, 1), dent = false), fps = 4)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .appName("videodup-spec").getOrCreate()
+    try {
+      import spark.implicits._
+      val media = Seq(Multimodal.MediaRow(1, "video/gvid", a),
+        Multimodal.MediaRow(2, "video/gvid", b),
+        Multimodal.MediaRow(3, "video/gvid", c)).toDF()
+      val fps = Multimodal.videoSeqFingerprint(media, stride = 1).collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(fps(1L) != fps(2L), "exact sequence grouping must miss the dent")
+      val pairs = Multimodal.videoNearDupPairs(media, stride = 1, maxTotal = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(pairs.toSeq == Seq((1L, 2L, 1)),
+        s"expected only the dented pair at distance 1, got ${pairs.toSeq}")
+    } finally spark.stop()
+  }
+
   test("videoSeqFingerprint: re-encode groups, reorder does not") {
     val frames = (0 until 3).map(f =>
       Multimodal.encodePng(9, 8, (x, y) => (f * 11 + x * 13 + y * 29) % 256))
