@@ -249,6 +249,25 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rounds < 8, s"expected batching to cut rounds, ran $rounds")
   }
 
+  test("100-merge training on English-like text: batched == scalar, rounds well below merges") {
+    import spark.implicits._
+    // realistic pair distribution: words drawn from a fixed English-ish
+    // vocabulary with Zipf-ish repetition — the regime where top pairs
+    // are mostly disjoint and batching pays
+    val vocabWords = Seq("the", "quick", "brown", "foxes", "jumped", "over",
+      "lazy", "dogs", "while", "evening", "rivers", "glistened", "under",
+      "amber", "skies", "travelers", "rested", "beside", "ancient", "stones")
+    val rnd = new scala.util.Random(42)
+    val words = (1 to 4000).map(_ =>
+        vocabWords(math.min(rnd.nextInt(rnd.nextInt(vocabWords.length) + 1),
+          vocabWords.length - 1)))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val hist = words.toSeq.toDF("word", "cnt")
+    val (merges, rounds) = Bpe.trainRounds(hist, numMerges = 100)
+    assert(merges.map(m => (m.left, m.right, m.freq)) == scalarBpe(words, 100))
+    assert(rounds < 60, s"batching degenerated: $rounds rounds for 100 merges")
+  }
+
   test("high-collision fuzz: batched == scalar-sequential across seeds") {
     import spark.implicits._
     // tiny alphabet → constant ties, self-pairs, aliases ("abab" from
