@@ -560,46 +560,6 @@ object Dedup {
           .as("clean_hash"))
   }
 
-  /** Exact duplicated-substring detection at ARBITRARY character offsets
-    * — the operator [[spanScrub]]'s fixed word spans approximate. The
-    * published standard is the suffix-array ExactSubstr dedup of Lee et
-    * al. 2021 ("Deduplicating Training Data Makes Language Models
-    * Better"); a distributed suffix array is out of scope, so this is the
-    * bounded-shuffle anchor-and-extend approximation with an explicit
-    * contract:
-    *
-    *   - ANCHORS: every k-code-point gram whose poly31 rolling hash
-    *     ([[graft.functions.RollingAnchors]], a native O(n) codegen
-    *     expression — no gram string is materialized off-anchor) is
-    *     ≡ 0 mod `stride`. The anchor choice depends only on CONTENT,
-    *     so two copies of a duplicated substring anchor at the same
-    *     content-relative positions: any duplicated run of ≥ k +
-    *     stride·16 code points contains a shared anchor with probability
-    *     ≈ 1 − (1−1/stride)^16 per 16-gram window (misses shrink
-    *     geometrically; stride=1 is exact for runs ≥ k).
-    *   - KEEP-FIRST per anchor gram: occurrence 1 in (doc_id, pos) order
-    *     is canonical; occurrences 2..`bucketCap` become witnesses (a
-    *     gram seen in > bucketCap places contributes bucketCap−1
-    *     witnesses — heavier truncation only for pathologically common
-    *     grams, the documented occupancy bound that keeps bucket work
-    *     linear).
-    *   - EXTEND-AND-VERIFY: each witness extends against its canonical,
-    *     greedy both directions, capped at `maxExt` code points per side
-    *     (longer duplicated runs are still fully covered — their interior
-    *     anchors extend too and the spans union).
-    *   - Overlapping witness spans per doc merge into maximal islands.
-    *
-    * Returns one row per island: (doc_id, span_start, span_len), offsets
-    * in code points, 0-based. Canonical (first-in-corpus) occurrences are
-    * never reported — they are what dedup keeps.
-    *
-    * Scale shape: gram explosion is map-side and the anchor filter runs
-    * BEFORE any exchange, so only ~1/stride of positions shuffle (k-char
-    * key + two ints); the bucket cap is a rank-limit window (partial
-    * WindowGroupLimit below the exchange); witness↔canonical pairing is
-    * a self-join on the anchor relation bounded by bucketCap; texts ship
-    * only to PAIR rows (bounded by duplicated-anchor volume, not corpus
-    * volume). Nothing is all-pairs, nothing is corpus-broadcast. */
   /** Content-keyed anchor positions + grams over a (doc_id, text)
     * relation — the shared front end of [[exactSubstrSpans]] and
     * [[substrContamination]]. O(n) rolling-hash selection; gram strings
@@ -665,6 +625,46 @@ object Dedup {
         (col("span_end") - col("span_start")).cast("int").as("span_len"))
   }
 
+  /** Exact duplicated-substring detection at ARBITRARY character offsets
+    * — the operator [[spanScrub]]'s fixed word spans approximate. The
+    * published standard is the suffix-array ExactSubstr dedup of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"); a distributed suffix array is out of scope, so this is the
+    * bounded-shuffle anchor-and-extend approximation with an explicit
+    * contract:
+    *
+    *   - ANCHORS: every k-code-point gram whose poly31 rolling hash
+    *     ([[graft.functions.RollingAnchors]], a native O(n) codegen
+    *     expression — no gram string is materialized off-anchor) is
+    *     ≡ 0 mod `stride`. The anchor choice depends only on CONTENT,
+    *     so two copies of a duplicated substring anchor at the same
+    *     content-relative positions: any duplicated run of ≥ k +
+    *     stride·16 code points contains a shared anchor with probability
+    *     ≈ 1 − (1−1/stride)^16 per 16-gram window (misses shrink
+    *     geometrically; stride=1 is exact for runs ≥ k).
+    *   - KEEP-FIRST per anchor gram: occurrence 1 in (doc_id, pos) order
+    *     is canonical; occurrences 2..`bucketCap` become witnesses (a
+    *     gram seen in > bucketCap places contributes bucketCap−1
+    *     witnesses — heavier truncation only for pathologically common
+    *     grams, the documented occupancy bound that keeps bucket work
+    *     linear).
+    *   - EXTEND-AND-VERIFY: each witness extends against its canonical,
+    *     greedy both directions, capped at `maxExt` code points per side
+    *     (longer duplicated runs are still fully covered — their interior
+    *     anchors extend too and the spans union).
+    *   - Overlapping witness spans per doc merge into maximal islands.
+    *
+    * Returns one row per island: (doc_id, span_start, span_len), offsets
+    * in code points, 0-based. Canonical (first-in-corpus) occurrences are
+    * never reported — they are what dedup keeps.
+    *
+    * Scale shape: gram explosion is map-side and the anchor filter runs
+    * BEFORE any exchange, so only ~1/stride of positions shuffle (k-char
+    * key + two ints); the bucket cap is a rank-limit window (partial
+    * WindowGroupLimit below the exchange); witness↔canonical pairing is
+    * a self-join on the anchor relation bounded by bucketCap; texts ship
+    * only to PAIR rows (bounded by duplicated-anchor volume, not corpus
+    * volume). Nothing is all-pairs, nothing is corpus-broadcast. */
   def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
                        k: Int, stride: Int, maxExt: Int,
                        bucketCap: Int): DataFrame = {
