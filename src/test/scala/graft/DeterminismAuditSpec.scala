@@ -83,7 +83,17 @@ class DeterminismAuditSpec extends AnyFunSuite {
     // integer rank statistic over the score histogram; decimal-sum bins
     "p83_roc_auc", "p84_calibration",
     // row-local decode + hash; exact-hash grouping; banded hamming pairs
-    "p85_image_dhash", "p86_audio_fingerprint", "p88_image_neardup")
+    "p85_image_dhash", "p86_audio_fingerprint", "p88_image_neardup",
+    // round 11: connected-components keep-verdicts (image/audio), banded
+    // pair joins with distinct, the order-sensitive video fingerprint
+    // fold + its frame-level total-hamming verify, driver-side EM
+    // (vocab collects must not depend on partitioning), the anchor
+    // island merge against an eval set, and batched-BPE training whose
+    // batch selection reads a top-K collect
+    "p89_image_dedup_resolve", "p90_audio_neardup", "p91_unigram_vocab",
+    "p92_video_neardup", "p93_substr_contamination", "p94_unigram_tokenize",
+    "p95_audio_dedup_resolve", "p96_video_neardup_pairs",
+    "p31_bpe_vocab")
 
   private def runAll(partitions: Int): Map[String, Seq[String]] = {
     val spark = SparkSession.builder()
