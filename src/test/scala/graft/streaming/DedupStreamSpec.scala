@@ -120,6 +120,43 @@ class DedupStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup default TTL evicts: a near-dup after 24h idle matches nothing") {
+    withSpark { spark =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val day = 24 * 60
+      val a1 = "alpha beta gamma delta epsilon zeta eta theta"
+      val a2 = "alpha beta gamma delta epsilon zeta eta iota"
+      val mem = MemoryStream[DedupStream.Doc]
+      val q = DedupStream.nearDedupStream(mem.toDS(), n = 2, numHashes = 64,
+          bandRows = 4, watermark = "5 minutes")
+        .writeStream.format("memory").queryName("neardup_ttl")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(DedupStream.Doc(1, ts(0), a1))
+        q.processAllAvailable()
+        // push the watermark past doc 1's band timeouts, then fire them
+        mem.addData(DedupStream.Doc(2, ts(day + 60), "one two three four"))
+        q.processAllAvailable()
+        mem.addData(DedupStream.Doc(3, ts(day + 61), "five six seven eight"))
+        q.processAllAvailable()
+        // a near-dup of the EVICTED doc 1: its bands were re-owned empty,
+        // so no candidate rows emit — doc 4 becomes a fresh owner
+        mem.addData(DedupStream.Doc(4, ts(day + 70), a2))
+        q.processAllAvailable()
+        // a near-dup inside the live window still matches doc 4's bands
+        mem.addData(DedupStream.Doc(5, ts(day + 80), a1))
+        q.processAllAvailable()
+        val got = spark.table("neardup_ttl").collect()
+          .map(r => (r.getLong(0), r.getLong(3)))
+        assert(!got.exists(_._1 == 4L),
+          s"doc 4 must match nothing after doc 1's eviction: ${got.toSeq}")
+        assert(got.exists(c => c._1 == 5L && c._2 == 4L),
+          s"doc 5 must match the live owner 4: ${got.toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("near-dup state TTL: evictionless setup requires the explicit opt-in") {
     withSpark { spark =>
       import spark.implicits._
