@@ -131,6 +131,42 @@ object Bpe {
     acc.result()
   }
 
+  /** The LOOSER standard batched-BPE selection, for [[trainFast]]: walk
+    * the ranked list greedily taking every pair that is symbol-disjoint
+    * from the accepted set (SKIPPING conflicts instead of stopping),
+    * still excluding self-pairs and aliases beyond the stop point so the
+    * one-scan application stays valid, and only while a pair's count
+    * stays within HALF the round head's — the standard halving guard: a
+    * pair below f0/2 can be overtaken by pairs the earlier merges create
+    * or re-rank, so it is cheaper to re-rank it next round than to spend
+    * merge budget on it out of order. Much larger batches than
+    * [[selectBatch]] — and NOT sequential-exact: a skipped conflicting
+    * pair may have outranked a later accepted one after recounting.
+    * The trade is the standard one production tokenizers make. */
+  private[pipeline] def selectBatchFast(cands: Seq[(String, String, Long)],
+                                        priorSymbols: Set[String]): Seq[(String, String, Long)] = {
+    val floor = cands.head._3 / 2
+    val acc = Seq.newBuilder[(String, String, Long)]
+    val accSyms = scala.collection.mutable.Set[String]()
+    val accNew = scala.collection.mutable.Set[String]()
+    var stop = false
+    var i = 0
+    while (!stop && i < cands.length) {
+      val (l, r, f) = cands(i)
+      if (i > 0 && f < floor) stop = true
+      else if (!accSyms(l) && !accSyms(r) && !accNew(l) && !accNew(r)) {
+        acc += ((l, r, f))
+        // the same application-validity stops as selectBatch: a self-pair
+        // or an aliased output inside the batch breaks the disjoint
+        // one-scan argument for LATER accepts
+        if (l == r || priorSymbols(l + r) || accNew(l + r)) stop = true
+        accSyms += l; accSyms += r; accNew += (l + r)
+      }
+      i += 1
+    }
+    acc.result()
+  }
+
   /** Up to `numMerges` global argmax-pair merges over the histogram,
     * batched per round by [[selectBatch]] (exact — see its proof notes).
     * Ties on frequency resolve to the lexicographically smallest
@@ -142,10 +178,34 @@ object Bpe {
   def train(words: DataFrame, numMerges: Int): Seq[Merge] =
     trainRounds(words, numMerges)._1
 
+  /** PRODUCTION-scale batched training — the explicit opt-out from
+    * [[train]]'s bit-exact-sequential guarantee: per round the top-`batchK`
+    * pairs are taken greedily wherever symbol-disjoint
+    * ([[selectBatchFast]] — conflicts are skipped, not batch-ending), so
+    * a 32k-merge vocabulary needs on the order of `32k / batchK` rounds.
+    * The merge LIST may deviate from sequential training where skipped
+    * conflicts would have outranked later picks after recounting — the
+    * standard batched-BPE trade; each accepted batch still applies in one
+    * scan with unchanged greedy semantics. Use [[train]] when
+    * reproducibility against a sequential reference matters (it is the
+    * catalog/oracle default); `BpeSpec` pins trainFast's round count and
+    * its merge-set overlap with sequential on realistic text. */
+  def trainFast(words: DataFrame, numMerges: Int,
+                batchK: Int = 256): (Seq[Merge], Int) =
+    trainLoop(words, numMerges, batchK,
+      (cands, _, prior) => selectBatchFast(cands, prior))
+
   /** [[train]] plus the number of Spark rounds it ran — exposed for the
     * batching-effectiveness assertion in `BpeSpec`. */
   private[pipeline] def trainRounds(words: DataFrame, numMerges: Int,
-                                    batchK: Int = 64): (Seq[Merge], Int) = {
+                                    batchK: Int = 64): (Seq[Merge], Int) =
+    trainLoop(words, numMerges, batchK,
+      (cands, truncated, prior) => selectBatch(cands, truncated, prior))
+
+  private def trainLoop(words: DataFrame, numMerges: Int, batchK: Int,
+                        selector: (Seq[(String, String, Long)], Boolean,
+                          Set[String]) => Seq[(String, String, Long)])
+      : (Seq[Merge], Int) = {
     require(numMerges > 0, "need at least one merge round")
     require(batchK >= 1, s"batchK=$batchK")
     val sc = words.sparkSession.sparkContext
@@ -184,8 +244,8 @@ object Bpe {
       else {
         val cands = top.toSeq.map(r =>
           (r.getString(0), r.getString(1), r.getLong(2)))
-        val accepted = selectBatch(cands, truncated = cands.length == batchK,
-            priorSymbols = createdSymbols.toSet)
+        val accepted = selector(cands, cands.length == batchK,
+            createdSymbols.toSet)
           .take(numMerges - done)
         accepted.foreach { case (l, r, f) =>
           done += 1
