@@ -303,6 +303,26 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlap >= 0.8, s"merge-set overlap $overlap")
   }
 
+  test("tiny-batchK fuzz: truncated candidate lists stay scalar-exact") {
+    import spark.implicits._
+    // batchK far below the live pair count forces the truncation path
+    // (out-of-list tie bound) on every round, across alphabets wide
+    // enough that many pairs tie at the tail
+    (21 to 23).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abcd"
+      val words = (1 to 400).map { _ =>
+        (1 to (2 + rnd.nextInt(7))).map(_ => alphabet(rnd.nextInt(4))).mkString
+      }.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val hist = words.toSeq.toDF("word", "cnt")
+      Seq(2, 4, 7).foreach { k =>
+        val (got, _) = Bpe.trainRounds(hist, numMerges = 15, batchK = k)
+        assert(got.map(m => (m.left, m.right, m.freq)) == scalarBpe(words, 15),
+          s"seed $seed batchK $k diverged")
+      }
+    }
+  }
+
   test("high-collision fuzz: batched == scalar-sequential across seeds") {
     import spark.implicits._
     // tiny alphabet → constant ties, self-pairs, aliases ("abab" from
