@@ -2249,6 +2249,34 @@ object CatalogPipeline {
       |FROM fp JOIN g USING (seq_fp)
       |ORDER BY doc_id""".stripMargin
 
+  /** Image resize ([[graft.pipeline.Multimodal.resizeFeatures]]): every
+    * doc's synthesized PNG resampled nearest-neighbor to 8×6, verified by
+    * exact integer digests of the resized raster; the oracle replays the
+    * resample from the synthesis formula — valid because PNG is
+    * lossless. */
+  private def p97(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .map(id => Multimodal.MediaRow(id, "image/png", Multimodal.synthPngAsset(id)))
+      .toDF()
+    Multimodal.resizeFeatures(media, outW = 8, outH = 6).orderBy("doc_id")
+  }
+
+  private val imageResizeOracleSql =
+    """WITH dims AS (SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+      |              FROM documents),
+      |px AS (SELECT doc_id, w, h,
+      |  flatten(list_transform(range(6), y -> list_transform(range(8), x ->
+      |    (doc_id*7 + ((x*w)//8)*13 + ((y*h)//6)*29) % 256))) AS p
+      |  FROM dims)
+      |SELECT doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+      |  CAST(8 AS INT) AS out_w, CAST(6 AS INT) AS out_h,
+      |  CAST(list_sum(p) AS BIGINT) AS sum_px,
+      |  md5(array_to_string(p, ',')) AS px_md5
+      |FROM px ORDER BY doc_id""".stripMargin
+
   /** Tolerant video near-dup pairs
     * ([[graft.pipeline.Multimodal.videoNearDupPairs]]): per-frame dHash
     * bands keyed (frame, band) + exact total-Hamming verify — catches
@@ -3519,6 +3547,7 @@ object CatalogPipeline {
     Q("p92_video_neardup", p92, Some(videoNearDupOracleSql)),
     Q("p95_audio_dedup_resolve", p95, Some(audioResolveOracleSql)),
     Q("p96_video_neardup_pairs", p96, Some(videoNearDupPairsOracleSql)),
+    Q("p97_image_resize", p97, Some(imageResizeOracleSql)),
     Q("p19_pii_scrub", p19,
       Some(s"""WITH corpus AS ($piiCorpusSql)
               |SELECT doc_id,

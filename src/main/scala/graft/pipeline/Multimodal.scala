@@ -503,6 +503,56 @@ object Multimodal {
       }.toDF()
   }
 
+  case class ResizeRow(doc_id: Long, src_w: Int, src_h: Int,
+                       out_w: Int, out_h: Int, sum_px: Long, px_md5: String)
+
+  /** Nearest-neighbor image RESIZE — the remaining verb of the
+    * decode / feature-extract / resize / frame-sample family as its own
+    * operator: every image resamples to `outW`×`outH` (source pixel
+    * (x·w/outW, y·h/outH), the [[dhashOf]] grid convention), emitting
+    * exact integer digests of the RESIZED raster — the pixel sum and an
+    * md5 over the row-major comma-joined decimal pixel values (portable:
+    * no raw bytes cross an engine boundary). A production pipeline would
+    * write the resized payload back to a binary column; the digests are
+    * what make the transform oracle-checkable, and the resample itself
+    * is the real computation either way.
+    *
+    * Scale shape: mapPartitions decode+resample — payloads never
+    * shuffle, only (doc_id, dims, sum, 32-char digest) rows leave. */
+  def resizeFeatures(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, s"outW=$outW outH=$outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          require(r.media_type == "image/png",
+            s"resizeFeatures expects image/png, got ${r.media_type}")
+          val img = decodePng(r.payload)
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sb = new StringBuilder
+          var sum = 0L
+          var y = 0
+          while (y < outH) {
+            var x = 0
+            while (x < outW) {
+              val v = raster.getSample(x * w / outW, y * h / outH, 0)
+              sum += v
+              if (sb.nonEmpty) sb.append(',')
+              sb.append(v)
+              x += 1
+            }
+            y += 1
+          }
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val digest = md.digest(sb.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          ResizeRow(r.doc_id, w, h, outW, outH, sum, digest)
+        }
+      }.toDF()
+  }
+
   case class FrameHashRow(doc_id: Long, n_sampled: Int, fidx: Int,
                           fhash: String)
 

@@ -161,6 +161,28 @@ class MultimodalSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("resizeFeatures: hand-computed nearest-neighbor resample digests") {
+    // 4x2 image, pixel(x,y) = x*10 + y; resized to 2x1 the NN samples are
+    // (0*4/2, 0*2/1) = (0,0) -> 0 and (1*4/2, 0) = (2,0) -> 20
+    val png = Multimodal.encodePng(4, 2, (x, y) => x * 10 + y)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .appName("resize-spec").getOrCreate()
+    try {
+      import spark.implicits._
+      val media = Seq(Multimodal.MediaRow(1, "image/png", png)).toDF()
+      val got = Multimodal.resizeFeatures(media, outW = 2, outH = 1).collect()
+      assert(got.length == 1)
+      val r = got.head
+      assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)) == ((4, 2, 2, 1)))
+      assert(r.getLong(5) == 20L)
+      assert(r.getString(6) == md5hex("0,20"))
+    } finally spark.stop()
+  }
+
   test("resolveImageNearDups: a 3-image chain (A~B, B~C, A!~C) resolves to one canonical") {
     // 9x8 images so the dHash sample grid IS the pixel grid; base rises
     // along x (all 64 bits set). B flips 1 bit vs A; C flips 4 vs A and
