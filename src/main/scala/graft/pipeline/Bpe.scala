@@ -115,10 +115,18 @@ object Bpe {
     while (!stop && i < cands.length) {
       val (l, r, f) = cands(i)
       val disjoint = !accSyms(l) && !accSyms(r) && !accNew(l) && !accNew(r)
-      val tieSafe = f > tailFreq &&
-        !cands.drop(i + 1).exists { case (l2, r2, f2) =>
-          f2 == f && (accSyms(l2) || accSyms(r2))
+      // the list is ranked (freq DESC, pair), so equal-count conflicts are
+      // contiguous from i+1 — scan by index until the count drops, no
+      // per-candidate slice allocation
+      val tieSafe = f > tailFreq && {
+        var ok = true
+        var j = i + 1
+        while (ok && j < cands.length && cands(j)._3 == f) {
+          if (accSyms(cands(j)._1) || accSyms(cands(j)._2)) ok = false
+          j += 1
         }
+        ok
+      }
       if (i == 0 || (disjoint && tieSafe)) {
         acc += ((l, r, f))
         // stop-AFTER rules: the accepted merge is still provably the

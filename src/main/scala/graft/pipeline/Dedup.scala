@@ -449,15 +449,29 @@ object Dedup {
     // inside the single-file parquet scan and runs it serially (measured
     // 14 s of p3's 21 s at sf0.1 — same trap as ngramJaccardPairs' guard).
     val g = g0.where(size(col("hgrams")) > 0)
-    val banded = g.select(col("id"), explode(col("bands")).as("band_key"))
-    val candidates = banded.as("a").join(banded.as("b"),
-        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
-    candidates
-      .join(g.select(col("id").as("a_id"), col("hgrams").as("a_grams"),
+    // exact-equal collapse BEFORE banding (the round-11 hot-bucket fix):
+    // documents with identical distinct-gram sets — byte-identical texts,
+    // trivially — band once through a representative, so an m-item
+    // identical cluster contributes ONE signature per band bucket instead
+    // of m (candidate generation O(m), never m²/2 before any verify).
+    // Collapse key = md5 of the sorted gram-hash array: equal key ⇔ equal
+    // gram set (w.h.p., the documented gram-hash trade). Jaccard depends
+    // only on the gram set, so every member pair inherits its
+    // representatives' verified similarity EXACTLY, and same-set pairs are
+    // Jaccard 1 ≥ minSim by definition — the expanded pair list is
+    // bit-identical to the uncollapsed one.
+    val keyed = g.withColumn("gk",
+      md5(array_join(transform(col("hgrams"), _.cast("string")), ",")))
+    val uniq = keyed.groupBy("gk").agg(min("id").as("rep_id"))
+    val memb = keyed.select(col("id"), col("gk"))
+      .join(uniq, "gk")
+      .select(col("id"), col("rep_id"))
+    val reps = keyed.join(uniq.select(col("rep_id").as("id")), "id")
+    val candidates = repBandCandidates(reps)
+    val repPairs = candidates
+      .join(reps.select(col("id").as("a_id"), col("hgrams").as("a_grams"),
         col("sz").as("a_sz")), "a_id")
-      .join(g.select(col("id").as("b_id"), col("hgrams").as("b_grams"),
+      .join(reps.select(col("id").as("b_id"), col("hgrams").as("b_grams"),
         col("sz").as("b_sz")), "b_id")
       .withColumn("inter",
         expr("sorted_intersect_size(a_grams, b_grams)").cast("double"))
@@ -465,6 +479,57 @@ object Dedup {
         round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 6)
           .as("jaccard"))
       .where(col("jaccard") >= minSim)
+    // expansion: same-set member pairs (Jaccard exactly 1), then every
+    // cross-set member pair under its representatives' verified score
+    val kk = keyed.select(col("id"), col("gk"))
+    val within = kk.as("a").join(kk.as("b"),
+        col("a.gk") === col("b.gk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(memb.select(col("rep_id").as("a_id"), col("id").as("ma")), "a_id")
+      .join(memb.select(col("rep_id").as("b_id"), col("id").as("mb")), "b_id")
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
+    within.unionByName(cross)
+  }
+
+  /** The rep-level LSH band self-join [[minhashLshPairs]] verifies:
+    * (a_id, b_id) pairs of representatives sharing at least one band key.
+    * Package-visible so the hot-bucket fixture can count-assert that an
+    * m-item exact-duplicate cluster — ONE representative after the
+    * collapse — generates zero rep-level candidates instead of m²/2. */
+  private[graft] def repBandCandidates(reps: DataFrame): DataFrame = {
+    val banded = reps.select(col("id"), explode(col("bands")).as("band_key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
+  /** [[minhashLshPairs]]'s collapse front end, exposed for the hot-bucket
+    * fixture: one representative row (id, hgrams, bands, sz) per DISTINCT
+    * gram set in `df`. */
+  private[graft] def minhashReps(df: DataFrame, idCol: String,
+                                 textCol: String, n: Int, numHashes: Int,
+                                 bandRows: Int): DataFrame = {
+    graft.functions.NgramHashes.register(df.sparkSession)
+    graft.functions.MinhashBandKeys.register(df.sparkSession)
+    val g = df
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), " "), w => w =!= "").as("words"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"),
+        call_function("ngram_hashes", col("words"), lit(n)).as("hgrams"),
+        call_function("minhash_band_keys", col("words"),
+          lit(n), lit(numHashes), lit(bandRows)).as("bands"))
+      .withColumn("sz", size(col("hgrams")))
+      .where(col("sz") > 0)
+      .withColumn("gk",
+        md5(array_join(transform(col("hgrams"), _.cast("string")), ",")))
+    val uniq = g.groupBy("gk").agg(min("id").as("rep_id"))
+    g.join(uniq.select(col("rep_id").as("id")), "id")
+      .select("id", "hgrams", "bands", "sz")
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked by

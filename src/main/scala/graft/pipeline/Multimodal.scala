@@ -389,25 +389,88 @@ object Multimodal {
         .bitwiseXOR(conv(substring(b, i * 2 + 1, 2), 16, 10).cast("long"))))
       .reduce(_ + _)
 
-  private def bandedHexPairs(hashes: DataFrame, hashCol: String,
-                             nBytes: Int, maxDist: Int): DataFrame = {
-    require(maxDist <= 3, "4-band blocking guarantees recall only for dist<=3")
-    require(nBytes % 4 == 0, s"nBytes=$nBytes must split into 4 byte bands")
+  /** Verified near-dup pairs over DISTINCT fingerprints — the banded
+    * self-join runs on one row per unique hash, so an m-item cluster of
+    * identical fingerprints occupies each band bucket ONCE instead of m
+    * times (the round-11 hot-bucket fix: a corpus-sized cluster of
+    * all-black thumbnails no longer makes candidate generation
+    * quadratic). Returns (a_hash, b_hash, hamming), a_hash < b_hash. */
+  private def bandedUniqueHashPairs(uniqHashes: DataFrame,
+                                    nBytes: Int, maxDist: Int): DataFrame = {
     val bandHex = nBytes / 2 // hex chars per band
-    val banded = hashes.select(col("doc_id"), col(hashCol).as("hash"),
+    val banded = uniqHashes.select(col("hash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
-          substring(col(hashCol), b * bandHex + 1, bandHex).as("v"))): _*))
+          substring(col("hash"), b * bandHex + 1, bandHex).as("v"))): _*))
         .as("band"))
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.hash").as("a_hash"), col("b.hash").as("b_hash"))
+        col("a.band") === col("b.band") && col("a.hash") < col("b.hash"))
+      .select(col("a.hash").as("a_hash"), col("b.hash").as("b_hash"))
       .distinct()
       .withColumn("hamming",
         hexHamming(col("a_hash"), col("b_hash"), nBytes).cast("int"))
       .where(col("hamming") <= maxDist)
-      .select("a_id", "b_id", "hamming")
+  }
+
+  private def bandedHexPairs(hashes: DataFrame, hashCol: String,
+                             nBytes: Int, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-band blocking guarantees recall only for dist<=3")
+    require(nBytes % 4 == 0, s"nBytes=$nBytes must split into 4 byte bands")
+    // several readers below (collapse groupBy, both expansion joins) —
+    // persisted here, freed after the eager materialization of the result
+    val members = hashes.select(col("doc_id"), col(hashCol).as("hash"))
+      .persist()
+    // exact-equal collapse BEFORE banding: identical fingerprints are one
+    // cluster by definition, so only distinct hashes enter the band join
+    val uniq = members.groupBy("hash").agg(min("doc_id").as("rep_id"))
+    val repPairs = bandedUniqueHashPairs(uniq.select("hash"), nBytes, maxDist)
+    // within-group pairs (hamming 0) — bounded by the OUTPUT pair list,
+    // which is inherently quadratic in cluster size for pair semantics
+    val within = members.as("a").join(members.as("b"),
+        col("a.hash") === col("b.hash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        lit(0).as("hamming"))
+    // cross-group pairs inherit their representatives' verified distance
+    // exactly (equal fingerprints per group)
+    val cross = repPairs
+      .join(members.select(col("hash").as("a_hash"), col("doc_id").as("ma")),
+        "a_hash")
+      .join(members.select(col("hash").as("b_hash"), col("doc_id").as("mb")),
+        "b_hash")
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
+    // eager materialization so the working set can be freed here instead
+    // of accumulating in the session cache across invocations
+    val out = within.unionByName(cross).localCheckpoint(true)
+    members.unpersist()
+    out
+  }
+
+  /** Linear spanning EDGE set for the keep-verdict consumers
+    * ([[resolveImageNearDups]]/[[resolveAudioNearDups]]): star edges
+    * representative→member inside each exact-equal fingerprint group
+    * (O(m) for an m-item identical cluster — never the m²/2 clique the
+    * pair list is), plus verified near-dup pairs between DISTINCT
+    * fingerprints' representatives. Connected components over these edges
+    * equal components over the full pair list: equal-fingerprint members
+    * connect through their representative, and any cross-group member
+    * pair has exactly its representatives' Hamming distance. */
+  private[graft] def bandedHexEdges(hashes: DataFrame, hashCol: String,
+                                    nBytes: Int, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-band blocking guarantees recall only for dist<=3")
+    require(nBytes % 4 == 0, s"nBytes=$nBytes must split into 4 byte bands")
+    val members = hashes.select(col("doc_id"), col(hashCol).as("hash"))
+    val uniq = members.groupBy("hash").agg(min("doc_id").as("rep_id"))
+    val star = members.join(uniq, "hash")
+      .where(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"))
+    val repPairs = bandedUniqueHashPairs(uniq.select("hash"), nBytes, maxDist)
+      .join(uniq.select(col("hash").as("a_hash"), col("rep_id").as("a_id")),
+        "a_hash")
+      .join(uniq.select(col("hash").as("b_hash"), col("rep_id").as("b_id")),
+        "b_hash")
+      .select("a_id", "b_id")
+    star.unionByName(repPairs)
   }
 
   /** Banded near-dup candidate pairs over [[audioFingerprint]] outputs —
@@ -441,8 +504,14 @@ object Multimodal {
     * band self-join reads it twice and the id spine once. */
   def resolveImageNearDups(media: DataFrame, maxDist: Int): DataFrame = {
     val hashes = imageDhash(media).select("doc_id", "dhash").persist()
-    Dedup.resolveByComponents(hashes.select("doc_id"), "doc_id",
-      dhashNearDupPairs(hashes, maxDist))
+    // spanning edges, not the pair clique: an m-item identical cluster
+    // contributes m−1 star edges (see bandedHexEdges) — the verdict only
+    // needs connectivity
+    val out = Dedup.resolveByComponents(hashes.select("doc_id"), "doc_id",
+        bandedHexEdges(hashes, "dhash", nBytes = 8, maxDist))
+      .localCheckpoint(true)
+    hashes.unpersist()
+    out
   }
 
   /** [[resolveImageNearDups]] for audio: banded near-dup pairs over the
@@ -454,8 +523,11 @@ object Multimodal {
       s"nWindows=$nWindows: need (nWindows-1) divisible by 32 for 4 whole-byte bands")
     val fps = audioFingerprint(media, nWindows)
       .select("doc_id", "fingerprint").persist()
-    Dedup.resolveByComponents(fps.select("doc_id"), "doc_id",
-      bandedHexPairs(fps, "fingerprint", (nWindows - 1) / 8, maxDist))
+    val out = Dedup.resolveByComponents(fps.select("doc_id"), "doc_id",
+        bandedHexEdges(fps, "fingerprint", (nWindows - 1) / 8, maxDist))
+      .localCheckpoint(true)
+    fps.unpersist()
+    out
   }
 
   case class VideoFpRow(doc_id: Long, n_frames: Int, n_sampled: Int,
@@ -595,10 +667,25 @@ object Multimodal {
   def videoNearDupPairs(media: DataFrame, stride: Int,
                         maxTotal: Int): DataFrame = {
     require(maxTotal >= 0, s"maxTotal=$maxTotal")
-    // read twice (band explode + both verify sides): the operator's
-    // narrow working set, freed with the caller's caches
+    // read several times (sequence collapse, band explode, both verify
+    // sides) — freed after the eager materialization of the result
     val fh = videoFrameHashes(media, stride).persist()
-    val banded = fh.select(col("doc_id"), col("n_sampled"), col("fidx"),
+    // exact-equal collapse at VIDEO level (the round-11 hot-bucket fix):
+    // videos with identical sampled frame-hash sequences band once via a
+    // representative, so a corpus-sized cluster of identical videos (and
+    // every (fidx, band) bucket a shared frame would flood) costs O(m)
+    // here, not m²/2. One row per video: (doc_id, n_sampled, seq).
+    val seqs = fh.groupBy("doc_id", "n_sampled")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("fidx"), col("fhash")))),
+        p => p.getField("fhash")), "").as("seq"))
+      .persist()
+    val uniq = seqs.groupBy("n_sampled", "seq")
+      .agg(min("doc_id").as("rep_id"))
+    val memb = seqs.join(uniq, Seq("n_sampled", "seq"))
+      .select(col("doc_id"), col("rep_id"))
+    val repFh = fh.join(uniq.select(col("rep_id").as("doc_id")), "doc_id")
+    val banded = repFh.select(col("doc_id"), col("n_sampled"), col("fidx"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
           substring(col("fhash"), b * 4 + 1, 4).as("v"))): _*)).as("band"))
@@ -608,15 +695,33 @@ object Multimodal {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    cand
-      .join(fh.select(col("doc_id").as("a_id"), col("fidx"),
+    val repPairs = cand
+      .join(repFh.select(col("doc_id").as("a_id"), col("fidx"),
         col("fhash").as("a_hash")), Seq("a_id"))
-      .join(fh.select(col("doc_id").as("b_id"), col("fidx"),
+      .join(repFh.select(col("doc_id").as("b_id"), col("fidx"),
         col("fhash").as("b_hash")), Seq("b_id", "fidx"))
       .groupBy("a_id", "b_id")
       .agg(sum(hexHamming(col("a_hash"), col("b_hash"), 8)).cast("int")
         .as("total_hamming"))
       .where(col("total_hamming") <= maxTotal)
+    // expansion back to member pairs: within-group pairs are distance 0
+    // by construction; cross-group member pairs inherit exactly their
+    // representatives' total distance (identical sequences per group)
+    val within = seqs.as("a").join(seqs.as("b"),
+        col("a.n_sampled") === col("b.n_sampled") &&
+          col("a.seq") === col("b.seq") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        lit(0).as("total_hamming"))
+    val cross = repPairs
+      .join(memb.select(col("rep_id").as("a_id"), col("doc_id").as("ma")),
+        "a_id")
+      .join(memb.select(col("rep_id").as("b_id"), col("doc_id").as("mb")),
+        "b_id")
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("total_hamming"))
+    val out = within.unionByName(cross).localCheckpoint(true)
+    fh.unpersist(); seqs.unpersist()
+    out
   }
 
   /** Per-partition decode + feature extraction: the decoders and any codec

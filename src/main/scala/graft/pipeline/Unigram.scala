@@ -213,17 +213,47 @@ object Unigram {
                    maxTokLen: Int = 4, maxWordLen: Int = 12,
                    maxVocab: Int = 200, minFreq: Int = 5,
                    emIters: Int = 2): DataFrame = {
-    val spark = df.sparkSession
     val em = runEm(df, textCol, maxTokLen, maxWordLen, maxVocab, minFreq,
       emIters)
-    val vmap = em.vocab.keysIterator.toSeq
+    encodeUnder(df, idCol, textCol, em.lastNll, maxTokLen, em.hist)
+  }
+
+  /** Encode under an ALREADY-TRAINED score table — one EM run shared
+    * between train and tokenize instead of [[tokenizeDocs]] re-running it:
+    * `scores` is a (tok, nll_c) relation (e.g. [[train]]'s output, whose
+    * `nll_c` is the post-M-step rescore — segmenting under it applies
+    * that one extra M-step relative to [[tokenizeDocs]]'s final-E-step
+    * scores; both are valid SentencePiece encode conventions). The score
+    * table must cover every single code point of the corpus's words
+    * ([[train]] guarantees singles survive), or the Viterbi require
+    * fires. Bounded driver artifact: `scores` collects (≤ vocab size —
+    * the IVF-centroid convention). */
+  def tokenizeWith(df: DataFrame, idCol: String, textCol: String,
+                   scores: DataFrame, maxTokLen: Int = 4,
+                   maxWordLen: Int = 12): DataFrame = {
+    val nll = scores.select(col("tok"), col("nll_c").cast("int"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val hist = Bpe.wordHistogram(df, textCol)
+      .where(length(col("word")) <= maxWordLen)
+    encodeUnder(df, idCol, textCol, nll, maxTokLen, hist)
+  }
+
+  /** The shared encode tail: Viterbi each DISTINCT word under `nll`
+    * (map-only off the corpus hot path), then one word-keyed join + one
+    * doc-keyed reassembly. Token ids are the 1-based md5-rank of the
+    * token over `nll`'s key set. */
+  private def encodeUnder(df: DataFrame, idCol: String, textCol: String,
+                          nll: Map[String, Int], maxTokLen: Int,
+                          hist: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val vmap = nll.keysIterator.toSeq
       .map(t => t -> md5hex(t)).sortBy(_._2)
       .zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }.toMap
-    val bcNll = spark.sparkContext.broadcast(em.lastNll)
+    val bcNll = spark.sparkContext.broadcast(nll)
     val bcIds = spark.sparkContext.broadcast(vmap)
     val idsUdf = udf((w: String) =>
       viterbi(w, bcNll.value, maxTokLen).map(bcIds.value))
-    val wordIds = em.hist.select(col("word"), idsUdf(col("word")).as("ids"))
+    val wordIds = hist.select(col("word"), idsUdf(col("word")).as("ids"))
     val docWords = df
       .select(col(idCol).as("doc_id"),
         posexplode(filter(split(col(textCol), " "),

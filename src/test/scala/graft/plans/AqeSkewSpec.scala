@@ -43,9 +43,18 @@ class AqeSkewSpec extends AnyFunSuite {
       val n = joined.collect().length
       assert(n == 200000, s"join lost rows: $n")
 
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"AQE did not re-plan the hot key as a skew join:\n$plan")
+      // assert on the join NODE's isSkewJoin field (stable API), not the
+      // rendered "skew=true" plan-string wording
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val skewed = PlanNodes.flatten(joined.queryExecution.executedPlan)
+        .exists {
+          case j: SortMergeJoinExec    => j.isSkewJoin
+          case j: ShuffledHashJoinExec => j.isSkewJoin
+          case _                       => false
+        }
+      assert(skewed,
+        "AQE did not re-plan the hot key as a skew join:\n" +
+          joined.queryExecution.executedPlan.toString)
 
       // parity on the aggregate, against the driver-side ground truth
       val got = joined.groupBy("k").count().collect()

@@ -44,9 +44,18 @@ class DppSpec extends AnyFunSuite {
       val joined = fact.join(dim, "region_key")
         .groupBy("region_key").agg(sum("amount").as("total"))
 
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.toLowerCase.contains("dynamicpruning"),
-        s"fact scan lost its dynamic pruning filter:\n$plan")
+      // assert on the fact scan's partitionFilters holding a
+      // DynamicPruningExpression (stable API), not the rendered
+      // "dynamicpruning" plan-string wording
+      import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val pruned = PlanNodes.flatten(joined.queryExecution.executedPlan)
+        .collect { case sc: FileSourceScanExec => sc }
+        .exists(_.partitionFilters.exists(
+          _.exists(_.isInstanceOf[DynamicPruningExpression])))
+      assert(pruned,
+        "fact scan lost its dynamic pruning filter:\n" +
+          joined.queryExecution.executedPlan.toString)
 
       // partition-directory columns read back as the narrowest inferred
       // type (int here) — extract numerically, not positionally-typed
