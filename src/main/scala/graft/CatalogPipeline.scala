@@ -2356,6 +2356,77 @@ object CatalogPipeline {
       |SELECT a_id, b_id, total_hamming FROM tot
       |WHERE total_hamming <= 6 ORDER BY a_id, b_id""".stripMargin
 
+  /** SHIFT-tolerant video near-dup
+    * ([[graft.pipeline.Multimodal.videoShiftNearDupPairs]]): frame-hash
+    * shingle candidates + best-offset alignment verify. Fixture: every
+    * 10th doc a TRIMMED re-encode — frame 0 dropped, fps 8 — which p92
+    * provably misses (different frame-hash sequence) AND p96 provably
+    * misses (n_sampled differs, indexes misaligned), while every interior
+    * 2-frame shingle survives and the verify aligns nf−1 frames at
+    * offset −1 (the copy's frame i is the source's frame i+1). stride 1:
+    * shift tolerance needs every frame hashed. */
+  private def p98(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .flatMap { id =>
+        val base = Multimodal.MediaRow(id, "video/gvid", Multimodal.synthVideoAsset(id))
+        if (id % 10 == 0) {
+          val (w, h) = ((16 + id % 8).toInt, (12 + id % 5).toInt)
+          val frames = (1 until (6 + id % 5).toInt).map(f =>
+            Multimodal.encodePng(w, h,
+              (x, y) => ((id * 7 + f * 11 + x * 13 + y * 29) % 256).toInt))
+          Seq(base, Multimodal.MediaRow(id + 5000000L, "video/gvid",
+            Multimodal.encodeVideo(frames, fps = 8)))
+        } else Seq(base)
+      }
+      .toDF()
+    Multimodal.videoShiftNearDupPairs(media, stride = 1, shingleK = 2,
+        minAligned = 4)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val videoShiftNearDupOracleSql =
+    """WITH ids AS (SELECT doc_id, doc_id AS src_id, 0 AS drop0
+      |             FROM documents
+      |             UNION ALL
+      |             SELECT doc_id + 5000000, doc_id, 1 FROM documents
+      |             WHERE doc_id % 10 = 0),
+      |par AS (SELECT doc_id, src_id, drop0,
+      |          16 + src_id % 8 AS w, 12 + src_id % 5 AS h,
+      |          CAST(6 + src_id % 5 AS INT) AS nf FROM ids),
+      |fr AS (SELECT doc_id, src_id, drop0, w, h,
+      |         unnest(range(nf - drop0)) AS fidx
+      |       FROM par),
+      |fh AS MATERIALIZED (SELECT doc_id, CAST(fidx AS INT) AS fidx,
+      |  array_to_string(list_transform(range(8), y ->
+      |    printf('%02x', CAST(list_sum(list_transform(range(8), x ->
+      |      CASE WHEN (src_id*7 + (fidx+drop0)*11
+      |                 + (((x+1)*w)//9)*13 + ((y*h)//8)*29) % 256
+      |              > (src_id*7 + (fidx+drop0)*11
+      |                 + ((x*w)//9)*13 + ((y*h)//8)*29) % 256
+      |           THEN 1 << x ELSE 0 END)) AS INT))), '') AS fhash
+      |  FROM fr),
+      |sh AS (SELECT a.doc_id, a.fhash || b.fhash AS shingle
+      |       FROM fh a JOIN fh b
+      |       ON a.doc_id = b.doc_id AND b.fidx = a.fidx + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |         FROM sh a JOIN sh b
+      |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |mt AS (SELECT c.a_id, c.b_id, fb.fidx - fa.fidx AS off,
+      |         count(*) AS cnt
+      |       FROM cand c
+      |       JOIN fh fa ON fa.doc_id = c.a_id
+      |       JOIN fh fb ON fb.doc_id = c.b_id AND fb.fhash = fa.fhash
+      |       GROUP BY 1, 2, 3),
+      |best AS (SELECT a_id, b_id,
+      |           max(struct_pack(n := cnt, no := -off)) AS m
+      |         FROM mt GROUP BY a_id, b_id)
+      |SELECT a_id, b_id, CAST(-(m['no']) AS INT) AS best_offset,
+      |  CAST(m['n'] AS BIGINT) AS n_aligned
+      |FROM best WHERE m['n'] >= 4 ORDER BY a_id, b_id""".stripMargin
+
   /** Video frame sampling ([[graft.pipeline.Multimodal.videoFrameFeatures]]):
     * GVID containers (length-prefixed real-PNG frames) decoded
     * per-partition at stride 2 — non-sampled frames are index-skipped,
@@ -3548,6 +3619,7 @@ object CatalogPipeline {
     Q("p95_audio_dedup_resolve", p95, Some(audioResolveOracleSql)),
     Q("p96_video_neardup_pairs", p96, Some(videoNearDupPairsOracleSql)),
     Q("p97_image_resize", p97, Some(imageResizeOracleSql)),
+    Q("p98_video_shift_neardup", p98, Some(videoShiftNearDupOracleSql)),
     Q("p19_pii_scrub", p19,
       Some(s"""WITH corpus AS ($piiCorpusSql)
               |SELECT doc_id,

@@ -724,6 +724,103 @@ object Multimodal {
     out
   }
 
+  /** SHIFT-tolerant video near-dup pairs — what [[videoNearDupPairs]]'s
+    * aligned-frame contract (equal sampled count, equal frame indexes)
+    * structurally misses: a TRIMMED copy (intro dropped, recap cut) never
+    * aligns index-for-index. Candidates come from frame-hash SHINGLES —
+    * `shingleK` consecutive per-frame dHashes concatenated, keyed by
+    * VALUE only (no frame index), so a copy shifted by any offset still
+    * shares every interior shingle; verification finds the best global
+    * alignment: for each candidate pair, count exact frame-hash matches
+    * at every offset δ = fidx_b − fidx_a, keep the δ with the highest
+    * count (ties to the smallest δ), and emit pairs aligning at least
+    * `minAligned` frames. Returns (a_id, b_id, best_offset, n_aligned),
+    * a_id < b_id, best_offset oriented b-relative-to-a.
+    *
+    * Use stride 1 (every frame hashed): stride-s sampling breaks shift
+    * tolerance for trims that are not multiples of s — the sampled frame
+    * sets of copy and source interleave and never hash-match.
+    *
+    * Scale shape: only (doc_id, 16·shingleK hex chars) rows reach the
+    * candidate join and (doc_id, fidx, 16 hex chars) the verify joins —
+    * payloads never shuffle. Exact-equal SEQUENCES collapse to one
+    * representative before shingling (the [[videoNearDupPairs]]
+    * hot-bucket discipline), with both alignment orientations computed
+    * rep-level so member expansion stays exact even on tie-broken
+    * offsets. */
+  def videoShiftNearDupPairs(media: DataFrame, stride: Int, shingleK: Int,
+                             minAligned: Int): DataFrame = {
+    require(shingleK >= 1, s"shingleK=$shingleK")
+    require(minAligned >= 1, s"minAligned=$minAligned")
+    val fh = videoFrameHashes(media, stride).persist()
+    val seqs = fh.groupBy("doc_id", "n_sampled")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("fidx"), col("fhash")))),
+        p => p.getField("fhash")), "").as("seq"))
+      .persist()
+    val uniq = seqs.groupBy("n_sampled", "seq")
+      .agg(min("doc_id").as("rep_id"))
+    val memb = seqs.join(uniq, Seq("n_sampled", "seq"))
+      .select(col("doc_id"), col("rep_id"))
+    val repFh = fh.join(uniq.select(col("rep_id").as("doc_id")), "doc_id")
+    // shingles sliced straight out of the concatenated rep sequence
+    val shingles = seqs.join(uniq, Seq("n_sampled", "seq"))
+      .where(col("doc_id") === col("rep_id") &&
+        col("n_sampled") >= shingleK)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), col("n_sampled") - shingleK),
+        j => col("seq").substr(j * 16 + 1, lit(16 * shingleK))))
+        .as("shingle"))
+    val cand = shingles.as("a").join(shingles.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // per-offset match counts: an equi-join on the frame hash — never a
+    // positional cross product
+    val counts = cand
+      .join(repFh.select(col("doc_id").as("a_id"), col("fidx").as("ai"),
+        col("fhash")), "a_id")
+      .join(repFh.select(col("doc_id").as("b_id"), col("fidx").as("bi"),
+        col("fhash")), Seq("b_id", "fhash"))
+      .groupBy(col("a_id"), col("b_id"),
+        (col("bi") - col("ai")).as("off"))
+      .agg(count(lit(1)).as("n_aligned"))
+    // both orientations' argmax (max count; tie min δ for a→b, which is
+    // max δ negated for b→a) so member pairs whose id order flips the
+    // group orientation still expand to the oracle-exact offset
+    val best = counts.groupBy("a_id", "b_id")
+      .agg(max(struct(col("n_aligned"), (-col("off")).as("no"))).as("fw"),
+        max(struct(col("n_aligned"), col("off").as("po"))).as("rv"))
+      .where(col("fw.n_aligned") >= minAligned)
+      .select(col("a_id"), col("b_id"),
+        (-col("fw.no")).as("off_fwd"), (-col("rv.po")).as("off_rev"),
+        col("fw.n_aligned").as("n_aligned"))
+    // identical sequences: the best alignment is exactly δ=0 with every
+    // frame matched (count(0)=n strictly dominates count(δ≠0) ≤ n−|δ|)
+    val within = seqs.as("a").join(seqs.as("b"),
+        col("a.n_sampled") === col("b.n_sampled") &&
+          col("a.seq") === col("b.seq") && col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.n_sampled") >= shingleK &&
+        col("a.n_sampled") >= minAligned)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        lit(0).as("best_offset"),
+        col("a.n_sampled").cast("long").as("n_aligned"))
+    val cross = best
+      .join(memb.select(col("rep_id").as("a_id"), col("doc_id").as("ma")),
+        "a_id")
+      .join(memb.select(col("rep_id").as("b_id"), col("doc_id").as("mb")),
+        "b_id")
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"),
+        when(col("ma") < col("mb"), col("off_fwd"))
+          .otherwise(col("off_rev")).cast("int").as("best_offset"),
+        col("n_aligned"))
+    val out = within.unionByName(cross).localCheckpoint(true)
+    fh.unpersist(); seqs.unpersist()
+    out
+  }
+
   /** Per-partition decode + feature extraction: the decoders and any codec
     * state initialize once per partition and stream over the batch; only
     * the small integer feature rows leave the task — payloads never

@@ -303,6 +303,40 @@ class MultimodalSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("videoShiftNearDupPairs catches a trimmed copy that p92 AND p96 provably miss") {
+    // 6 frames with far-apart dHashes; B = A with frame 0 DROPPED. The
+    // sequence fingerprints differ (p92 misses), the sampled counts differ
+    // AND indexes misalign (p96's equi-join yields no candidate), but every
+    // interior 2-frame shingle of B is a shingle of A, and the best
+    // alignment matches all 5 of B's frames at offset −1.
+    def frame(f: Int) = Multimodal.encodePng(9, 8, (x, y) =>
+      ((f * 37 + x * 13) * (y + 1) + f * f * 5) % 256)
+    val aFrames = (0 until 6).map(frame)
+    val a = Multimodal.encodeVideo(aFrames, fps = 4)
+    val b = Multimodal.encodeVideo(aFrames.drop(1), fps = 8)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .appName("videoshift-spec").getOrCreate()
+    try {
+      import spark.implicits._
+      val media = Seq(Multimodal.MediaRow(1, "video/gvid", a),
+        Multimodal.MediaRow(2, "video/gvid", b)).toDF()
+      val fps = Multimodal.videoSeqFingerprint(media, stride = 1).collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(fps(1L) != fps(2L), "p92 exact sequence grouping must miss a trim")
+      val aligned = Multimodal.videoNearDupPairs(media, stride = 1,
+        maxTotal = 64).collect()
+      assert(aligned.isEmpty,
+        "p96's aligned-index contract must miss a trimmed copy")
+      val shifted = Multimodal.videoShiftNearDupPairs(media, stride = 1,
+          shingleK = 2, minAligned = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      assert(shifted.toSeq == Seq((1L, 2L, -1, 5L)),
+        s"expected the trimmed pair aligned at offset -1 over 5 frames, got ${shifted.toSeq}")
+    } finally spark.stop()
+  }
+
   test("videoSeqFingerprint: re-encode groups, reorder does not") {
     val frames = (0 until 3).map(f =>
       Multimodal.encodePng(9, 8, (x, y) => (f * 11 + x * 13 + y * 29) % 256))
