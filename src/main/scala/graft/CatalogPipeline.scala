@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Boilerplate, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity search / multimodal
   * / text analysis) over the `documents` and `embeddings` tables.
@@ -2427,6 +2427,57 @@ object CatalogPipeline {
       |  CAST(m['n'] AS BIGINT) AS n_aligned
       |FROM best WHERE m['n'] >= 4 ORDER BY a_id, b_id""".stripMargin
 
+  /** Markup/boilerplate extraction ([[graft.pipeline.Boilerplate.extract]]):
+    * each document rendered as tag soup — a nav bar of pure links, the
+    * text in 15-word `<p>` blocks, a link-heavy footer — and the jusText
+    * rules must drop exactly the nav (3 words, 3 linked: density 1) and
+    * the footer (4 words, 2 linked: density 1/2) plus any trailing
+    * content chunk under 3 words, keeping everything else. The oracle
+    * replays the CHUNKING FORMULA, never the HTML parser — valid because
+    * the markup synthesis is lossless over the word stream (the
+    * multimodal-oracle discipline). Documents with no words are excluded
+    * by both sides. */
+  private def p99(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      .where(size(col("ws")) > 0)
+    val chunks = transform(
+      sequence(lit(0), floor((size(col("ws")) - 1) / lit(15)).cast("int")),
+      i => concat(lit("<p>"),
+        array_join(slice(col("ws"), i * 15 + 1, lit(15)), " "),
+        lit("</p>")))
+    val html = toks.select(col("doc_id"), concat(
+      lit("<html><body><nav><a href=\"#\">Home</a> <a href=\"#\">About</a>" +
+        " <a href=\"#\">Contact</a></nav>"),
+      array_join(chunks, ""),
+      lit("<footer><a href=\"#\">Privacy</a> <a href=\"#\">Terms</a>" +
+        " copyright notice</footer></body></html>")).as("html"))
+    Boilerplate.extract(html, "doc_id", "html", minWords = 3)
+      .orderBy("doc_id")
+  }
+
+  private val boilerplateOracleSql =
+    """WITH t AS (SELECT doc_id,
+      |             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |           FROM documents),
+      |tt AS (SELECT doc_id, w, CAST(len(w) AS INT) AS n
+      |       FROM t WHERE len(w) > 0),
+      |ch AS (SELECT doc_id, n, w,
+      |         CAST(unnest(range((n - 1) // 15 + 1)) AS INT) AS i
+      |       FROM tt),
+      |blk AS (SELECT doc_id, i, w[i*15+1 : i*15+15] AS cw FROM ch),
+      |k AS (SELECT doc_id, i, cw, CAST(len(cw) AS INT) AS bw,
+      |        len(cw) >= 3 AS keep FROM blk)
+      |SELECT doc_id,
+      |  CAST(count(*) + 2 AS INT) AS n_blocks,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+      |  CAST(sum(CASE WHEN keep THEN bw ELSE 0 END) AS BIGINT) AS kept_words,
+      |  md5(COALESCE(string_agg(CASE WHEN keep
+      |    THEN array_to_string(cw, ' ') END, ' ' ORDER BY i), ''))
+      |    AS clean_hash
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Video frame sampling ([[graft.pipeline.Multimodal.videoFrameFeatures]]):
     * GVID containers (length-prefixed real-PNG frames) decoded
     * per-partition at stride 2 — non-sampled frames are index-skipped,
@@ -3620,6 +3671,7 @@ object CatalogPipeline {
     Q("p96_video_neardup_pairs", p96, Some(videoNearDupPairsOracleSql)),
     Q("p97_image_resize", p97, Some(imageResizeOracleSql)),
     Q("p98_video_shift_neardup", p98, Some(videoShiftNearDupOracleSql)),
+    Q("p99_boilerplate_extract", p99, Some(boilerplateOracleSql)),
     Q("p19_pii_scrub", p19,
       Some(s"""WITH corpus AS ($piiCorpusSql)
               |SELECT doc_id,
