@@ -2478,6 +2478,65 @@ object CatalogPipeline {
       |    AS clean_hash
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Fixed-point logistic regression ([[graft.pipeline.Logistic]]): the
+    * trained linear quality filter next to p63's closed-form NB, on the
+    * real label lang='en' with 8 hashed buckets + bias, 3 full-batch GD
+    * rounds. The oracle unrolls every round as MATERIALIZED CTEs — each
+    * weight update replayed exactly in scaled-integer arithmetic. */
+  private def p100(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Logistic.trainPredict(
+        Tables.documents(s, d).withColumn("y01",
+          when(col("lang") === "en", 1).otherwise(0)),
+        "doc_id", "text", "y01", nBuckets = 8, rounds = 3, lrMul = 16L)
+      .orderBy("doc_id")
+
+  /** One unrolled GD round: gradient rows g_r from the previous weights,
+    * then the truncated-toward-zero update into w_r. */
+  private def logisticRoundSql(r: Int): String =
+    s"""g$r AS MATERIALIZED (
+       |  SELECT j, CAST(sum(xj * err) AS BIGINT) AS g FROM (
+       |    SELECT unnest(x) AS xj, unnest(range(9)) AS j,
+       |      LEAST(GREATEST(list_sum(list_transform(range(9),
+       |        k -> x[CAST(k+1 AS INT)] * w[CAST(k+1 AS INT)]))
+       |        + 2000000, 0), 4000000) // 4 - 1000000 * y AS err
+       |    FROM f, w${r - 1})
+       |  GROUP BY j),
+       |w$r AS (SELECT list(w[CAST(j+1 AS INT)]
+       |         - CASE WHEN g >= 0 THEN g // lrden
+       |                ELSE -((-g) // lrden) END ORDER BY j) AS w
+       |       FROM g$r, w${r - 1}, n)""".stripMargin
+
+  private val logisticOracleSql =
+    s"""WITH t AS (SELECT doc_id,
+       |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |           FROM documents),
+       |f AS MATERIALIZED (SELECT doc_id, CAST(y AS BIGINT) AS y,
+       |    list_transform(range(8), j ->
+       |      CAST(len(list_filter(ws, w ->
+       |        list_reduce(list_prepend(0::BIGINT,
+       |          list_transform(range(length(w)),
+       |            c -> ascii(substr(w, CAST(c + 1 AS INT), 1))::BIGINT)),
+       |          (acc, x) -> (acc * 31 + x) % 1000000007) % 8 = j))
+       |        AS BIGINT)) || [1::BIGINT] AS x
+       |  FROM t),
+       |n AS (SELECT CAST(16 * count(*) AS BIGINT) AS lrden FROM f),
+       |w0 AS (SELECT [0,0,0,0,0,0,0,0,0]::BIGINT[] AS w),
+       |${logisticRoundSql(1)},
+       |${logisticRoundSql(2)},
+       |${logisticRoundSql(3)}
+       |SELECT doc_id, CAST(y AS INT) AS y, score_fp,
+       |  CAST(CASE WHEN score_fp * 2 >= 1000000 THEN 1 ELSE 0 END AS INT)
+       |    AS pred,
+       |  (CASE WHEN score_fp * 2 >= 1000000 THEN 1 ELSE 0 END) = y
+       |    AS correct
+       |FROM (SELECT doc_id, y,
+       |        CAST(LEAST(GREATEST(list_sum(list_transform(range(9),
+       |          k -> x[CAST(k+1 AS INT)] * w[CAST(k+1 AS INT)]))
+       |          + 2000000, 0), 4000000) // 4 AS BIGINT) AS score_fp
+       |      FROM f, w3)
+       |ORDER BY doc_id""".stripMargin
+
   /** Video frame sampling ([[graft.pipeline.Multimodal.videoFrameFeatures]]):
     * GVID containers (length-prefixed real-PNG frames) decoded
     * per-partition at stride 2 — non-sampled frames are index-skipped,
@@ -3672,6 +3731,7 @@ object CatalogPipeline {
     Q("p97_image_resize", p97, Some(imageResizeOracleSql)),
     Q("p98_video_shift_neardup", p98, Some(videoShiftNearDupOracleSql)),
     Q("p99_boilerplate_extract", p99, Some(boilerplateOracleSql)),
+    Q("p100_logistic_quality", p100, Some(logisticOracleSql)),
     Q("p19_pii_scrub", p19,
       Some(s"""WITH corpus AS ($piiCorpusSql)
               |SELECT doc_id,
