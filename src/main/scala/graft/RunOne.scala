@@ -18,13 +18,16 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("--stages")) {
+      // floor in ms below which a stage is not printed; GRAFT_STAGE_MS=0
+      // shows every stage (overhead-dominated queries are many small stages)
+      val floorMs = sys.env.getOrElse("GRAFT_STAGE_MS", "500").toLong
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
           val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
           val tm = si.taskMetrics
-          if (ms > 500)
+          if (ms >= floorMs)
             System.err.println(f"[stage ${si.stageId}%4d] ${ms / 1000.0}%7.1fs " +
               f"tasks=${si.numTasks}%3d cpu=${tm.executorCpuTime / 1e9}%6.1fs " +
               f"run=${tm.executorRunTime / 1e3}%6.1fs " +
