@@ -439,6 +439,14 @@ object Dedup {
         call_function("minhash_band_keys", col("words"),
           lit(n), lit(numHashes), lit(bandRows)).as("bands"))
       .withColumn("sz", size(col("hgrams")))
+      // collapse key INSIDE the cache: md5 over the stringified gram-hash
+      // array is the expensive expression of the collapse, and as a
+      // derived column below the cache every downstream reference (rep
+      // table, membership, within-group pairs) re-ran the transform +
+      // array_join + md5 pass — measured 5 full passes at sf0.1 (guide
+      // §1.2 step 2: make the per-task work run once)
+      .withColumn("gk",
+        md5(array_join(transform(col("hgrams"), _.cast("string")), ",")))
       .cache()
     // materialized before fan-out — same stampede trade as
     // ngramJaccardPairs: the band leg and both verify-join legs would
@@ -454,19 +462,25 @@ object Dedup {
     // trivially — band once through a representative, so an m-item
     // identical cluster contributes ONE signature per band bucket instead
     // of m (candidate generation O(m), never m²/2 before any verify).
-    // Collapse key = md5 of the sorted gram-hash array: equal key ⇔ equal
-    // gram set (w.h.p., the documented gram-hash trade). Jaccard depends
-    // only on the gram set, so every member pair inherits its
-    // representatives' verified similarity EXACTLY, and same-set pairs are
-    // Jaccard 1 ≥ minSim by definition — the expanded pair list is
-    // bit-identical to the uncollapsed one.
-    val keyed = g.withColumn("gk",
-      md5(array_join(transform(col("hgrams"), _.cast("string")), ",")))
-    val uniq = keyed.groupBy("gk").agg(min("id").as("rep_id"))
-    val memb = keyed.select(col("id"), col("gk"))
-      .join(uniq, "gk")
-      .select(col("id"), col("rep_id"))
-    val reps = keyed.join(uniq.select(col("rep_id").as("id")), "id")
+    // Collapse key = md5 of the sorted gram-hash array (computed once in
+    // the g0 cache above): equal key ⇔ equal gram set (w.h.p., the
+    // documented gram-hash trade). Jaccard depends only on the gram set,
+    // so every member pair inherits its representatives' verified
+    // similarity EXACTLY, and same-set pairs are Jaccard 1 ≥ minSim by
+    // definition — the expanded pair list is bit-identical to the
+    // uncollapsed one.
+    //
+    // membership (id → rep = min id of its gram-set group) via ONE
+    // narrow (id, gk) window shuffle instead of groupBy + join-back (two
+    // exchanges over the same rows — guide §2.4); persisted because the
+    // rep filter, the within-group pairs, and both expansion joins read
+    // it (freed by the runners' per-query cache clear, the g0 convention)
+    val memb = g.select(col("id"), col("gk"))
+      .select(col("id"),
+        min("id").over(Window.partitionBy("gk")).as("rep_id"))
+      .persist()
+    val reps = g.join(
+      memb.where(col("id") === col("rep_id")).select(col("id")), "id")
     val candidates = repBandCandidates(reps)
     val repPairs = candidates
       .join(reps.select(col("id").as("a_id"), col("hgrams").as("a_grams"),
@@ -480,10 +494,12 @@ object Dedup {
           .as("jaccard"))
       .where(col("jaccard") >= minSim)
     // expansion: same-set member pairs (Jaccard exactly 1), then every
-    // cross-set member pair under its representatives' verified score
-    val kk = keyed.select(col("id"), col("gk"))
-    val within = kk.as("a").join(kk.as("b"),
-        col("a.gk") === col("b.gk") && col("a.id") < col("b.id"))
+    // cross-set member pair under its representatives' verified score.
+    // rep_id (a long) stands in for gk (32-char string) as the group key:
+    // min-id-per-group is unique per group, so equality is equivalent —
+    // and the self-join shuffles 16 bytes/row instead of ~48 (guide §2.3)
+    val within = memb.as("a").join(memb.as("b"),
+        col("a.rep_id") === col("b.rep_id") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         lit(1.0).as("jaccard"))
     val cross = repPairs
