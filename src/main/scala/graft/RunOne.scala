@@ -39,14 +39,33 @@ object RunOne {
         }
       })
     }
+    // per-run totals from the listener: executor CPU is steal/contention-
+    // resistant where wall time on a shared host is not — use it (plus the
+    // stage count) as the primary optimization signal
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val runNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stageN = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        cpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+        runNs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime * 1000000L)
+        stageN.incrementAndGet()
+      }
+    })
     val times = args.sliding(2).collectFirst {
       case Array("--times", n) => n.toInt }.getOrElse(1)
     (1 to times).foreach { i =>
       val t0 = System.nanoTime()
+      cpuNs.set(0L); runNs.set(0L); stageN.set(0L)
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (i == 1 && args.contains("--explain")) df.explain("formatted")
       val n = df.count()
-      println(f"$name[$i]: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // listener events are async; give the bus a moment before reading
+      Thread.sleep(300)
+      println(f"$name[$i]: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"cpu=${cpuNs.get / 1e9}%.1f s run=${runNs.get / 1e9}%.1f s " +
+        f"stages=${stageN.get}")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
