@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** HyperBall (Boldi–Vigna 2013) — the neighborhood function at graph
@@ -22,14 +21,18 @@ import org.apache.spark.sql.functions._
   *   ball_r(v)   = bottomK( ball_{r-1}(v) ∪ ⋃_{(u,v)∈E} ball_{r-1}(u) )
   *
   * Scale shape (100 TB of edges): edges hash-partition by `src` once and
-  * persist; per round ONE co-partitioned join ships (node, hash) sketch
-  * rows — ≤ k per node, never ball SETS — a map-side-combinable
-  * distinct, and the bottom-k cut via `row_number ≤ k` (SPARK-37099
-  * plans a Partial WindowGroupLimit below the exchange, so a hub
-  * forwards ≤ k rows per input partition). Estimates read off each
-  * round's sketch with the [[graft.pipeline.Sketches.kmvIntersect]]
-  * integer estimator: exact `msz` when the ball fit in the sketch,
-  * (k−1)·M div θ otherwise — float-free.
+  * persist; per round ONE shuffled-hash join ships each node's sketch
+  * ARRAY (≤ k hashes) to its out-neighbors — never ball SETS — and ONE
+  * aggregation rebuilds the bottom-k: `slice(array_sort(collect_set), 1,
+  * k)`, whose partial (map-side) collect_set collapses the duplicate-
+  * heavy join fan-out BEFORE the exchange. Round 12 shape: this replaces
+  * the former distinct → window(row_number ≤ k) → per-round estimate
+  * chain — two extra exchanges and a per-round sort over the full
+  * distinct ball volume — with estimates now read directly off the
+  * sorted array (`msz` = size, θ = last element), exact `msz` when the
+  * ball fit in the sketch, (k−1)·M div θ otherwise — float-free, and
+  * the hint-forced shuffled-hash join stops sort-merge from re-sorting
+  * the persisted edge relation every round.
   */
 object HyperBall {
 
@@ -59,30 +62,33 @@ object HyperBall {
     // every radius, contradicting the ball_0(v) = {h(v)} recurrence
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    var sketch = nodes.select(col("node"), ih.as("ih")).persist()
-    val w = Window.partitionBy("node").orderBy("ih")
-    val est = (r: Int, s: DataFrame) => s.groupBy("node")
-      .agg(count(lit(1)).as("msz"), max("ih").as("theta"))
-      .select(col("node"), lit(r).as("r"), col("msz"),
-        when(col("msz") < k, col("msz"))
-          .otherwise(expr(s"${(k - 1).toLong * M} div theta")).as("ball_est"))
+    // state: one row per node carrying the SORTED bottom-k hash array —
+    // estimates are projections of it (no per-round estimate aggregate),
+    // and the next round explodes it back to (node, hash) contributions
+    var sketch = nodes.select(col("node"), array(ih).as("arr")).persist()
+    val est = (r: Int, s: DataFrame) =>
+      s.select(col("node"), lit(r).as("r"),
+        size(col("arr")).cast("long").as("msz"),
+        when(size(col("arr")) < k, size(col("arr")).cast("long"))
+          .otherwise(expr(s"${(k - 1).toLong * M} div element_at(arr, -1)"))
+          .as("ball_est"))
     var out = est(0, sketch)
     for (r <- 1 to rounds) {
-      // distinct BEFORE the window on purpose: the raw join output is
-      // duplicate-heavy (neighbors share ball members), and distinct's
-      // map-side partial aggregation collapses those duplicates BEFORE
-      // its exchange. The tempting fusion — repartition(node) + a
-      // partition-local dedup feeding the window on one exchange — ships
-      // every duplicate raw and benched slower; at 100 TB the pre-shuffle
-      // combine is the difference between shipping O(distinct) and
-      // O(edge-fanout) rows
-      val next = e.join(sketch.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("ih"))
-        .unionByName(sketch)
-        .distinct()
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= k)
-        .select("node", "ih")
+      // one aggregation rebuilds the bottom-k: the partial (map-side)
+      // collect_set collapses the duplicate-heavy join fan-out BEFORE the
+      // exchange (neighbors share ball members), exactly like the former
+      // distinct's partial aggregate — but the sort + k-cut now happen
+      // inside the same aggregate's result expression, where the former
+      // chain paid a second exchange for distinct's (node, ih) keying, a
+      // third for the window, and a per-round sort of the full distinct
+      // ball volume. The shuffle_hash hint keeps the persisted edge
+      // relation from being re-sorted every round (sort-merge default).
+      val next = e.join(
+          sketch.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+        .select(col("dst").as("node"), explode(col("arr")).as("ih"))
+        .unionByName(sketch.select(col("node"), explode(col("arr")).as("ih")))
+        .groupBy("node")
+        .agg(slice(array_sort(collect_set(col("ih"))), 1, k).as("arr"))
         // localCheckpoint, not persist: round r+1 references sketch_r
         // twice (edge join + self union) and every round's estimate row
         // references its sketch again — un-truncated, the analyzed plan
