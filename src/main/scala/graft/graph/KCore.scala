@@ -57,16 +57,24 @@ object KCore {
     var alive = sym.select(col("src").as("node")).distinct()
       .withColumn("deg", lit(-1L)).persist()
     for (_ <- 1 to rounds) {
-      val deg = sym
+      // count alive in-neighbors per DST endpoint: the symmetric relation
+      // makes in-neighbors = neighbors, so one map-side-combined count
+      // keyed by dst replaces the former dst-keyed LEFT SEMI of raw edge
+      // rows followed by a src-keyed recount — two edge-sized exchanges
+      // per round collapse into one exchange of pre-aggregated counts
+      // (guide §2.3 "aggregate before you shuffle"); aliveness of the
+      // counted node itself is re-imposed by the (node-sized) join below
+      val cnt = sym
         .join(alive.select(col("node").as("src")), "src")
-        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
       // localCheckpoint, not persist: alive_r is referenced TWICE by
-      // round r+1 (both endpoint filters), so an un-truncated analyzed
-      // plan doubles per round and its stringification (emitted per AQE
-      // event) goes exponential — the p49 lesson
-      alive = deg.where(col("deg") >= k)
-        .select(col("src").as("node"), col("deg"))
+      // round r+1 (the src filter and the alive re-check), so an
+      // un-truncated analyzed plan doubles per round and its
+      // stringification (emitted per AQE event) goes exponential — the
+      // p49 lesson
+      alive = cnt.join(alive.select(col("node").as("dst")), "dst")
+        .select(col("dst").as("node"), col("deg"))
         .localCheckpoint()
     }
     alive
