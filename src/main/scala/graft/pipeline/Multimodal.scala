@@ -674,17 +674,23 @@ object Multimodal {
     // videos with identical sampled frame-hash sequences band once via a
     // representative, so a corpus-sized cluster of identical videos (and
     // every (fidx, band) bucket a shared frame would flood) costs O(m)
-    // here, not m²/2. One row per video: (doc_id, n_sampled, seq).
-    val seqs = fh.groupBy("doc_id", "n_sampled")
+    // here, not m²/2. One row per video: (doc_id, n_sampled, seq,
+    // rep_id = min doc id of its identical-sequence group), the rep
+    // assigned by ONE window over the sequence key — the former
+    // groupBy(n_sampled, seq) + join-back shuffled the concatenated
+    // frame-hash strings twice more, and the within-group self-join
+    // below now compares 8-byte rep ids instead of n·16-char strings
+    // (guide §2.3/§2.4).
+    val srep = fh.groupBy("doc_id", "n_sampled")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("fidx"), col("fhash")))),
         p => p.getField("fhash")), "").as("seq"))
+      .withColumn("rep_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("n_sampled", "seq")))
       .persist()
-    val uniq = seqs.groupBy("n_sampled", "seq")
-      .agg(min("doc_id").as("rep_id"))
-    val memb = seqs.join(uniq, Seq("n_sampled", "seq"))
-      .select(col("doc_id"), col("rep_id"))
-    val repFh = fh.join(uniq.select(col("rep_id").as("doc_id")), "doc_id")
+    val memb = srep.select(col("doc_id"), col("rep_id"))
+    val repFh = fh.join(
+      srep.where(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
     val banded = repFh.select(col("doc_id"), col("n_sampled"), col("fidx"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
@@ -705,11 +711,13 @@ object Multimodal {
         .as("total_hamming"))
       .where(col("total_hamming") <= maxTotal)
     // expansion back to member pairs: within-group pairs are distance 0
-    // by construction; cross-group member pairs inherit exactly their
-    // representatives' total distance (identical sequences per group)
-    val within = seqs.as("a").join(seqs.as("b"),
-        col("a.n_sampled") === col("b.n_sampled") &&
-          col("a.seq") === col("b.seq") && col("a.doc_id") < col("b.doc_id"))
+    // by construction (same rep ⇔ same (n_sampled, seq) — the group rep
+    // is unique per group); cross-group member pairs inherit exactly
+    // their representatives' total distance (identical sequences per
+    // group)
+    val within = memb.as("a").join(memb.as("b"),
+        col("a.rep_id") === col("b.rep_id") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         lit(0).as("total_hamming"))
     val cross = repPairs
@@ -720,7 +728,7 @@ object Multimodal {
       .select(least(col("ma"), col("mb")).as("a_id"),
         greatest(col("ma"), col("mb")).as("b_id"), col("total_hamming"))
     val out = within.unionByName(cross).localCheckpoint(true)
-    fh.unpersist(); seqs.unpersist()
+    fh.unpersist(); srep.unpersist()
     out
   }
 
@@ -753,18 +761,23 @@ object Multimodal {
     require(shingleK >= 1, s"shingleK=$shingleK")
     require(minAligned >= 1, s"minAligned=$minAligned")
     val fh = videoFrameHashes(media, stride).persist()
-    val seqs = fh.groupBy("doc_id", "n_sampled")
+    // rep assigned by ONE window over the sequence key (the
+    // videoNearDupPairs round-12 shape): the former groupBy + two
+    // join-backs shuffled the concatenated frame-hash strings three
+    // times, and the within-group self-join below now compares 8-byte
+    // rep ids instead of n·16-char strings
+    val srep = fh.groupBy("doc_id", "n_sampled")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("fidx"), col("fhash")))),
         p => p.getField("fhash")), "").as("seq"))
+      .withColumn("rep_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("n_sampled", "seq")))
       .persist()
-    val uniq = seqs.groupBy("n_sampled", "seq")
-      .agg(min("doc_id").as("rep_id"))
-    val memb = seqs.join(uniq, Seq("n_sampled", "seq"))
-      .select(col("doc_id"), col("rep_id"))
-    val repFh = fh.join(uniq.select(col("rep_id").as("doc_id")), "doc_id")
+    val memb = srep.select(col("doc_id"), col("rep_id"))
+    val repFh = fh.join(
+      srep.where(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
     // shingles sliced straight out of the concatenated rep sequence
-    val shingles = seqs.join(uniq, Seq("n_sampled", "seq"))
+    val shingles = srep
       .where(col("doc_id") === col("rep_id") &&
         col("n_sampled") >= shingleK)
       .select(col("doc_id"), explode(transform(
@@ -797,10 +810,13 @@ object Multimodal {
         (-col("fw.no")).as("off_fwd"), (-col("rv.po")).as("off_rev"),
         col("fw.n_aligned").as("n_aligned"))
     // identical sequences: the best alignment is exactly δ=0 with every
-    // frame matched (count(0)=n strictly dominates count(δ≠0) ≤ n−|δ|)
-    val within = seqs.as("a").join(seqs.as("b"),
-        col("a.n_sampled") === col("b.n_sampled") &&
-          col("a.seq") === col("b.seq") && col("a.doc_id") < col("b.doc_id"))
+    // frame matched (count(0)=n strictly dominates count(δ≠0) ≤ n−|δ|);
+    // same rep ⇔ same (n_sampled, seq), so the pair join runs on 8-byte
+    // rep ids with the filters read off the a side
+    val wn = srep.select(col("doc_id"), col("n_sampled"), col("rep_id"))
+    val within = wn.as("a").join(wn.as("b"),
+        col("a.rep_id") === col("b.rep_id") &&
+          col("a.doc_id") < col("b.doc_id"))
       .where(col("a.n_sampled") >= shingleK &&
         col("a.n_sampled") >= minAligned)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -817,7 +833,7 @@ object Multimodal {
           .otherwise(col("off_rev")).cast("int").as("best_offset"),
         col("n_aligned"))
     val out = within.unionByName(cross).localCheckpoint(true)
-    fh.unpersist(); seqs.unpersist()
+    fh.unpersist(); srep.unpersist()
     out
   }
 
