@@ -389,60 +389,73 @@ object Multimodal {
         .bitwiseXOR(conv(substring(b, i * 2 + 1, 2), 16, 10).cast("long"))))
       .reduce(_ + _)
 
+  /** Member → representative assignment for the exact-equal collapse:
+    * one window over the fingerprint assigns each doc the min doc id of
+    * its identical-hash group (the round-12 shape shared with the video
+    * family — the former groupBy(hash) + join-back shuffled the hex
+    * strings twice more, and every member-pair join downstream now
+    * compares 8-byte rep ids instead of 2·nBytes-char strings). */
+  private def hashReps(hashes: DataFrame, hashCol: String): DataFrame =
+    hashes.select(col("doc_id"), col(hashCol).as("hash"))
+      .withColumn("rep_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("hash")))
+
   /** Verified near-dup pairs over DISTINCT fingerprints — the banded
-    * self-join runs on one row per unique hash, so an m-item cluster of
-    * identical fingerprints occupies each band bucket ONCE instead of m
-    * times (the round-11 hot-bucket fix: a corpus-sized cluster of
-    * all-black thumbnails no longer makes candidate generation
-    * quadratic). Returns (a_hash, b_hash, hamming), a_hash < b_hash. */
-  private def bandedUniqueHashPairs(uniqHashes: DataFrame,
-                                    nBytes: Int, maxDist: Int): DataFrame = {
+    * self-join runs on one row per unique hash (its representative), so
+    * an m-item cluster of identical fingerprints occupies each band
+    * bucket ONCE instead of m times (the round-11 hot-bucket fix: a
+    * corpus-sized cluster of all-black thumbnails no longer makes
+    * candidate generation quadratic). Takes (doc_id = rep id, hash) rows,
+    * returns (a_id, b_id, hamming) of representative pairs. */
+  private def bandedRepPairs(reps: DataFrame,
+                             nBytes: Int, maxDist: Int): DataFrame = {
     val bandHex = nBytes / 2 // hex chars per band
-    val banded = uniqHashes.select(col("hash"),
+    val banded = reps.select(col("doc_id"), col("hash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
           substring(col("hash"), b * bandHex + 1, bandHex).as("v"))): _*))
         .as("band"))
+    // equal ids carry equal hashes, so the hash columns ride through the
+    // id-keyed distinct and the Hamming verify needs no join-back
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.hash") < col("b.hash"))
-      .select(col("a.hash").as("a_hash"), col("b.hash").as("b_hash"))
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.hash").as("a_hash"), col("b.hash").as("b_hash"))
       .distinct()
       .withColumn("hamming",
         hexHamming(col("a_hash"), col("b_hash"), nBytes).cast("int"))
       .where(col("hamming") <= maxDist)
+      .select("a_id", "b_id", "hamming")
   }
 
   private def bandedHexPairs(hashes: DataFrame, hashCol: String,
                              nBytes: Int, maxDist: Int): DataFrame = {
     require(maxDist <= 3, "4-band blocking guarantees recall only for dist<=3")
     require(nBytes % 4 == 0, s"nBytes=$nBytes must split into 4 byte bands")
-    // several readers below (collapse groupBy, both expansion joins) —
+    // several readers below (rep filter, both expansion joins) —
     // persisted here, freed after the eager materialization of the result
-    val members = hashes.select(col("doc_id"), col(hashCol).as("hash"))
-      .persist()
-    // exact-equal collapse BEFORE banding: identical fingerprints are one
-    // cluster by definition, so only distinct hashes enter the band join
-    val uniq = members.groupBy("hash").agg(min("doc_id").as("rep_id"))
-    val repPairs = bandedUniqueHashPairs(uniq.select("hash"), nBytes, maxDist)
+    val memb = hashReps(hashes, hashCol).persist()
+    val repPairs = bandedRepPairs(
+      memb.where(col("doc_id") === col("rep_id")), nBytes, maxDist)
     // within-group pairs (hamming 0) — bounded by the OUTPUT pair list,
     // which is inherently quadratic in cluster size for pair semantics
-    val within = members.as("a").join(members.as("b"),
-        col("a.hash") === col("b.hash") && col("a.doc_id") < col("b.doc_id"))
+    val within = memb.as("a").join(memb.as("b"),
+        col("a.rep_id") === col("b.rep_id") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         lit(0).as("hamming"))
     // cross-group pairs inherit their representatives' verified distance
     // exactly (equal fingerprints per group)
     val cross = repPairs
-      .join(members.select(col("hash").as("a_hash"), col("doc_id").as("ma")),
-        "a_hash")
-      .join(members.select(col("hash").as("b_hash"), col("doc_id").as("mb")),
-        "b_hash")
+      .join(memb.select(col("rep_id").as("a_id"), col("doc_id").as("ma")),
+        "a_id")
+      .join(memb.select(col("rep_id").as("b_id"), col("doc_id").as("mb")),
+        "b_id")
       .select(least(col("ma"), col("mb")).as("a_id"),
         greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
     // eager materialization so the working set can be freed here instead
     // of accumulating in the session cache across invocations
     val out = within.unionByName(cross).localCheckpoint(true)
-    members.unpersist()
+    memb.unpersist()
     out
   }
 
@@ -459,16 +472,11 @@ object Multimodal {
                                     nBytes: Int, maxDist: Int): DataFrame = {
     require(maxDist <= 3, "4-band blocking guarantees recall only for dist<=3")
     require(nBytes % 4 == 0, s"nBytes=$nBytes must split into 4 byte bands")
-    val members = hashes.select(col("doc_id"), col(hashCol).as("hash"))
-    val uniq = members.groupBy("hash").agg(min("doc_id").as("rep_id"))
-    val star = members.join(uniq, "hash")
-      .where(col("doc_id") =!= col("rep_id"))
+    val memb = hashReps(hashes, hashCol)
+    val star = memb.where(col("doc_id") =!= col("rep_id"))
       .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"))
-    val repPairs = bandedUniqueHashPairs(uniq.select("hash"), nBytes, maxDist)
-      .join(uniq.select(col("hash").as("a_hash"), col("rep_id").as("a_id")),
-        "a_hash")
-      .join(uniq.select(col("hash").as("b_hash"), col("rep_id").as("b_id")),
-        "b_hash")
+    val repPairs = bandedRepPairs(
+        memb.where(col("doc_id") === col("rep_id")), nBytes, maxDist)
       .select("a_id", "b_id")
     star.unionByName(repPairs)
   }
