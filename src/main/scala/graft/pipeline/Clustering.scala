@@ -68,10 +68,15 @@ object Clustering {
 
     // pin the per-row assignment to full parallelism: a single-file scan
     // would run the UDF + explode on 1-2 tasks (same trap ivfAssign
-    // documents). Callers iterate many times — cache upstream when the
-    // input fits the storage tier; the operator itself stays unmaterialized.
+    // documents). Persisted: every iteration's moment aggregate and the
+    // final assignment otherwise re-scan AND re-shuffle the corpus once
+    // per round (iters+1 passes measured) — one exchange into the storage
+    // tier (spills to disk when the corpus outgrows memory) replaces them
+    // all. Freed by the runners' per-query cache clear, the repo
+    // convention.
     val base = df.select(col(idCol), col(vecCol))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .persist()
 
     for (_ <- 1 to iters) {
       val cl = cents
