@@ -219,6 +219,12 @@ object Dedup {
       posexplode(slice(col("fgrams"), lit(1), prefLen)))
       .toDF("id", "bucket", "sz", "pos", "gram")
       .repartition(par, col("bucket"), col("gram"))
+      // persisted: exchange reuse SHOULD make the self-join read this
+      // exchange once, but the runtime stage profile shows both legs
+      // re-running the heavy-hitter reorder + explode under AQE; the
+      // narrow (ids + one hash) relation is cheap to pin (freed by the
+      // runners' per-query cache clear)
+      .persist()
     // positional filter (PPJoin): a shared gram at 0-based sorted positions
     // (i, j) bounds the overlap by min(i,j) + 1 + min(|A|-i-1, |B|-j-1)
     // (shared grams sort strictly before/after it on both sides); J >= t
