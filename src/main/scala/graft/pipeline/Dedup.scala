@@ -485,8 +485,13 @@ object Dedup {
       .select(col("id"),
         min("id").over(Window.partitionBy("gk")).as("rep_id"))
       .persist()
+    // persisted: the two band-explode legs of the candidate self-join and
+    // both verify joins each re-derived this join (exchange reuse does not
+    // cover self-join legs here — the p2 prefix-join lesson, confirmed in
+    // the p23 stage profile: four ~12 s-CPU recomputes at sf0.1)
     val reps = g.join(
       memb.where(col("id") === col("rep_id")).select(col("id")), "id")
+      .persist()
     val candidates = repBandCandidates(reps)
     val repPairs = candidates
       .join(reps.select(col("id").as("a_id"), col("hgrams").as("a_grams"),
