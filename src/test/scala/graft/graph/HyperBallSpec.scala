@@ -57,6 +57,35 @@ class HyperBallSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("duplicate-heavy fan-in: array bottom-k equals distinct bottom-k") {
+    // round-12 internals change: the per-round sketch rebuild is now ONE
+    // collect_set aggregate sliced to k (was distinct + window row_number).
+    // Pin the equivalence where it could break: a node whose in-neighbors
+    // all carry overlapping ball members (duplicate-heavy join fan-out)
+    // and whose distinct ball exceeds k, so both the dedup and the k-cut
+    // are load-bearing in one round.
+    val spark = session()
+    import spark.implicits._
+    try {
+      // bipartite fan: sources 1..30 all point at BOTH collectors 100, 101
+      // → after round 1 each collector's ball = {30 sources + itself} = 31
+      // distinct members arriving as 30 duplicated streams; k = 4 cuts it
+      val es = (1L to 30L).flatMap(i => Seq((i, 100L), (i, 101L)))
+      val out = HyperBall.neighborhood(es.toDF("src", "dst"), "src", "dst",
+          rounds = 1, k = 4)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      // both collectors: occupancy exactly k, and identical estimates —
+      // they hold the SAME ball, so the bottom-k (and θ) must agree
+      // exactly however the duplicates arrived
+      assert(out((100L, 1))._1 == 4)
+      assert(out((100L, 1)) == out((101L, 1)))
+      // sources' balls stay exact singletons at r=0 and (self + nothing
+      // in-bound) at r=1
+      assert(out((5L, 1)) == (1, 1))
+    } finally spark.stop()
+  }
+
   test("estimate regime: occupancy caps at k and the integer estimator applies") {
     val spark = session()
     import spark.implicits._
