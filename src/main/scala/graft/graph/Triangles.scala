@@ -69,8 +69,13 @@ object Triangles {
       .join(oriented.select(col("lo"), col("hi").as("c"), col("hideg").as("cd")), "lo")
       .where(col("bd") < col("cd") || (col("bd") === col("cd") && col("b") < col("c")))
       .select(col("lo").as("a"), col("b"), col("c"))
+    // shuffle_hash on the edge side: sort-merge would sort the WEDGE
+    // relation (Σ outdeg² rows — the largest relation in the query) to
+    // close triangles; hashing the edge-bounded side streams the wedges
+    // unsorted
     val tris = wedges
-      .join(oriented.select(col("lo").as("b"), col("hi").as("c")), Seq("b", "c"))
+      .join(oriented.select(col("lo").as("b"), col("hi").as("c"))
+        .hint("shuffle_hash"), Seq("b", "c"))
 
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
