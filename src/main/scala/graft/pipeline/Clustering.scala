@@ -72,8 +72,9 @@ object Clustering {
     // final assignment otherwise re-scan AND re-shuffle the corpus once
     // per round (iters+1 passes measured) — one exchange into the storage
     // tier (spills to disk when the corpus outgrows memory) replaces them
-    // all. Freed by the runners' per-query cache clear, the repo
-    // convention.
+    // all. Freed below once the final assignment materializes — the
+    // Multimodal convention — so a long-lived session calling this
+    // repeatedly doesn't accumulate storage blocks.
     val base = df.select(col(idCol), col(vecCol))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .persist()
@@ -105,7 +106,11 @@ object Clustering {
     }
     val fin = cents
     val finalAssign = udf((v: Seq[Float]) => argminL2(fin, v))
-    base.select(col(idCol).as("vec_id"), finalAssign(col(vecCol)).as("cluster"))
+    val out = base
+      .select(col(idCol).as("vec_id"), finalAssign(col(vecCol)).as("cluster"))
+      .localCheckpoint(true)
+    base.unpersist()
+    out
   }
 
   /** DuckDB oracle for [[kmeans]] over the `embeddings` table: seeds +

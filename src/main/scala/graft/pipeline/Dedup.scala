@@ -243,7 +243,7 @@ object Dedup {
           overlapBound.cast("double") >= alpha)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
-    cand
+    val pairs = cand
       .join(g.select(col("id").as("a_id"), col("grams").as("a_grams"),
         col("sz").as("a_sz")), "a_id")
       .join(g.select(col("id").as("b_id"), col("grams").as("b_grams"),
@@ -254,6 +254,13 @@ object Dedup {
         round(col("inter") / (col("a_sz") + col("b_sz") - col("inter")), 6)
           .as("jaccard"))
       .where(col("jaccard") >= minSim)
+      // eager materialization of the (narrow) pair list so the working set
+      // can be freed here instead of accumulating in the session cache
+      // across invocations (the Multimodal convention)
+      .localCheckpoint(true)
+    pref.unpersist()
+    g0.unpersist()
+    pairs
   }
 
   /** Incremental (cross-snapshot) dedup — the production shape for a
@@ -480,7 +487,7 @@ object Dedup {
     // narrow (id, gk) window shuffle instead of groupBy + join-back (two
     // exchanges over the same rows — guide §2.4); persisted because the
     // rep filter, the within-group pairs, and both expansion joins read
-    // it (freed by the runners' per-query cache clear, the g0 convention)
+    // it (freed after the eager materialization of the result below)
     val memb = g.select(col("id"), col("gk"))
       .select(col("id"),
         min("id").over(Window.partitionBy("gk")).as("rep_id"))
@@ -518,7 +525,14 @@ object Dedup {
       .join(memb.select(col("rep_id").as("b_id"), col("id").as("mb")), "b_id")
       .select(least(col("ma"), col("mb")).as("a_id"),
         greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
-    within.unionByName(cross)
+    // eager materialization of the (narrow) pair list so the working set
+    // can be freed here instead of accumulating in the session cache
+    // across invocations (the Multimodal convention)
+    val pairs = within.unionByName(cross).localCheckpoint(true)
+    g0.unpersist()
+    memb.unpersist()
+    reps.unpersist()
+    pairs
   }
 
   /** The rep-level LSH band self-join [[minhashLshPairs]] verifies:

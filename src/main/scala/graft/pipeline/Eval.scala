@@ -112,29 +112,30 @@ object Eval {
     * and every output rounds to 6. */
   def classifierEval(preds: DataFrame, truthCol: String,
                      predCol: String): DataFrame = {
-    // persisted: the class universe (twice), tp, fp and fn each re-derive
-    // this projection, and `preds` is typically a full train+predict
-    // pipeline — without the persist the whole upstream DAG re-executed
-    // five times (measured: p74 ≈ 2× p63 at sf0.1 for an eval step that
-    // aggregates two string columns). Freed by the runners' per-query
-    // cache clear, the repo convention.
+    // ONE pass (round 13): each row contributes to exactly two classes —
+    // its truth (tp when correct, else fn) and its pred (fp when wrong;
+    // a zero contribution when correct, which still instantiates the
+    // class row) — so the whole confusion matrix is one explode(2) + one
+    // hash aggregation keyed on cls. The class universe falls out for
+    // free: a class exists iff it appears as somebody's truth or pred,
+    // exactly the former distinct(truth ∪ pred). The r11/r12 shape —
+    // class-universe union-distinct + three filtered aggregations + three
+    // left joins over a persisted (truth, pred) projection — re-read that
+    // projection five times (the persist it needed is gone with them:
+    // `preds` is typically a full train+predict pipeline, and without a
+    // persist the upstream DAG re-executed five times — now it executes
+    // once, lazily, inside whoever materializes the result). Map-side
+    // partials collapse the 2-per-row contributions to ≤ 2·|classes| rows
+    // per partition before the single exchange (guide §2.3/§2.4).
     val t = preds.select(col(truthCol).as("truth"), col(predCol).as("pred"))
-      .persist()
-    val classes = t.select(col("truth").as("cls"))
-      .union(t.select(col("pred").as("cls"))).distinct()
-    val tp = t.where(col("truth") === col("pred"))
-      .groupBy(col("truth").as("cls")).agg(count(lit(1)).as("tp"))
-    val fp = t.where(col("truth") =!= col("pred"))
-      .groupBy(col("pred").as("cls")).agg(count(lit(1)).as("fp"))
-    val fn = t.where(col("truth") =!= col("pred"))
-      .groupBy(col("truth").as("cls")).agg(count(lit(1)).as("fn"))
-    val j = classes
-      .join(tp, Seq("cls"), "left").join(fp, Seq("cls"), "left")
-      .join(fn, Seq("cls"), "left")
-      .select(col("cls"),
-        coalesce(col("tp"), lit(0L)).as("tp"),
-        coalesce(col("fp"), lit(0L)).as("fp"),
-        coalesce(col("fn"), lit(0L)).as("fn"))
+    val hit = (col("truth") === col("pred")).cast("long")
+    val j = t.select(explode(array(
+        struct(col("truth").as("cls"), hit.as("tp"), lit(0L).as("fp"),
+          (lit(1L) - hit).as("fn")),
+        struct(col("pred").as("cls"), lit(0L).as("tp"),
+          (lit(1L) - hit).as("fp"), lit(0L).as("fn")))).as("e"))
+      .groupBy(col("e.cls").as("cls"))
+      .agg(sum("e.tp").as("tp"), sum("e.fp").as("fp"), sum("e.fn").as("fn"))
     val p = when(col("tp") + col("fp") > 0,
       col("tp").cast("double") / (col("tp") + col("fp"))).otherwise(0.0)
     val r = when(col("tp") + col("fn") > 0,

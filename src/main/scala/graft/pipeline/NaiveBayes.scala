@@ -37,15 +37,31 @@ import org.apache.spark.sql.functions._
   */
 object NaiveBayes {
 
+  /** Whether the training/scoring passes should be widened to the session
+    * parallelism. A SINGLE-partition input means less than one input split
+    * of data — there the serial pipelines with overlapping broadcast
+    * builds measured FASTER than full-width stages (round-12 A/B under
+    * host contention), so it keeps its shape. An input that is
+    * multi-partition yet well below the session's parallelism carries
+    * multiple splits' worth of data on too few tasks — a pre-split
+    * production corpus never hits this (its scan arrives ≥ parallelism
+    * partitions), but a coalesced upstream would otherwise run every
+    * tokenize pass nearly serially. */
+  private[pipeline] def underParallel(inputParts: Int, parallelism: Int): Boolean =
+    inputParts > 1 && inputParts < parallelism / 2
+
   /** Train on (`idCol`, `textCol`, `labelCol`) and classify every row.
     * Self-classification (train set = apply set) is the operator's
     * catalog shape; disjoint train/apply splits compose from the same
     * pieces. Returns (idCol, labelCol, pred, logp) — `pred` the argmax
     * class, `logp` its rounded-6 log posterior (up to the shared
     * evidence constant). */
-  def trainPredict(df: DataFrame, idCol: String, textCol: String,
+  def trainPredict(df0: DataFrame, idCol: String, textCol: String,
                    labelCol: String, vocabK: Int = 50): DataFrame = {
     require(vocabK > 0, s"vocabK=$vocabK")
+    val par = df0.sparkSession.sparkContext.defaultParallelism
+    val df = if (underParallel(df0.rdd.getNumPartitions, par))
+      df0.repartition(par, col(idCol)) else df0
     val toks = df.select(col(idCol), col(labelCol),
       TextAnalysis.words(col(textCol)).as("ws"))
 

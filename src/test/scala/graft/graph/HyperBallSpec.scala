@@ -86,6 +86,40 @@ class HyperBallSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("skewed hub: hub-safe bottom-k rebuild equals scalar distinct bottom-k") {
+    // round-13 internals change: the per-round rebuild is the
+    // bottom_k_distinct typed aggregate (buffer capped at k elements), so
+    // a power-law hub's distinct fan-in never sits in one reducer's
+    // aggregation buffer. Pin it where it could diverge: a hub whose ≫ k
+    // in-neighbors spread bottom-k candidates across MANY map partitions —
+    // each partial forwards its own local cut, and the global bottom-k
+    // must still be merged across them. Expected values come from a
+    // scalar replay of the node-hash + KMV estimator.
+    val spark = session()
+    import spark.implicits._
+    try {
+      val fan = 500L
+      val k = 8
+      val es = (1L to fan).map(i => (i, 0L))
+      val out = HyperBall.neighborhood(es.toDF("src", "dst"), "src", "dst",
+          rounds = 1, k = k)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      val M = 1000000007L
+      def ih(node: Long): Long = {
+        val h = (((node % M) + M) % M * 2654435761L + 987654321L) % M
+        (h * h + h * 1103515245L + 12345L) % M
+      }
+      // hub ball_1(0) = {0..500}: 501 distinct members, bottom-k of their
+      // hashes, θ = the k-th smallest, integer KMV estimate
+      val hashes = (0L to fan).map(ih).distinct.sorted
+      val theta = hashes(k - 1)
+      assert(out((0L, 1)) == (k.toLong, (k - 1).toLong * M / theta))
+      // a spoke's ball stays the exact singleton + itself path (no in-edges)
+      assert(out((7L, 1)) == (1L, 1L))
+    } finally spark.stop()
+  }
+
   test("estimate regime: occupancy caps at k and the integer estimator applies") {
     val spark = session()
     import spark.implicits._

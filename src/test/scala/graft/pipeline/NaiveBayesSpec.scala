@@ -80,4 +80,43 @@ class NaiveBayesSpec extends AnyFunSuite {
       assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
     } finally spark.stop()
   }
+
+  test("under-parallel gate: fires only for multi-partition inputs below half parallelism") {
+    // round-13 scale-parallelism gate: a single-partition input (< one
+    // input split of data) keeps the measured-faster serial shape; a
+    // multi-partition input well below the session parallelism gets the
+    // training passes widened.
+    assert(!NaiveBayes.underParallel(1, 32))   // sub-split local corpus
+    assert(NaiveBayes.underParallel(4, 32))    // pre-split but coalesced
+    assert(NaiveBayes.underParallel(2, 8))
+    assert(!NaiveBayes.underParallel(16, 32))  // already near-parallel
+    assert(!NaiveBayes.underParallel(64, 32))  // pre-split production scan
+  }
+
+  test("repartitioned multi-partition input classifies identically") {
+    // the gate fires (3 partitions < 8/2) and must not change a single
+    // prediction or posterior — training is count aggregation, scoring a
+    // position-ordered fold, both partitioning-independent by design
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .appName("naive-bayes-gate-spec")
+      .getOrCreate()
+    import spark.implicits._
+    try {
+      val docs = (1L to 60L).map(i =>
+        (i, if (i % 2 == 0) "apple pear apple" else "apfel birne apfel",
+          if (i % 2 == 0) "en" else "de"))
+      val one = docs.toDF("doc_id", "text", "lang").coalesce(1)
+      val multi = docs.toDF("doc_id", "text", "lang").repartition(3)
+      assert(multi.rdd.getNumPartitions == 3 &&
+        NaiveBayes.underParallel(3, spark.sparkContext.defaultParallelism))
+      def run(df: org.apache.spark.sql.DataFrame) =
+        NaiveBayes.trainPredict(df, "doc_id", "text", "lang", vocabK = 4)
+          .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+          .sortBy(_._1).toSeq
+      assert(run(one) == run(multi))
+    } finally spark.stop()
+  }
 }

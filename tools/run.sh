@@ -3,7 +3,9 @@
 # Usage: tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out
 set -euo pipefail
 cd "$(dirname "$0")/.."
-CLASSES=target/scala-2.13/classes
+# GRAFT_CLASSES overrides the class dir — used for interleaved before/after
+# A/B runs against a snapshot of the previous round's compiled classes
+CLASSES="${GRAFT_CLASSES:-target/scala-2.13/classes}"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
